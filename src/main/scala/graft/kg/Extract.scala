@@ -1,0 +1,131 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A surface-form entity mention found in a page. */
+final case class Mention(url: String, surface: String, entityType: String, pos: Int)
+
+/** A raw extracted triple before linking/canonicalization. Mirrors the
+  * reference's extracted-edge contract (`edge_operations.py:112-247`):
+  * (source entity, relation name, target entity, natural-language fact).
+  */
+final case class RawTriple(url: String, subj: String, pred: String, obj: String, fact: String)
+
+/** Deterministic mention + triple extraction (the engine's stand-in for the
+  * reference's LLM extractors, same output contracts:
+  * extract_nodes `node_operations.py:69-181`, extract_edges
+  * `edge_operations.py:112-247`).
+  *
+  * Two execution forms:
+  *  - column-expression form ([[triplesOf]], [[mentionCol]]) — pure Catalyst
+  *    `regexp_extract_all`/`explode`, codegen'd, zero driver involvement:
+  *    the scale path for simple relation patterns;
+  *  - typed `mapPartitions` form ([[mentions]], [[triples]]) — compiled
+  *    regex per partition over broadcastable pattern lists, for the
+  *    imperative long tail (sentence windows, overlapping matches).
+  */
+object Extract {
+
+  /** Entity surface shape: TitleCase word optionally keyed with #digits or
+    * _digits ("Customer#000000042", "NATION_3", "Acme"), optionally
+    * continued by further ALL-CAPS words ("MIDDLE EAST").
+    */
+  val EntityPattern = "[A-Z][A-Za-z]*(?:#\\d+|_\\d+)?(?: [A-Z]{2,})*"
+
+  /** (relation name, sentence regex with exactly 2 capture groups). */
+  val RelationPatterns: Seq[(String, String)] = Seq(
+    ("lives_in", s"($EntityPattern) lives in ($EntityPattern)\\."),
+    ("located_in", s"($EntityPattern) is located in ($EntityPattern)\\."),
+    ("part_of", s"($EntityPattern) is part of ($EntityPattern)\\."),
+    ("works_at", s"($EntityPattern) works at ($EntityPattern)\\."),
+    ("founded", s"($EntityPattern) founded ($EntityPattern)\\."),
+    ("acquired", s"($EntityPattern) acquired ($EntityPattern)\\."),
+    ("shops_in_segment", s"($EntityPattern) shops in the ($EntityPattern) segment\\."),
+  )
+
+  /** Entity type from surface shape (gazetteer-free deterministic NER). */
+  def entityTypeOf(surface: String): String =
+    if (surface.startsWith("Customer#")) "Person"
+    else if (surface.startsWith("Supplier#")) "Organization"
+    else if (surface.startsWith("NATION_") || surface.startsWith("REGION_")) "Place"
+    else "Entity"
+
+  // ------------------------------------------------------------------
+  // Column-expression form (whole-stage-codegen path)
+  // ------------------------------------------------------------------
+
+  /** pages(url, text) → triples(url, subj, pred, obj, fact). One pass per
+    * relation pattern, unioned; each pass is scan → regexp_extract_all →
+    * explode, fully pipelined with no shuffle.
+    */
+  def triplesOf(pages: DataFrame, textCol: Column): DataFrame = {
+    val withText = pages.withColumn("__t", textCol)
+    RelationPatterns.map { case (pred, pat) =>
+      withText
+        .select(
+          col("url"),
+          explode_outer(
+            arrays_zip(
+              regexp_extract_all(col("__t"), lit(pat), lit(1)).as("s"),
+              regexp_extract_all(col("__t"), lit(pat), lit(2)).as("o"),
+              regexp_extract_all(col("__t"), lit(pat), lit(0)).as("f"),
+            ),
+          ).as("m"),
+        )
+        .filter(col("m").isNotNull)
+        .select(
+          col("url"),
+          col("m.s").as("subj"),
+          lit(pred).as("pred"),
+          col("m.o").as("obj"),
+          col("m.f").as("fact"),
+        )
+    }.reduce(_ unionByName _)
+      .filter(col("subj").isNotNull && col("subj") =!= lit(""))
+  }
+
+  /** All entity mentions as an array column (surfaces in document order). */
+  def mentionCol(text: Column): Column =
+    regexp_extract_all(text, lit(s"($EntityPattern)"), lit(1))
+
+  // ------------------------------------------------------------------
+  // Typed mapPartitions form (imperative long tail; compiled regex reused
+  // across the partition — the per-partition batch shape of the reference's
+  // CHUNK_SIZE batching, bulk_utils.py:63)
+  // ------------------------------------------------------------------
+
+  def mentions(spark: SparkSession, pages: DataFrame): Dataset[Mention] = {
+    import spark.implicits._
+    val pat = EntityPattern
+    pages.select(col("url"), col("text")).as[(String, String)].mapPartitions { it =>
+      val re = java.util.regex.Pattern.compile(pat)
+      it.flatMap { case (url, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val m = re.matcher(text)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+          while (m.find()) out += Mention(url, m.group(), entityTypeOf(m.group()), m.start())
+          out.iterator
+        }
+      }
+    }
+  }
+
+  def triples(spark: SparkSession, pages: DataFrame): Dataset[RawTriple] = {
+    import spark.implicits._
+    val pats = RelationPatterns
+    pages.select(col("url"), col("text")).as[(String, String)].mapPartitions { it =>
+      val compiled = pats.map { case (p, r) => (p, java.util.regex.Pattern.compile(r)) }
+      it.flatMap { case (url, text) =>
+        if (text == null) Iterator.empty
+        else compiled.iterator.flatMap { case (pred, re) =>
+          val m = re.matcher(text)
+          val out = scala.collection.mutable.ArrayBuffer.empty[RawTriple]
+          while (m.find()) out += RawTriple(url, m.group(1), pred, m.group(2), m.group(0))
+          out
+        }
+      }
+    }
+  }
+}

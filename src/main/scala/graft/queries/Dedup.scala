@@ -1,0 +1,3 @@
+package graft.queries
+import graft.QueryDef
+object Dedup { def defs: Seq[QueryDef] = Seq() }

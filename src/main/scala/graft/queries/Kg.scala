@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.kg.{Extract, HtmlText, Pages}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** End-to-end knowledge-graph construction over the synthetic `pages`
+  * corpus (BASELINE.json north rule): HTML→text → triple extraction →
+  * canonical nodes/edges → bitemporal invalidation → point-in-time reads.
+  *
+  * The Spark side runs the REAL pipeline (raw html bytes → regex
+  * extraction); the DuckDB oracle re-derives the expected output
+  * relationally from the same TPC-H source tables, so extraction is
+  * checked value-for-value (P/R = 1.0 on the clean corpus; noisy-alias
+  * P/R is covered in ScalaTest fixtures).
+  */
+object Kg {
+
+  // Oracle-side re-derivation of the triples the corpus must yield.
+  private val oracleTriples =
+    """
+    SELECT 'https://example.org/customer/' || c_custkey AS url,
+           c_name AS subj, 'lives_in' AS pred, n_name AS obj,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(c_custkey * 60) AS warc_ts
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'https://example.org/customer/' || c_custkey AS url,
+           c_name, 'shops_in_segment', c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(c_custkey * 60)
+    FROM customer
+    UNION ALL
+    SELECT 'https://example.org/customer/' || c_custkey || '/update' AS url,
+           c_name, 'lives_in', n_name,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(c_custkey * 60 + 2592000)
+    FROM customer JOIN nation ON (c_nationkey + 1) % 25 = n_nationkey
+    WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT 'https://example.org/supplier/' || s_suppkey AS url,
+           s_name, 'located_in', n_name,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(900 + s_suppkey * 60)
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'https://example.org/supplier/' || s_suppkey AS url,
+           n_name, 'part_of', r_name,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(900 + s_suppkey * 60)
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    """
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- flagship: raw html bytes → deterministic text → SVO triple
+    // extraction (extract_edges contract, edge_operations.py:112-247) ----
+    QueryDef(
+      "kg_extract_triples",
+      (s, dir) => {
+        val pages = Pages.corpus(s, dir)
+        Extract
+          .triplesOf(pages, HtmlText.textOf(col("html")))
+          .select(col("url"), col("subj"), col("pred"), col("obj"))
+          .orderBy(col("url"), col("pred"), col("subj"), col("obj"))
+      },
+      Some(s"""
+        SELECT url, subj, pred, obj FROM ($oracleTriples) t
+        ORDER BY url, pred, subj, obj
+      """),
+    ),
+
+    // ---- canonical node table: distinct entities mentioned in any triple,
+    // with shape-derived labels (extract_nodes contract,
+    // node_operations.py:69-181) ----
+    QueryDef(
+      "kg_nodes",
+      (s, dir) => {
+        val pages = Pages.corpus(s, dir)
+        val t = Extract.triplesOf(pages, HtmlText.textOf(col("html")))
+        t.select(col("subj").as("name"))
+          .unionByName(t.select(col("obj").as("name")))
+          .distinct()
+          .withColumn(
+            "label",
+            when(col("name").startsWith("Customer#"), lit("Person"))
+              .when(col("name").startsWith("Supplier#"), lit("Organization"))
+              .when(col("name").startsWith("NATION_") || col("name").startsWith("REGION_"), lit("Place"))
+              .otherwise(lit("Entity")),
+          )
+          .orderBy(col("name"))
+      },
+      Some(s"""
+        SELECT name,
+               CASE WHEN name LIKE 'Customer#%' THEN 'Person'
+                    WHEN name LIKE 'Supplier#%' THEN 'Organization'
+                    WHEN name LIKE 'NATION!_%' ESCAPE '!'
+                      OR name LIKE 'REGION!_%' ESCAPE '!' THEN 'Place'
+                    ELSE 'Entity' END AS label
+        FROM (SELECT DISTINCT subj AS name FROM ($oracleTriples) a
+              UNION
+              SELECT DISTINCT obj FROM ($oracleTriples) b) n
+        ORDER BY name
+      """),
+    ),
+
+    // ---- bitemporal edge materialization + contradiction invalidation
+    // (resolve_edge_contradictions, edge_operations.py:381-411): per
+    // (subj, pred), a newer fact with a different object closes the older
+    // fact: invalid_at = newer.valid_at; expired_at mirrors it ----
+    QueryDef(
+      "kg_edges_invalidation",
+      (s, dir) => {
+        val pages = Pages.corpus(s, dir)
+        val t = Extract
+          .triplesOf(pages, HtmlText.textOf(col("html")))
+          .join(pages.select(col("url"), col("warc_ts")), Seq("url"))
+          .filter(col("pred") === lit("lives_in"))
+        val w = Window.partitionBy(col("subj"), col("pred")).orderBy(col("warc_ts"), col("url"))
+        t.withColumn("next_obj", lead(col("obj"), 1).over(w))
+          .withColumn("next_ts", lead(col("warc_ts"), 1).over(w))
+          .withColumn(
+            "invalid_at",
+            when(col("next_obj").isNotNull && col("next_obj") =!= col("obj"), col("next_ts")),
+          )
+          .select(
+            col("subj"), col("pred"), col("obj"),
+            col("warc_ts").as("valid_at"), col("invalid_at"),
+          )
+          .orderBy(col("subj"), col("valid_at"), col("obj"))
+      },
+      Some(s"""
+        SELECT subj, pred, obj, valid_at,
+               CASE WHEN next_obj IS NOT NULL AND next_obj <> obj
+                    THEN next_ts END AS invalid_at
+        FROM (
+          SELECT subj, pred, obj, warc_ts AS valid_at,
+                 lead(obj) OVER (PARTITION BY subj, pred ORDER BY warc_ts, url) AS next_obj,
+                 lead(warc_ts) OVER (PARTITION BY subj, pred ORDER BY warc_ts, url) AS next_ts
+          FROM ($oracleTriples) t WHERE pred = 'lives_in') x
+        ORDER BY subj, valid_at, obj
+      """),
+    ),
+
+    // ---- point-in-time KG read (get_historical_state,
+    // temporal_manager.py:349-414): lives_in facts valid 15 days after
+    // epoch — movers' first residence still valid, updates not yet ----
+    QueryDef(
+      "kg_point_in_time",
+      (s, dir) => {
+        val t0 = lit("2024-01-16 00:00:00").cast("timestamp")
+        val pages = Pages.corpus(s, dir)
+        val t = Extract
+          .triplesOf(pages, HtmlText.textOf(col("html")))
+          .join(pages.select(col("url"), col("warc_ts")), Seq("url"))
+          .filter(col("pred") === lit("lives_in"))
+        val w = Window.partitionBy(col("subj"), col("pred")).orderBy(col("warc_ts"), col("url"))
+        t.withColumn("next_obj", lead(col("obj"), 1).over(w))
+          .withColumn("next_ts", lead(col("warc_ts"), 1).over(w))
+          .withColumn(
+            "invalid_at",
+            when(col("next_obj").isNotNull && col("next_obj") =!= col("obj"), col("next_ts")),
+          )
+          .filter(
+            col("warc_ts") <= t0 && (col("invalid_at").isNull || col("invalid_at") > t0),
+          )
+          .select(col("subj"), col("obj").as("residence"))
+          .orderBy(col("subj"))
+      },
+      Some(s"""
+        SELECT subj, obj AS residence
+        FROM (
+          SELECT subj, obj, warc_ts AS valid_at,
+                 CASE WHEN lead(obj) OVER w IS NOT NULL
+                       AND lead(obj) OVER w <> obj
+                      THEN lead(warc_ts) OVER w END AS invalid_at
+          FROM ($oracleTriples) t WHERE pred = 'lives_in'
+          WINDOW w AS (PARTITION BY subj, pred ORDER BY warc_ts, url)) x
+        WHERE valid_at <= TIMESTAMP '2024-01-16 00:00:00'
+          AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-01-16 00:00:00')
+        ORDER BY subj
+      """),
+    ),
+
+    // ---- mention extraction (extract_nodes / NER contract): mention
+    // counts per entity type over the corpus ----
+    QueryDef(
+      "kg_mention_stats",
+      (s, dir) => {
+        val pages = Pages.corpus(s, dir)
+        val m = Extract.mentions(s, pages.withColumn("text", HtmlText.textOf(col("html"))))
+        m.groupBy(col("entityType"))
+          .agg(count(lit(1)).as("n_mentions"), countDistinct(col("surface")).as("n_distinct"))
+          .orderBy(col("entityType"))
+      },
+      None, // mention positions aren't relationally re-derivable in SQL
+    ),
+  )
+}

@@ -1,0 +1,3 @@
+package graft.queries
+import graft.QueryDef
+object Similarity { def defs: Seq[QueryDef] = Seq() }
