@@ -1,0 +1,147 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph operators over an edge DataFrame (src: long,
+  * dst: long) — the Spark-native re-expression of the reference's
+  * pure-Python/NetworkX graph algorithms:
+  *
+  *  - BFS frontier expansion (`graphiti_hf/search/graph_traversal.py:172-286`)
+  *  - connected components = `compress_uuid_map` union-find semantics,
+  *    canonical id = min id per component (`graphiti_core/utils/bulk_utils.py:433-470`)
+  *  - label propagation communities (`graphiti_core/utils/maintenance/community_operations.py:86-131`)
+  *
+  * All loops are driver-orchestrated supersteps of DataFrame joins with
+  * `localCheckpoint` to cut lineage — the GraphFrames pattern without the
+  * dependency. At cluster scale the edge table should be pre-partitioned
+  * (bucketed) by `src` so every superstep's join reuses one partitioning
+  * and only the (small) frontier/labels side shuffles.
+  */
+object GraphOps {
+
+  /** Undirected view: each edge in both directions, deduped. */
+  def undirect(edges: DataFrame): DataFrame =
+    edges
+      .select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  /** Distinct node set of an edge list. */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node")).unionByName(edges.select(col("dst").as("node"))).distinct()
+
+  /** Level-synchronous BFS: min distance (≤ maxDepth) from the source set.
+    * Returns (node, dist). Early-terminates on an empty frontier — the
+    * reference's `early_termination_size` loop check
+    * (`graph_traversal.py:250-257`).
+    */
+  def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("node")).distinct().withColumn("dist", lit(0))
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      depth += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** Connected components by iterative min-label propagation. Returns
+    * (node, component) with component = min node id in the component —
+    * exactly `compress_uuid_map`'s canonical-min semantics. Converges in
+    * O(component diameter) supersteps; each superstep checkpointed.
+    * Deterministic regardless of partitioning (min is commutative).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes(e).withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val propagated = e
+        .join(labels, e("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels
+        .unionByName(propagated)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // monotone convergence: sum of labels strictly decreases until fixpoint
+      val before = labels.agg(sum(col("label"))).head().getLong(0)
+      val after = next.agg(sum(col("label"))).head().getLong(0)
+      labels = next
+      converged = before == after
+    }
+    e.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Per-node degree (parallel edges counted — the reference's
+    * edge-count-weighted degree projection, `community_operations.py:46-71`).
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges
+      .select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+
+  /** One label-propagation superstep: each node adopts the label with the
+    * highest neighbor weight; ties break to the LARGER label (reference
+    * tie rule, `community_operations.py:113-117`). weights = parallel-edge
+    * counts.
+    */
+  def labelPropagationStep(undirected: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = undirected
+      .join(labels, undirected("src") === labels("node"))
+      .groupBy(col("dst").as("n"), col("label"))
+      .agg(count(lit(1)).as("w"))
+    val w = Window.partitionBy(col("n")).orderBy(col("w").desc, col("label").desc)
+    votes
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("n").as("node"), col("label"))
+  }
+
+  /** Label propagation to fixpoint (or maxIter), checkpointed supersteps. */
+  def labelPropagation(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val e = edges
+      .select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes(e).withColumn("label", col("node")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val next = labelPropagationStep(e, labels).localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = next
+      converged = changed == 0
+    }
+    e.unpersist()
+    labels
+  }
+}

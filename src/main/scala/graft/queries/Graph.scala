@@ -1,3 +1,231 @@
 package graft.queries
-import graft.QueryDef
-object Graph { def defs: Seq[QueryDef] = Seq() }
+
+import graft.{QueryDef, T}
+import graft.graph.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph traversal / component / community operators from SURVEY.md §2.9,
+  * over a deterministic sparse graph derived from the lineitem table:
+  * supplier s — part (10000 + p) for every lineitem row with quantity ≤ 2.
+  * DuckDB oracles use recursive CTEs, so BFS reachability, min-id
+  * connected components, and distance reranking are checked exactly.
+  */
+object Graph {
+
+  /** Deterministic edge list (src, dst), directed supplier→part. */
+  def edges(s: SparkSession, dir: String): DataFrame =
+    T.load(s, dir, "lineitem")
+      .filter(col("l_quantity") <= lit(2.0))
+      .select(
+        col("l_suppkey").as("src"),
+        (col("l_partkey") + lit(10000L)).as("dst"),
+      )
+
+  private val edgesSql =
+    """
+    SELECT l_suppkey AS src, l_partkey + 10000 AS dst
+    FROM lineitem WHERE l_quantity <= 2.0
+    """
+
+  // undirected + deduped, in SQL
+  private val uEdgesSql =
+    s"""
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM ($edgesSql) e1
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM ($edgesSql) e2) u
+    """
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- degree projection (community_operations.py:46-71) ----
+    QueryDef(
+      "q_graph_degree",
+      (s, dir) => {
+        GraphOps.degrees(edges(s, dir)).orderBy(col("node"))
+      },
+      Some(s"""
+        SELECT node, count(*) AS degree FROM (
+          SELECT src AS node FROM ($edgesSql) a
+          UNION ALL
+          SELECT dst FROM ($edgesSql) b) t
+        GROUP BY node ORDER BY node
+      """),
+    ),
+
+    // ---- BFS min-distance, depth ≤ 3 from node 1 (graph_traversal.py:
+    // 172-286; MAX_SEARCH_DEPTH=3 search_utils.py:71) ----
+    QueryDef(
+      "q_graph_bfs3",
+      (s, dir) => {
+        import s.implicits._
+        val src = Seq(1L).toDF("node")
+        GraphOps
+          .bfs(GraphOps.undirect(edges(s, dir)), src, 3)
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH RECURSIVE walk(node, d) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION
+          SELECT e.dst, w.d + 1
+          FROM walk w JOIN ($uEdgesSql) e ON e.src = w.node
+          WHERE w.d < 3
+        )
+        SELECT node, min(d) AS dist FROM walk GROUP BY node ORDER BY node
+      """),
+    ),
+
+    // ---- connected components, canonical = min id (compress_uuid_map,
+    // bulk_utils.py:433-470) ----
+    QueryDef(
+      "q_graph_cc",
+      (s, dir) => {
+        GraphOps.connectedComponents(edges(s, dir)).orderBy(col("node"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        uedges AS ($uEdgesSql),
+        allnodes AS (SELECT DISTINCT src AS node FROM uedges),
+        lab(node, lab) AS (
+          SELECT node, node FROM allnodes
+          UNION
+          SELECT e.dst, l.lab
+          FROM lab l JOIN uedges e ON e.src = l.node
+          WHERE l.lab < e.dst
+        )
+        SELECT node, min(lab) AS component FROM lab
+        GROUP BY node ORDER BY node
+      """),
+    ),
+
+    // ---- k-hop neighborhood counts (get_neighbors, graph_traversal.py:
+    // 431-462): nodes at distance exactly 1 and exactly 2 from each of a
+    // seed set ----
+    QueryDef(
+      "q_graph_neighbors",
+      (s, dir) => {
+        import s.implicits._
+        val seeds = Seq(1L, 2L, 3L, 4L, 5L).toDF("seed")
+        val u = GraphOps.undirect(edges(s, dir)).localCheckpoint()
+        val hop1 = seeds
+          .join(u.as("e1"), seeds("seed") === col("e1.src"))
+          .select(col("seed"), col("e1.dst").as("node"))
+          .distinct()
+        val hop2 = hop1
+          .join(u.as("e2"), hop1("node") === col("e2.src"))
+          .select(col("seed"), col("e2.dst").as("node"))
+          .distinct()
+          .filter(col("node") =!= col("seed"))
+          .except(hop1)
+        hop1
+          .groupBy(col("seed"))
+          .agg(count(lit(1)).as("n_hop1"))
+          .join(hop2.groupBy(col("seed")).agg(count(lit(1)).as("n_hop2")), Seq("seed"), "left")
+          .na
+          .fill(0, Seq("n_hop2"))
+          .orderBy(col("seed"))
+      },
+      Some(s"""
+        WITH uedges AS ($uEdgesSql),
+        seeds AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)),(2),(3),(4),(5)) s(seed)),
+        hop1 AS (SELECT DISTINCT seed, e.dst AS node
+                 FROM seeds JOIN uedges e ON e.src = seed),
+        hop2 AS (SELECT DISTINCT h.seed, e.dst AS node
+                 FROM hop1 h JOIN uedges e ON e.src = h.node
+                 WHERE e.dst <> h.seed
+                   AND NOT EXISTS (SELECT 1 FROM hop1 x
+                                   WHERE x.seed = h.seed AND x.node = e.dst))
+        SELECT s.seed,
+               (SELECT count(*) FROM hop1 WHERE seed = s.seed) AS n_hop1,
+               (SELECT count(*) FROM hop2 WHERE seed = s.seed) AS n_hop2
+        FROM seeds s ORDER BY s.seed
+      """),
+    ),
+
+    // ---- node-distance reranker (search_utils.py:1885-1936): candidates
+    // scored 1/(1+d) by BFS distance from a center node ----
+    QueryDef(
+      "q_graph_distance_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val center = Seq(1L).toDF("node")
+        val dists = GraphOps.bfs(GraphOps.undirect(edges(s, dir)), center, 3)
+        dists
+          .withColumn("score", round(lit(1.0) / (lit(1.0) + col("dist")), 6))
+          .select(col("node"), col("score"))
+          .orderBy(col("score").desc, col("node"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH RECURSIVE walk(node, d) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION
+          SELECT e.dst, w.d + 1
+          FROM walk w JOIN ($uEdgesSql) e ON e.src = w.node
+          WHERE w.d < 3
+        )
+        SELECT node, round(1.0 / (1.0 + min(d)), 6) AS score
+        FROM walk GROUP BY node
+        ORDER BY score DESC, node LIMIT 50
+      """),
+    ),
+
+    // ---- one label-propagation superstep (community_operations.py:86-131):
+    // adopt the plurality neighbor label, tie → larger label ----
+    QueryDef(
+      "q_graph_label_prop1",
+      (s, dir) => {
+        val e = edges(s, dir)
+        val u = e
+          .select(col("src"), col("dst"))
+          .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        val labels = GraphOps.nodes(u).withColumn("label", col("node"))
+        GraphOps.labelPropagationStep(u, labels).orderBy(col("node"))
+      },
+      Some(s"""
+        WITH dedges AS (
+          SELECT src, dst FROM ($edgesSql) e1
+          UNION ALL
+          SELECT dst, src FROM ($edgesSql) e2),
+        votes AS (
+          SELECT dst AS n, src AS label, count(*) AS w
+          FROM dedges GROUP BY dst, src)
+        SELECT n AS node, label FROM (
+          SELECT n, label,
+                 row_number() OVER (PARTITION BY n ORDER BY w DESC, label DESC) AS rk
+          FROM votes) t
+        WHERE rk = 1 ORDER BY node
+      """),
+    ),
+
+    // ---- subgraph extraction around seeds (graph_traversal.py:464-502):
+    // edges with both endpoints within BFS depth 2 of node 1 ----
+    QueryDef(
+      "q_graph_subgraph",
+      (s, dir) => {
+        import s.implicits._
+        val center = Seq(1L).toDF("node")
+        val u = GraphOps.undirect(edges(s, dir))
+        val reach = GraphOps.bfs(u, center, 2).select(col("node"))
+        u.join(reach.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(reach.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(s"""
+        WITH RECURSIVE uedges AS ($uEdgesSql),
+        walk(node, d) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION
+          SELECT e.dst, w.d + 1 FROM walk w JOIN uedges e ON e.src = w.node
+          WHERE w.d < 2
+        ),
+        reach AS (SELECT DISTINCT node FROM walk)
+        SELECT src, dst FROM uedges
+        WHERE src IN (SELECT node FROM reach) AND dst IN (SELECT node FROM reach)
+        ORDER BY src, dst
+      """),
+    ),
+  )
+}

@@ -1,3 +1,212 @@
 package graft.queries
-import graft.QueryDef
-object Search { def defs: Seq[QueryDef] = Seq() }
+
+import graft.{QueryDef, T}
+import graft.search.{Bm25, Rerank, Vectors}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Query-time search operators from SURVEY.md §2.10: BM25 keyword search,
+  * cosine top-k vector search, RRF fusion, weighted hybrid fusion with
+  * min-max normalization, MMR diversification, mention-count reranking.
+  */
+object Search {
+
+  private val QueryTerms = Seq("spark", "join", "filter")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- BM25 keyword search over document corpus (hybrid_search.py:
+    // 108-122) — relational tf/df/idf formulation ----
+    QueryDef(
+      "q_bm25",
+      (s, dir) => {
+        Bm25
+          .score(T.load(s, dir, "documents"), "doc_id", "text", QueryTerms)
+          .withColumn("score", round(col("score"), 6))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT id, round(score, 6) AS score
+        FROM (${Bm25.oracleSql("documents", "doc_id", "text", QueryTerms)}) b
+        ORDER BY score DESC, id LIMIT 20
+      """),
+    ),
+
+    // ---- cosine top-k semantic search (vector_search.py:229-324):
+    // query = vec_id 0's embedding, brute-force scored via higher-order
+    // functions, top 20 ----
+    QueryDef(
+      "q_cosine_topk",
+      (s, dir) => {
+        val e = T.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === lit(0L)).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= lit(0L))
+          .crossJoin(broadcast(q))
+          .withColumn("score", round(Vectors.cosine(col("embedding"), col("qv")), 6))
+          .select(col("vec_id"), col("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        pairs AS (
+          SELECT e.vec_id,
+                 unnest(e.embedding)::DOUBLE AS a,
+                 unnest(q.qv)::DOUBLE AS b
+          FROM embeddings e, q WHERE e.vec_id <> 0)
+        SELECT vec_id,
+               round(sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 6) AS score
+        FROM pairs GROUP BY vec_id
+        ORDER BY score DESC, vec_id LIMIT 20
+      """),
+    ),
+
+    // ---- RRF fusion of two ranked lists (search_utils.py:1867-1882):
+    // list A = docs by n_chars desc, list B = docs by 'spark' tf desc ----
+    QueryDef(
+      "q_rrf",
+      (s, dir) => {
+        val d = T.load(s, dir, "documents")
+        val wA = Window.orderBy(col("n_chars").desc, col("doc_id"))
+        val listA = d
+          .withColumn("rank", row_number().over(wA))
+          .filter(col("rank") <= 30)
+          .select(col("doc_id").as("id"), col("rank"))
+        val tf = d
+          .withColumn("sp", size(filter(split(lower(col("text")), " "), t => t === lit("spark"))))
+        val wB = Window.orderBy(col("sp").desc, col("doc_id"))
+        val listB = tf
+          .withColumn("rank", row_number().over(wB))
+          .filter(col("rank") <= 30)
+          .select(col("doc_id").as("id"), col("rank"))
+        Rerank
+          .rrf(Seq(listA, listB))
+          .withColumn("rrf_score", round(col("rrf_score"), 6))
+          .orderBy(col("rrf_score").desc, col("id"))
+          .limit(20)
+      },
+      Some("""
+        WITH la AS (
+          SELECT doc_id AS id,
+                 row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents QUALIFY rank <= 30),
+        lb AS (
+          SELECT doc_id AS id,
+                 row_number() OVER (
+                   ORDER BY len(list_filter(string_split(lower(text), ' '),
+                                            t -> t = 'spark')) DESC, doc_id) AS rank
+          FROM documents QUALIFY rank <= 30),
+        u AS (SELECT id, 1.0/rank AS part FROM la
+              UNION ALL SELECT id, 1.0/rank FROM lb)
+        SELECT id, round(sum(part), 6) AS rrf_score FROM u GROUP BY id
+        ORDER BY rrf_score DESC, id LIMIT 20
+      """),
+    ),
+
+    // ---- weighted hybrid fusion 0.4·sem + 0.3·kw + 0.3·aux with per-
+    // method min-max normalization (hybrid_search.py:64-79,322-415);
+    // sem = cosine vs query vec (embeddings joined on vec_id = doc_id),
+    // kw = BM25, aux = brevity prior ----
+    QueryDef(
+      "q_hybrid_fusion",
+      (s, dir) => {
+        val d = T.load(s, dir, "documents")
+        val e = T.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === lit(0L)).select(col("embedding").as("qv"))
+        val sem = e
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("id"), Vectors.cosine(col("embedding"), col("qv")).as("sem_raw"))
+        val kw = Bm25
+          .score(d, "doc_id", "text", QueryTerms)
+          .withColumnRenamed("score", "kw_raw")
+        val aux = d.select(col("doc_id").as("id"), (lit(1.0) / (lit(1.0) + col("n_chars"))).as("aux_raw"))
+        val joined = sem
+          .join(kw, Seq("id"), "full_outer")
+          .join(aux, Seq("id"), "full_outer")
+          .na.fill(0.0, Seq("sem_raw", "kw_raw", "aux_raw"))
+        val n1 = Rerank.minMax(joined, "sem_raw", "sem")
+        val n2 = Rerank.minMax(n1, "kw_raw", "kw")
+        val n3 = Rerank.minMax(n2, "aux_raw", "aux")
+        n3.withColumn(
+          "score",
+          round(lit(0.4) * col("sem") + lit(0.3) * col("kw") + lit(0.3) * col("aux"), 6),
+        ).select(col("id"), col("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(25)
+      },
+      Some(s"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        semp AS (
+          SELECT e.vec_id AS id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+          FROM embeddings e, q),
+        sem AS (SELECT id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sem_raw
+                FROM semp GROUP BY id),
+        kw AS (SELECT id, score AS kw_raw
+               FROM (${Bm25.oracleSql("documents", "doc_id", "text", QueryTerms)}) b),
+        aux AS (SELECT doc_id AS id, 1.0/(1.0 + n_chars) AS aux_raw FROM documents),
+        j AS (
+          SELECT coalesce(sem.id, kw.id, aux.id) AS id,
+                 coalesce(sem_raw, 0.0) AS sem_raw,
+                 coalesce(kw_raw, 0.0) AS kw_raw,
+                 coalesce(aux_raw, 0.0) AS aux_raw
+          FROM sem FULL JOIN kw ON sem.id = kw.id FULL JOIN aux ON coalesce(sem.id, kw.id) = aux.id),
+        n AS (
+          SELECT id,
+            CASE WHEN max(sem_raw) OVER () = min(sem_raw) OVER () THEN 0.0
+                 ELSE (sem_raw - min(sem_raw) OVER ()) / (max(sem_raw) OVER () - min(sem_raw) OVER ()) END AS sem,
+            CASE WHEN max(kw_raw) OVER () = min(kw_raw) OVER () THEN 0.0
+                 ELSE (kw_raw - min(kw_raw) OVER ()) / (max(kw_raw) OVER () - min(kw_raw) OVER ()) END AS kw,
+            CASE WHEN max(aux_raw) OVER () = min(aux_raw) OVER () THEN 0.0
+                 ELSE (aux_raw - min(aux_raw) OVER ()) / (max(aux_raw) OVER () - min(aux_raw) OVER ()) END AS aux
+          FROM j)
+        SELECT id, round(0.4*sem + 0.3*kw + 0.3*aux, 6) AS score FROM n
+        ORDER BY score DESC, id LIMIT 25
+      """),
+    ),
+
+    // ---- MMR diversified top-k (search_utils.py:1972-2010): prefetch
+    // 2×limit candidates by cosine relevance, greedy λ=0.5 selection over
+    // the collected candidate set (driver-side, small k — the reference's
+    // own design) ----
+    QueryDef(
+      "q_mmr",
+      (s, dir) => {
+        import s.implicits._
+        val e = T.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === lit(0L)).select(col("embedding").as("qv"))
+        val cands = e
+          .filter(col("vec_id") =!= lit(0L))
+          .crossJoin(broadcast(q))
+          .withColumn("rel", Vectors.cosine(col("embedding"), col("qv")))
+          .orderBy(col("rel").desc, col("vec_id"))
+          .limit(20)
+          .select(col("vec_id"), col("rel"), transform(col("embedding"), _.cast("double")).as("emb"))
+          .as[(Long, Double, Array[Double])]
+          .collect()
+          .toSeq
+        val picked = Rerank.mmr(cands, k = 10, lambda = 0.5)
+        s.createDataFrame(picked.zipWithIndex.map { case ((id, sc), i) =>
+          (i + 1, id, BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }).toDF("pos", "vec_id", "mmr_score")
+      },
+      None,
+    ),
+
+    // ---- episode-mentions reranker (search_utils.py:1939-1969):
+    // rank users by how many events mention them, top 25 ----
+    QueryDef(
+      "q_rerank_mentions",
+      (s, dir) => {
+        T.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_mentions"))
+          .orderBy(col("n_mentions").desc, col("user_id"))
+          .limit(25)
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_mentions FROM events
+        GROUP BY user_id ORDER BY n_mentions DESC, user_id LIMIT 25
+      """),
+    ),
+  )
+}

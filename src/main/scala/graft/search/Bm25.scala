@@ -1,0 +1,74 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword scoring as relational algebra (no Spark built-in) — the
+  * scalable re-expression of the reference's in-memory BM25Okapi index
+  * (`graphiti_hf/search/hybrid_search.py:108-122,205-252`).
+  *
+  * Formulation: tokenize → explode → per-(doc, term) tf / per-term df
+  * aggregates → broadcast-join the (tiny) per-query-term idf table back →
+  * one final groupBy(doc). Only tokens matching the query survive the
+  * explode filter, so the shuffled volume is O(matching tokens), not
+  * O(corpus tokens). The corpus-stats side (df, avgdl) is a candidate for
+  * incremental maintenance as a precomputed table at 100 TB scale.
+  *
+  * Tokenizer contract: `lower(text)` split on single spaces — must match
+  * the reference's `text.lower().split()` (`hybrid_search.py:117,223`).
+  * Constants: k1 = 1.2, b = 0.75 (Lucene-style; idf = ln(1+(N-df+0.5)/(df+0.5))
+  * is non-negative, avoiding BM25Okapi's negative-idf epsilon clamp).
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Score `docs` (idCol, textCol) against `queryTerms`; returns
+    * (id, score) for docs with score > 0.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String]): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("tokens"))
+      .withColumn("dl", size(col("tokens")))
+    val corpus = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("id"), col("dl"), explode(col("tokens")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(
+        "w",
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))),
+      )
+      .groupBy(col("id"))
+      .agg(sum(col("w")).as("score"))
+  }
+
+  /** The same formula as a DuckDB SQL oracle over table `tbl`. */
+  def oracleSql(tbl: String, idCol: String, textCol: String, queryTerms: Seq[String]): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH toks AS (
+      SELECT $idCol AS id, string_split(lower($textCol), ' ') AS tokens FROM $tbl),
+    lens AS (SELECT id, len(tokens) AS dl FROM toks),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT t.id, l.dl, u.term, count(*) AS tf
+      FROM toks t JOIN lens l ON t.id = l.id, unnest(t.tokens) AS u(term)
+      WHERE u.term IN ($termList)
+      GROUP BY t.id, l.dl, u.term),
+    dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term)
+    SELECT tf.id,
+           sum(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ${K1 + 1.0})
+               / (tf.tf + $K1 * (${1.0 - B} + $B * tf.dl / c.avgdl))) AS score
+    FROM tf JOIN dfreq d ON tf.term = d.term, corpus c
+    GROUP BY tf.id
+    """
+  }
+}
