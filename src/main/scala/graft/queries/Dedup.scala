@@ -1,3 +1,116 @@
 package graft.queries
-import graft.QueryDef
-object Dedup { def defs: Seq[QueryDef] = Seq() }
+
+import graft.{QueryDef, T}
+import graft.dedup.{Dedup => D}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator suite over the `documents` table. The brute-
+  * force and LSH variants share one oracle: the LSH path must reproduce
+  * the exact all-pairs result (candidate blocking + exact verification).
+  */
+object Dedup {
+
+  // all-pairs 3-gram Jaccard in DuckDB (shared oracle)
+  private def jacOracle(threshold: Double) =
+    s"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t)-1)]) AS s
+           FROM toks WHERE len(t) >= 3),
+    pairs AS (
+      SELECT a.doc_id i, b.doc_id j,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT i, j, round(jac, 6) AS jac FROM pairs WHERE jac >= $threshold
+    ORDER BY i, j
+    """
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- exact dedup: md5 fingerprint groups, representative = min id ----
+    QueryDef(
+      "q_dedup_exact",
+      (s, dir) => {
+        T.load(s, dir, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("representative"), count(lit(1)).as("group_size"))
+          .orderBy(col("representative"))
+      },
+      Some("""
+        SELECT md5(text) AS fp, min(doc_id) AS representative,
+               count(*) AS group_size
+        FROM documents GROUP BY md5(text) ORDER BY representative
+      """),
+    ),
+
+    // ---- n-gram Jaccard near-dup, brute-force all-pairs (verification
+    // path; O(n²)) ----
+    QueryDef(
+      "q_dedup_ngram_jaccard",
+      (s, dir) =>
+        D.ngramJaccardPairs(T.load(s, dir, "documents"), "doc_id", "text", 0.3)
+          .orderBy(col("i"), col("j")),
+      Some(jacOracle(0.3)),
+    ),
+
+    // ---- MinHash+LSH near-dup (the scale path): 16 minhashes, 8 bands ×
+    // width 2, bucket join, exact verify — same oracle as brute force ----
+    QueryDef(
+      "q_dedup_minhash_lsh",
+      (s, dir) =>
+        D.minhashLshPairs(T.load(s, dir, "documents"), "doc_id", "text", 0.3)
+          .orderBy(col("i"), col("j")),
+      Some(jacOracle(0.3)),
+    ),
+
+    // ---- SimHash fingerprints (64-bit-family locality hash) ----
+    QueryDef(
+      "q_dedup_simhash",
+      (s, dir) =>
+        D.simhash(T.load(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+          .orderBy(col("id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 ('0x' || substr(md5(u.tok), 1, 15))::BIGINT AS h
+          FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)
+          WHERE doc_id < 100),
+        votes AS (
+          SELECT id, b.bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM toks, (SELECT unnest(range(0, 60)) AS bit) b
+          GROUP BY id, b.bit)
+        SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        FROM votes GROUP BY id ORDER BY id
+      """),
+    ),
+
+    // ---- embedding-cosine near-dup candidates: top-50 most similar
+    // pairs (brute force over the small corpus; LSH-bucketed variant in
+    // Similarity module) ----
+    QueryDef(
+      "q_dedup_embedding",
+      (s, dir) => {
+        val e = T.load(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+        a.join(b, col("i") < col("j"))
+          .withColumn("cos", round(graft.search.Vectors.cosine(col("va"), col("vb")), 6))
+          .select(col("i"), col("j"), col("cos"))
+          .orderBy(col("cos").desc, col("i"), col("j"))
+          .limit(50)
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT a.vec_id i, b.vec_id j,
+                 unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        scored AS (
+          SELECT i, j, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cos
+          FROM pairs GROUP BY i, j)
+        SELECT i, j, cos FROM scored ORDER BY cos DESC, i, j LIMIT 50
+      """),
+    ),
+  )
+}

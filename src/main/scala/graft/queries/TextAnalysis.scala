@@ -1,3 +1,148 @@
 package graft.queries
-import graft.QueryDef
-object TextAnalysis { def defs: Seq[QueryDef] = Seq() }
+
+import graft.{QueryDef, T}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. All pure column expressions (whole-stage codegen; no
+  * UDFs) over the `documents` table — the shape that survives a 100 TB
+  * corpus: one scan, no shuffle except the final small aggregate.
+  */
+object TextAnalysis {
+
+  // tiny stopword sets for the n-gram language heuristic
+  private val EnStops = Seq("the", "a", "of", "and", "to")
+  private val DataStops = Seq("spark", "query", "table", "join", "filter")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- language-ID heuristic: stopword-family hit ratios decide the
+    // predicted label; compared against the corpus `lang` column ----
+    QueryDef(
+      "q_lang_id",
+      (s, dir) => {
+        val d = T.load(s, dir, "documents")
+        val toks = split(lower(col("text")), " ")
+        val en = size(filter(toks, t => t.isin(EnStops.map(lit(_)): _*)))
+        val dt = size(filter(toks, t => t.isin(DataStops.map(lit(_)): _*)))
+        d.withColumn(
+          "predicted",
+          when(en * lit(3) >= dt, lit("en")).otherwise(lit("data")),
+        ).groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some(s"""
+        SELECT lang, predicted, count(*) AS n FROM (
+          SELECT lang,
+            CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN (${EnStops.map(t => s"'$t'").mkString(",")}))) * 3
+                  >= len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN (${DataStops.map(t => s"'$t'").mkString(",")})))
+                 THEN 'en' ELSE 'data' END AS predicted
+          FROM documents) t
+        GROUP BY lang, predicted ORDER BY lang, predicted
+      """),
+    ),
+
+    // ---- quality scoring: length / stopword-ratio / mean-token-length
+    // features, combined into a deterministic score ----
+    QueryDef(
+      "q_quality_score",
+      (s, dir) => {
+        val d = T.load(s, dir, "documents")
+        val toks = split(lower(col("text")), " ")
+        d.withColumn("n_tokens", size(toks))
+          .withColumn(
+            "stop_ratio",
+            size(filter(toks, t => t.isin(EnStops.map(lit(_)): _*))).cast("double") /
+              greatest(size(toks), lit(1)),
+          )
+          .withColumn(
+            "mean_tok_len",
+            (length(col("text")) - size(toks) + lit(1)).cast("double") /
+              greatest(size(toks), lit(1)),
+          )
+          .withColumn(
+            "quality",
+            round(
+              when(col("n_tokens") >= 20, lit(0.5)).otherwise(lit(0.0)) +
+                when(col("stop_ratio").between(0.01, 0.4), lit(0.3)).otherwise(lit(0.0)) +
+                when(col("mean_tok_len").between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0)),
+              2,
+            ),
+          )
+          .groupBy(col("quality"))
+          .agg(count(lit(1)).as("n"), round(avg(col("n_tokens")), 4).as("avg_tokens"))
+          .orderBy(col("quality"))
+      },
+      Some(s"""
+        SELECT quality, count(*) AS n, round(avg(n_tokens), 4) AS avg_tokens FROM (
+          SELECT n_tokens,
+                 round(CAST(
+                   (CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END) +
+                   (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.4 THEN 0.3 ELSE 0.0 END) +
+                   (CASE WHEN mean_tok_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS DOUBLE), 2)
+                 AS quality
+          FROM (
+            SELECT len(string_split(lower(text), ' ')) AS n_tokens,
+                   len(list_filter(string_split(lower(text), ' '),
+                       t -> t IN (${EnStops.map(t => s"'$t'").mkString(",")})))::DOUBLE
+                     / greatest(len(string_split(lower(text), ' ')), 1) AS stop_ratio,
+                   (length(text) - len(string_split(lower(text), ' ')) + 1)::DOUBLE
+                     / greatest(len(string_split(lower(text), ' ')), 1) AS mean_tok_len
+            FROM documents) f) t
+        GROUP BY quality ORDER BY quality
+      """),
+    ),
+
+    // ---- token counting: whitespace tokens + BPE-ish regex pieces
+    // (alpha runs / digit runs / other) ----
+    QueryDef(
+      "q_token_count",
+      (s, dir) => {
+        val d = T.load(s, dir, "documents")
+        d.withColumn("ws_tokens", size(split(col("text"), " ")))
+          .withColumn("alpha_pieces", size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))))
+          .withColumn("digit_pieces", size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))))
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ws_tokens")).as("total_ws_tokens"),
+            sum(col("alpha_pieces")).as("total_alpha"),
+            sum(col("digit_pieces")).as("total_digit"),
+            count(lit(1)).as("n_docs"),
+          )
+          .orderBy(col("source"))
+      },
+      Some("""
+        SELECT source,
+               sum(len(string_split(text, ' '))) AS total_ws_tokens,
+               sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS total_alpha,
+               sum(len(regexp_extract_all(text, '[0-9]+'))) AS total_digit,
+               count(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source
+      """),
+    ),
+
+    // ---- document fingerprinting: md5 of the normalized token stream
+    // (rolling-hash analog; exact-dedup key) ----
+    QueryDef(
+      "q_fingerprint",
+      (s, dir) => {
+        val d = T.load(s, dir, "documents")
+        d.withColumn(
+          "fp",
+          md5(concat_ws("", split(lower(col("text")), " "))),
+        ).select(col("doc_id"), col("fp"))
+          .orderBy(col("doc_id"))
+          .limit(100)
+      },
+      Some("""
+        SELECT doc_id,
+               md5(list_aggregate(string_split(lower(text), ' '), 'string_agg', ''))
+               AS fp
+        FROM documents ORDER BY doc_id LIMIT 100
+      """),
+    ),
+  )
+}
