@@ -1,3 +1,119 @@
 package graft.queries
-import graft.QueryDef
-object Similarity { def defs: Seq[QueryDef] = Seq() }
+
+import graft.{QueryDef, T}
+import graft.sim.Ann
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operator suite over the `embeddings` table. */
+object Similarity {
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- batched exact ANN: 10 query vectors × corpus, top-5 each ----
+    QueryDef(
+      "q_ann_bruteforce",
+      (s, dir) => {
+        val e = T.load(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = e.filter(col("vec_id") >= 10).select(col("vec_id").as("id"), col("embedding").as("v"))
+        Ann.bruteForceTopK(queries, corpus, 5).orderBy(col("qid"), col("rk"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id >= 10),
+        pairs AS (
+          SELECT qid, id, unnest(v)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+          FROM c, q),
+        scored AS (
+          SELECT qid, id,
+                 round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS score
+          FROM pairs GROUP BY qid, id),
+        ranked AS (
+          SELECT qid, id, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+          FROM scored)
+        SELECT qid, rk, id, score FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+      """),
+    ),
+
+    // ---- LSH-bucketed ANN (IVF-style pruning): deterministic random-
+    // hyperplane 8-bit signatures; only same-bucket candidates scored ----
+    QueryDef(
+      "q_ann_lsh",
+      (s, dir) => {
+        val e = T.load(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = e.filter(col("vec_id") >= 10).select(col("vec_id").as("id"), col("embedding").as("v"))
+        Ann.lshBucketTopK(s, queries, corpus, 5).orderBy(col("qid"), col("rk"))
+      },
+      Some("""
+        WITH planes AS (
+          SELECT p, i,
+                 CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
+                      THEN 1.0 ELSE -1.0 END AS coef
+          FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS i)),
+        vecs AS (
+          SELECT vec_id, embedding[u.i]::DOUBLE AS x, u.i - 1 AS i
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u),
+        sigs AS (
+          SELECT vec_id,
+                 sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END)::INT AS sig
+          FROM (SELECT v.vec_id, pl.p, sum(pl.coef * v.x) AS dot
+                FROM vecs v JOIN planes pl ON v.i = pl.i
+                GROUP BY v.vec_id, pl.p) d
+          GROUP BY vec_id),
+        q AS (SELECT e.vec_id AS qid, e.embedding AS qv, s.sig
+              FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id WHERE e.vec_id < 10),
+        c AS (SELECT e.vec_id AS id, e.embedding AS v, s.sig
+              FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id WHERE e.vec_id >= 10),
+        pairs AS (
+          SELECT qid, id, unnest(c.v)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+          FROM c JOIN q ON c.sig = q.sig),
+        scored AS (
+          SELECT qid, id, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS score
+          FROM pairs GROUP BY qid, id),
+        ranked AS (
+          SELECT qid, id, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+          FROM scored)
+        SELECT qid, rk, id, score FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+      """),
+    ),
+
+    // ---- k-means-style cluster assignment quality: assign each vector to
+    // the nearest of 8 deterministic seed centroids (vec_id 10..17),
+    // report per-cluster sizes and mean similarity ----
+    QueryDef(
+      "q_ann_assign",
+      (s, dir) => {
+        val e = T.load(s, dir, "embeddings")
+        val cents = e
+          .filter(col("vec_id").between(10, 17))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = e.filter(col("vec_id") > 17).select(col("vec_id").as("id"), col("embedding").as("v"))
+        val top1 = Ann.bruteForceTopK(cents, corpus, Int.MaxValue)
+        // per corpus vector: best centroid = highest score (tie → smaller qid)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("qid"))
+        top1
+          .withColumn("best", row_number().over(w))
+          .filter(col("best") === 1)
+          .groupBy(col("qid").as("centroid"))
+          .agg(count(lit(1)).as("n"), round(avg(col("score")), 6).as("mean_sim"))
+          .orderBy(col("centroid"))
+      },
+      Some("""
+        WITH cents AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id BETWEEN 10 AND 17),
+        c AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id > 17),
+        pairs AS (SELECT qid, id, unnest(v)::DOUBLE AS x, unnest(qv)::DOUBLE AS y FROM c, cents),
+        scored AS (SELECT qid, id, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS score
+                   FROM pairs GROUP BY qid, id),
+        best AS (SELECT qid, id, score,
+                        row_number() OVER (PARTITION BY id ORDER BY score DESC, qid) AS rk
+                 FROM scored)
+        SELECT qid AS centroid, count(*) AS n, round(avg(score), 6) AS mean_sim
+        FROM best WHERE rk = 1 GROUP BY qid ORDER BY centroid
+      """),
+    ),
+  )
+}
