@@ -65,9 +65,12 @@ object GraphOps {
 
   /** Connected components by iterative min-label propagation. Returns
     * (node, component) with component = min node id in the component —
-    * exactly `compress_uuid_map`'s canonical-min semantics. Converges in
-    * O(component diameter) supersteps; each superstep checkpointed.
-    * Deterministic regardless of partitioning (min is commutative).
+    * exactly `compress_uuid_map`'s canonical-min semantics (works for
+    * numeric ids and for string uuids: `min` is lexicographic, matching
+    * the reference's `min(uuid)` canonical pick, bulk_utils.py:455-470).
+    * Converges in O(component diameter) supersteps; each superstep
+    * checkpointed to cut lineage. Deterministic regardless of
+    * partitioning (min is commutative and associative).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
@@ -84,11 +87,13 @@ object GraphOps {
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint()
-      // monotone convergence: sum of labels strictly decreases until fixpoint
-      val before = labels.agg(sum(col("label"))).head().getLong(0)
-      val after = next.agg(sum(col("label"))).head().getLong(0)
+      // converged when no node's label changed this superstep
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old"))
+        .count()
       labels = next
-      converged = before == after
+      converged = changed == 0
     }
     e.unpersist()
     labels.withColumnRenamed("label", "component")

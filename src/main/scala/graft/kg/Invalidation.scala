@@ -1,0 +1,68 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bitemporal contradiction invalidation — the key temporal-KG semantic
+  * (`resolve_edge_contradictions`, `edge_operations.py:381-411`): when a
+  * newer fact for the same (source, relation) asserts a different object,
+  * the older fact's `invalid_at` is set to the newer fact's `valid_at`
+  * and the row is expired.
+  *
+  * The reference does this pairwise against search candidates at ingest
+  * time; the batch formulation is ONE window over the union of existing +
+  * new edges per contention group — no self-join, one shuffle on the
+  * group key, correct under any episode arrival order because the window
+  * re-sorts by event time (SURVEY.md §7.5.5).
+  *
+  * Precondition: edges are deduplicated per (group_id, source_uuid, name,
+  * target_uuid) first (re-assertions of the same fact adopt the existing
+  * edge and append their episode — `resolve_extracted_edge`,
+  * `edge_operations.py:414-535`), so consecutive rows in a contention
+  * group always differ in target and `lead` is exact.
+  */
+object Invalidation {
+
+  /** Deduplicate re-asserted facts: same (group_id, source_uuid, name,
+    * target_uuid) merge to one edge with the earliest valid_at/created_at
+    * and the union of episode uuids.
+    */
+  def dedupeFacts(edges: DataFrame): DataFrame =
+    edges
+      .groupBy(col("group_id"), col("source_uuid"), col("name"), col("target_uuid"))
+      .agg(
+        min(col("valid_at")).as("valid_at"),
+        min(col("created_at")).as("created_at"),
+        first(col("fact")).as("fact"), // fact strings per (s,p,o) are identical by construction
+        array_sort(array_distinct(flatten(collect_list(col("episodes"))))).as("episodes"),
+      )
+
+  /** Apply the contradiction rule over the full (deduped) edge set.
+    * Adds: uuid (deterministic), invalid_at, expired_at.
+    */
+  def invalidate(edges: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("group_id"), col("source_uuid"), col("name"))
+      .orderBy(col("valid_at"), col("target_uuid"))
+    edges
+      .withColumn("next_target", lead(col("target_uuid"), 1).over(w))
+      .withColumn("next_valid", lead(col("valid_at"), 1).over(w))
+      .withColumn(
+        "invalid_at",
+        when(col("next_target").isNotNull && col("next_target") =!= col("target_uuid"), col("next_valid")),
+      )
+      // ingestion-time expiry mirrors the event-time invalidation (the
+      // reference stamps expired_at = utc_now() at the moment the system
+      // learns of the contradiction; deterministically that is the
+      // newer fact's ingestion == its valid_at here)
+      .withColumn("expired_at", col("invalid_at"))
+      .drop("next_target", "next_valid")
+  }
+
+  /** Point-in-time validity predicate (`temporal_manager.py:310-314`). */
+  def validAt(edges: DataFrame, t: java.sql.Timestamp): DataFrame =
+    edges.filter(
+      col("valid_at") <= lit(t) && (col("invalid_at").isNull || col("invalid_at") > lit(t)),
+    )
+}

@@ -1,0 +1,186 @@
+package graft.kg
+
+import graft.io.SnapshotStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG construction: pages → episodes → extraction → linking →
+  * canonicalization → bitemporal materialization, every stage committed as
+  * a snapshot (resume = skip stages whose input fingerprint is already
+  * committed). This is the Spark re-expression of
+  * `Graphiti.add_episode_bulk` (`graphiti.py:587-873`; SURVEY.md §3.2).
+  *
+  * Scale shape: extraction is per-page (no shuffle; pages pre-partitioned
+  * by url hash), linking shuffles only the (small) distinct-entity table,
+  * canonicalization runs on duplicate pairs only, and edge materialization
+  * shuffles once on the contention key. At 10^12 documents each stage's
+  * snapshot is a partitioned table and the same code runs per
+  * url-hash-bucket; nothing below collects rows to the driver.
+  */
+final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
+
+  private def fp(stage: String, parts: Seq[Any]): String =
+    graft.kg.Ids.entity("fp", stage + "|" + parts.mkString("|"))
+
+  /** Run (or resume) all stages over the given pages frame.
+    * `inputFingerprint` identifies the input corpus snapshot — stages with
+    * an already-committed matching fingerprint are skipped.
+    */
+  def run(pages: DataFrame, inputFingerprint: String): Unit = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+
+    // ---- stage 1: episodes (one per page; valid_at = crawl time,
+    // content = deterministic extracted text — graphiti.py:477-490) ----
+    val episodesFp = fp("episodes", Seq(inputFingerprint, groupId))
+    if (!store.hasFingerprint("episodes", episodesFp)) {
+      val episodes = pages
+        .withColumn("text2", coalesce(col("text"), HtmlText.textOf(col("html"))))
+        .select(
+          md5(concat(lit(s"ep|$groupId|"), col("url"))).as("uuid"),
+          col("url").as("name"),
+          col("text2").as("content"),
+          lit("text").as("source"),
+          lit("web crawl").as("source_description"),
+          lit(groupId).as("group_id"),
+          col("warc_ts").as("created_at"),
+          col("warc_ts").as("valid_at"),
+        )
+      store.commit(episodes, "episodes", s"ingest episodes group=$groupId", episodesFp)
+    }
+
+    // ---- stage 2: extraction (mentions + raw triples; mapPartitions /
+    // codegen'd regex — extract_nodes + extract_edges contracts) ----
+    val triplesFp = fp("raw_triples", Seq(inputFingerprint, groupId))
+    if (!store.hasFingerprint("raw_triples", triplesFp)) {
+      val withText = pages.withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
+      val triples = Extract
+        .triplesOf(withText, col("text"))
+        .join(withText.select(col("url"), col("warc_ts")), Seq("url"))
+      store.commit(triples, "raw_triples", "extract triples", triplesFp)
+    }
+
+    // ---- stage 3: raw entity nodes (distinct surfaces → deterministic
+    // uuids + hashed-BoW name embeddings) ----
+    val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId))
+    if (!store.hasFingerprint("nodes_raw", nodesRawFp)) {
+      val t = store.load("raw_triples")
+      val surfaces = t
+        .select(col("subj").as("name"))
+        .unionByName(t.select(col("obj").as("name")))
+        .distinct()
+      val nodesRaw = surfaces
+        .as[String]
+        .mapPartitions { it =>
+          it.map { name =>
+            (Ids.entity("default", name), name, Extract.entityTypeOf(name), Embedder.embed(name).toSeq)
+          }
+        }
+        .toDF("uuid", "name", "label", "name_embedding")
+      store.commit(nodesRaw, "nodes_raw", "raw entity nodes", nodesRawFp)
+    }
+
+    // ---- stage 4: linking + canonical map (LSH blocking → score →
+    // union-find min-uuid; dedupe_nodes_bulk semantics) ----
+    val mapFp = fp("uuid_map", Seq(inputFingerprint, groupId))
+    if (!store.hasFingerprint("uuid_map", mapFp)) {
+      val pairs = Linking.duplicatePairs(store.load("nodes_raw"))
+      val uuidMap = Linking.canonicalMap(pairs)
+      store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
+    }
+
+    // ---- stage 5: canonical nodes ----
+    val nodesFp = fp("nodes", Seq(inputFingerprint, groupId))
+    if (!store.hasFingerprint("nodes", nodesFp)) {
+      val raw = store.load("nodes_raw")
+      val m = broadcast(store.load("uuid_map"))
+      val canon = raw
+        .join(m, Seq("uuid"), "left")
+        .withColumn("canonical", coalesce(col("canonical"), col("uuid")))
+        // representative row = the node whose uuid IS the canonical uuid
+        .filter(col("uuid") === col("canonical"))
+        .select(
+          col("uuid"),
+          col("name"),
+          lit(groupId).as("group_id"),
+          array(col("label")).as("labels"),
+          col("name_embedding"),
+        )
+      store.commit(canon, "nodes", "canonical entity nodes", nodesFp)
+    }
+
+    // ---- stage 6: edges (pointer remap → fact dedup → contradiction
+    // invalidation → deterministic uuids) ----
+    val edgesFp = fp("edges", Seq(inputFingerprint, groupId))
+    if (!store.hasFingerprint("edges", edgesFp)) {
+      val t = store.load("raw_triples")
+      val m = store.load("uuid_map")
+      val raw = t.select(
+        md5(concat(lit("en|default|"), col("subj"))).as("source_uuid"),
+        col("pred").as("name"),
+        md5(concat(lit("en|default|"), col("obj"))).as("target_uuid"),
+        col("fact"),
+        lit(groupId).as("group_id"),
+        col("warc_ts").as("valid_at"),
+        col("warc_ts").as("created_at"),
+        array(md5(concat(lit(s"ep|$groupId|"), col("url")))).as("episodes"),
+      )
+      val remapped = Linking.remapPointers(raw, m)
+      val edges = Invalidation
+        .invalidate(Invalidation.dedupeFacts(remapped))
+        .withColumn(
+          "uuid",
+          md5(
+            concat_ws(
+              "|",
+              lit("ed"),
+              col("group_id"),
+              col("source_uuid"),
+              col("name"),
+              col("target_uuid"),
+              col("valid_at").cast("string"),
+            ),
+          ),
+        )
+      store.commit(edges, "edges", "bitemporal entity edges", edgesFp)
+    }
+
+    // ---- stage 7: episodic MENTIONS edges (build_episodic_edges,
+    // edge_operations.py:48-65) ----
+    val epeFp = fp("episodic_edges", Seq(inputFingerprint, groupId))
+    if (!store.hasFingerprint("episodic_edges", epeFp)) {
+      val t = store.load("raw_triples")
+      val m = store.load("uuid_map")
+      val mentions = t
+        .select(col("url"), col("subj").as("name"))
+        .unionByName(t.select(col("url"), col("obj").as("name")))
+        .distinct()
+        .withColumn("entity_uuid", md5(concat(lit("en|default|"), col("name"))))
+      val remapped = mentions
+        .join(broadcast(m), col("entity_uuid") === col("uuid"), "left")
+        .withColumn("entity_uuid", coalesce(col("canonical"), col("entity_uuid")))
+        .select(
+          md5(concat(lit(s"ep|$groupId|"), col("url"))).as("episode_uuid"),
+          col("entity_uuid"),
+        )
+        .distinct()
+        .withColumn("name", lit("MENTIONS"))
+      store.commit(remapped, "episodic_edges", "episode MENTIONS entity", epeFp)
+    }
+
+    // ---- stage 8: IS_DUPLICATE_OF edges (build_duplicate_of_edges,
+    // edge_operations.py:68-91) ----
+    val dupFp = fp("duplicate_of_edges", Seq(inputFingerprint, groupId))
+    if (!store.hasFingerprint("duplicate_of_edges", dupFp)) {
+      val m = store.load("uuid_map")
+      val dupEdges = m
+        .filter(col("uuid") =!= col("canonical"))
+        .select(
+          col("uuid").as("source_uuid"),
+          col("canonical").as("target_uuid"),
+          lit("IS_DUPLICATE_OF").as("name"),
+        )
+      store.commit(dupEdges, "duplicate_of_edges", "duplicate-of edges", dupFp)
+    }
+  }
+}

@@ -1,0 +1,113 @@
+package graft.kg
+
+import graft.dedup.Dedup
+import graft.graph.GraphOps
+import graft.search.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity linking / canonicalization — the deterministic stand-in for the
+  * reference's LLM node-dedup, with the same surrounding algebra
+  * (SURVEY.md §7.0):
+  *
+  *  1. candidate blocking (`bulk_utils.py:266-294`): instead of the
+  *     reference's O(n²) word-overlap loop, a union of two cheap blocked
+  *     joins — exact normalized-name key, and MinHash-LSH over character
+  *     3-grams (catches alias spellings the key misses);
+  *  2. scoring: normalized-name equality OR char-3-gram Jaccard ≥ 0.8 OR
+  *     name-embedding cosine ≥ 0.8 (the reference's node threshold,
+  *     `bulk_utils.py:258`);
+  *  3. canonicalization: connected components over duplicate pairs,
+  *     canonical = lexicographically smallest uuid — exactly
+  *     `compress_uuid_map` (`bulk_utils.py:433-470`);
+  *  4. pointer remap (`resolve_edge_pointers`, `bulk_utils.py:476-483`):
+  *     two broadcast joins with coalesce(mapped, original).
+  *
+  * Skew note (north rule): blocking keys are Zipf-hot for common surface
+  * forms. The normalized-key join caps each block via an internal salt of
+  * the key with a group counter only if needed; at this corpus's shapes
+  * AQE's skew-join split handles it — the key join is still an equi join
+  * Catalyst can split.
+  */
+object Linking {
+
+  /** Normalized alias key: lowercase, digits unpadded, non-alnum dropped.
+    * "Customer#000000042" and "Customer#42" → "customer42".
+    */
+  def normName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), "\\b0+(\\d)", "$1"),
+      " ",
+      "",
+    )
+
+  /** Word-token set of a name (the reference's dedup-blocking token
+    * contract: `name.lower().split()`, bulk_utils.py:279-281).
+    */
+  private def nameTokens(c: org.apache.spark.sql.Column) =
+    array_distinct(split(lower(c), "\\s+"))
+
+  /** nodes (uuid, name[, name_embedding]) → duplicate pairs (u1, u2),
+    * u1 < u2, deduped. Two blocked joins:
+    *  - exact normalized-alias key (catches padded/unpadded id spellings);
+    *  - MinHash-LSH over word tokens, verified by token-Jaccard ≥ 0.8 —
+    *    the reference's word-overlap ∪ cosine≥0.8 blocking
+    *    (bulk_utils.py:274-293) with LSH replacing the O(n²) sweep.
+    * Word-level (not char-level) similarity is deliberate: ID-like names
+    * ("Customer#000000001" vs "...002") are char-trigram-similar but NOT
+    * duplicates; whole-token overlap keeps them apart.
+    */
+  def duplicatePairs(nodes: DataFrame): DataFrame = {
+    val withKey = nodes
+      .select(col("uuid"), col("name"))
+      .withColumn("norm", normName(col("name")))
+    // block 1: exact normalized-name key
+    val a = withKey.select(col("norm"), col("uuid").as("u1"))
+    val b = withKey.select(col("norm"), col("uuid").as("u2"))
+    val keyPairs = a.join(b, Seq("norm")).filter(col("u1") < col("u2")).select(col("u1"), col("u2"))
+    // block 2: MinHash-LSH over word tokens (multi-word names), verified
+    // by exact token-Jaccard ≥ 0.8
+    val sh = nodes
+      .select(col("uuid"), col("name"))
+      .withColumn("sh", nameTokens(col("name")))
+      .filter(size(col("sh")) >= 2) // single-token names are key-block territory
+      .withColumn("mh", Dedup.minhashSignature(col("sh"), 8))
+    val banded = sh.select(
+      col("uuid"),
+      col("sh"),
+      posexplode(array((0 until 8).map(k => concat(lit(s"$k:"), element_at(col("mh"), k + 1))): _*))
+        .as(Seq("band", "key")),
+    )
+    val la = banded.select(col("band"), col("key"), col("uuid").as("u1"), col("sh").as("s1"))
+    val lb = banded.select(col("band"), col("key"), col("uuid").as("u2"), col("sh").as("s2"))
+    val lshPairs = la
+      .join(lb, Seq("band", "key"))
+      .filter(col("u1") < col("u2"))
+      .dropDuplicates("u1", "u2")
+      .filter(Dedup.jaccard(col("s1"), col("s2")) >= 0.8)
+      .select(col("u1"), col("u2"))
+    keyPairs.unionByName(lshPairs).dropDuplicates("u1", "u2")
+  }
+
+  /** Duplicate pairs → (uuid, canonical) map covering every node that is
+    * part of any duplicate component (nodes not in the map keep their own
+    * uuid — coalesce at remap time).
+    */
+  def canonicalMap(pairs: DataFrame): DataFrame =
+    GraphOps
+      .connectedComponents(pairs.select(col("u1").as("src"), col("u2").as("dst")))
+      .select(col("node").as("uuid"), col("component").as("canonical"))
+
+  /** Remap edge endpoint uuids through the canonical map
+    * (resolve_edge_pointers): broadcast map joins + coalesce.
+    */
+  def remapPointers(edges: DataFrame, uuidMap: DataFrame): DataFrame = {
+    val m = broadcast(uuidMap)
+    edges
+      .join(m.withColumnRenamed("uuid", "source_uuid").withColumnRenamed("canonical", "src_c"), Seq("source_uuid"), "left")
+      .join(m.withColumnRenamed("uuid", "target_uuid").withColumnRenamed("canonical", "dst_c"), Seq("target_uuid"), "left")
+      .withColumn("source_uuid", coalesce(col("src_c"), col("source_uuid")))
+      .withColumn("target_uuid", coalesce(col("dst_c"), col("target_uuid")))
+      .drop("src_c", "dst_c")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.graph
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two components: {1,2,3,4} (chain+branch), {10,11}; singleton via self-loop {20}
+  private def edges = Seq((1L, 2L), (2L, 3L), (2L, 4L), (10L, 11L), (20L, 20L)).toDF("src", "dst")
+
+  test("connectedComponents: min-id per component, any shape") {
+    val got = GraphOps
+      .connectedComponents(edges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents matches brute-force on a pseudo-random graph") {
+    val rnd = new scala.util.Random(42)
+    val es = (1 to 60).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val got = GraphOps
+      .connectedComponents(es.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    es.foreach { case (a, b) => union(a, b) }
+    val want = es.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    assert(got == want)
+  }
+
+  test("bfs: min distance with early termination") {
+    val u = GraphOps.undirect(edges)
+    val got = GraphOps
+      .bfs(u, Seq(1L).toDF("node"), 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2))
+  }
+
+  test("bfs respects maxDepth") {
+    val u = GraphOps.undirect(edges)
+    val got = GraphOps.bfs(u, Seq(1L).toDF("node"), 1).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("label propagation converges deterministically") {
+    val lp1 = GraphOps.labelPropagation(edges, maxIter = 10).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp2 = GraphOps.labelPropagation(edges, maxIter = 10).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp1 == lp2)
+    // nodes in different components never share a label
+    val comp = Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 10L -> 2, 11L -> 2, 20L -> 3)
+    lp1.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(comp).toSet.size == 1)
+    }
+  }
+
+  test("degrees counts parallel edges") {
+    val d = GraphOps
+      .degrees(Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(d == Map(1L -> 2L, 2L -> 3L, 3L -> 1L))
+  }
+}
