@@ -1,0 +1,89 @@
+package graft.community
+
+import graft.graph.GraphOps
+import graft.io.SnapshotStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Community construction over the entity graph — the re-expression of
+  * `build_communities` (`graphiti_core/utils/maintenance/
+  * community_operations.py:29-131`): per group_id, project the entity
+  * co-edge graph, run label propagation to fixpoint, materialize
+  * CommunityNode rows + HAS_MEMBER edges, and summarize members
+  * deterministically (the reference's LLM summarizer is a pluggable
+  * hierarchical reduce; ours concatenates the lexicographically first
+  * member names — same operator shape, deterministic content).
+  */
+object Communities {
+
+  /** Build communities from the store's edges/nodes; commits
+    * `communities` and `community_edges` snapshots.
+    */
+  def build(store: SnapshotStore, maxIter: Int = 10): Unit = {
+    val edges = store.load("edges")
+    val nodes = store.load("nodes")
+
+    // string-uuid graph → label propagation (GraphOps is id-type generic)
+    val adj = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+    val labels = GraphOps.labelPropagation(adj, maxIter)
+
+    // HAS_MEMBER edges: community label → entity member
+    val members = labels.select(col("label").as("community_key"), col("node").as("entity_uuid"))
+
+    // deterministic community node: uuid from the label; name/summary from
+    // the first (lexicographic) member names
+    val named = members
+      .join(nodes.select(col("uuid").as("entity_uuid"), col("name")), Seq("entity_uuid"))
+    val w = Window.partitionBy(col("community_key")).orderBy(col("name"))
+    val summaries = named
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("community_key"))
+      .agg(
+        concat_ws(", ", collect_list(col("name"))).as("top_members"),
+        count(lit(1)).as("sample_n"),
+      )
+    val sizes = members.groupBy(col("community_key")).agg(count(lit(1)).as("n_members"))
+    val communities = sizes
+      .join(summaries, Seq("community_key"))
+      .select(
+        md5(concat(lit("co|default|"), col("community_key"))).as("uuid"),
+        concat(lit("community:"), col("top_members")).as("name"),
+        lit("default").as("group_id"),
+        col("top_members").as("summary"),
+        col("n_members"),
+      )
+    store.commit(communities, "communities", "label-propagation communities")
+    store.commit(
+      members.select(
+        md5(concat(lit("co|default|"), col("community_key"))).as("community_uuid"),
+        col("entity_uuid"),
+        lit("HAS_MEMBER").as("name"),
+      ),
+      "community_edges",
+      "community HAS_MEMBER entity",
+    )
+  }
+
+  /** Incremental placement (update_community, community_operations.py:
+    * 252-340): a (new) node joins the plurality community of its
+    * neighbors — one join + groupBy + argmax window, no global rerun.
+    */
+  def placeNode(store: SnapshotStore, nodeUuid: String): Option[String] = {
+    val edges = store.load("edges")
+    val members = store.load("community_edges")
+    val neighbors = edges
+      .filter(col("source_uuid") === nodeUuid)
+      .select(col("target_uuid").as("n"))
+      .unionByName(edges.filter(col("target_uuid") === nodeUuid).select(col("source_uuid").as("n")))
+    val votes = neighbors
+      .join(members.withColumnRenamed("entity_uuid", "n"), Seq("n"))
+      .groupBy(col("community_uuid"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("community_uuid"))
+      .limit(1)
+      .collect()
+    votes.headOption.map(_.getString(0))
+  }
+}

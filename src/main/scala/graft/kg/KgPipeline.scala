@@ -126,8 +126,10 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
         array(md5(concat(lit(s"ep|$groupId|"), col("url")))).as("episodes"),
       )
       val remapped = Linking.remapPointers(raw, m)
+      val embed = udf((s: String) => Embedder.embed(s).toSeq)
       val edges = Invalidation
         .invalidate(Invalidation.dedupeFacts(remapped))
+        .withColumn("fact_embedding", embed(col("fact")))
         .withColumn(
           "uuid",
           md5(

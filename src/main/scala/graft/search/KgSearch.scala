@@ -1,0 +1,192 @@
+package graft.search
+
+import java.sql.Timestamp
+
+import graft.graph.GraphOps
+import graft.io.SnapshotStore
+import graft.kg.{Embedder, Invalidation}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-time hybrid search over the materialized KG — the re-expression
+  * of the reference's 4-lane search (`graphiti_core/search/search.py:
+  * 68-182`: edges / nodes / episodes / communities in parallel, per-lane
+  * methods bm25 | cosine | bfs, per-lane reranker) and of the HF driver's
+  * weighted hybrid engine (`graphiti_hf/search/hybrid_search.py`).
+  *
+  * Constants mirror the reference: limit 10, prefetch 2×limit per method
+  * (`search.py:205`), sim_min_score 0.6 (`search_utils.py:69`), BFS depth
+  * ≤ 3 (`search_utils.py:71`), RRF/MMR as in Rerank.
+  */
+final case class KgSearchConfig(
+    limit: Int = 10,
+    reranker: String = "rrf", // rrf | mmr | node_distance | episode_mentions
+    simMinScore: Double = 0.6,
+    bfsMaxDepth: Int = 3,
+    mmrLambda: Double = 0.5,
+)
+
+final case class SearchResults(
+    edges: DataFrame,
+    nodes: DataFrame,
+    episodes: DataFrame,
+    communities: Option[DataFrame],
+)
+
+final class KgSearch(store: SnapshotStore) {
+
+  private val PrefetchFactor = 2
+
+  private def queryEmbedding(query: String): Column = {
+    val v = Embedder.embed(query)
+    array(v.map(x => lit(x.toDouble)): _*)
+  }
+
+  private def queryTerms(query: String): Seq[String] =
+    query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+
+  /** Rank column helper: 1-based rank by score desc, id asc. */
+  private def ranked(df: DataFrame, idCol: String, scoreCol: String, n: Int): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+      .select(col(idCol).as("id"), col("rank"))
+  }
+
+  /** Edge (fact) lane: BM25 over fact text ∪ cosine over fact embeddings
+    * ∪ BFS proximity from an optional origin node, fused with RRF,
+    * optional point-in-time filter.
+    */
+  def searchEdges(
+      query: String,
+      originNode: Option[String] = None,
+      asOf: Option[Timestamp] = None,
+      config: KgSearchConfig = KgSearchConfig(),
+  ): DataFrame = {
+    val prefetch = config.limit * PrefetchFactor
+    val all = store.load("edges")
+    val edges = asOf.map(t => Invalidation.validAt(all, t)).getOrElse(all)
+
+    val lanes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // bm25 lane
+    val bm = Bm25.score(edges, "uuid", "fact", queryTerms(query))
+    lanes += ranked(bm, "id", "score", prefetch)
+    // cosine lane (min-score 0.6 as the reference's sim_min_score)
+    val cos = edges
+      .withColumn("score", Vectors.cosine(col("fact_embedding"), queryEmbedding(query)))
+      .filter(col("score") >= config.simMinScore)
+      .select(col("uuid"), col("score"))
+    lanes += ranked(cos, "uuid", "score", prefetch)
+    // bfs lane: edges whose source is within depth k of the origin,
+    // scored 1/(1+dist)
+    originNode.foreach { origin =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+      val dists = GraphOps.bfs(GraphOps.undirect(adj), Seq(origin).toDF("node"), config.bfsMaxDepth)
+      val prox = edges
+        .join(dists.withColumnRenamed("node", "source_uuid"), Seq("source_uuid"))
+        .withColumn("score", lit(1.0) / (lit(1.0) + col("dist")))
+        .select(col("uuid"), col("score"))
+      lanes += ranked(prox, "uuid", "score", prefetch)
+    }
+
+    val fused = Rerank.rrf(lanes.toSeq).withColumnRenamed("rrf_score", "score")
+    val top = applyReranker(fused, edges, config)
+    top
+      .join(edges, top("id") === edges("uuid"))
+      .select(
+        col("uuid"), col("source_uuid"), col("target_uuid"), col("name"),
+        col("fact"), col("valid_at"), col("invalid_at"), col("score"),
+      )
+      .orderBy(col("score").desc, col("uuid"))
+  }
+
+  /** Node lane: BM25 over names ∪ cosine over name embeddings. */
+  def searchNodes(query: String, config: KgSearchConfig = KgSearchConfig()): DataFrame = {
+    val prefetch = config.limit * PrefetchFactor
+    val nodes = store.load("nodes")
+    val bm = Bm25.score(nodes, "uuid", "name", queryTerms(query))
+    val cos = nodes
+      .withColumn("score", Vectors.cosine(col("name_embedding"), queryEmbedding(query)))
+      .filter(col("score") >= config.simMinScore)
+      .select(col("uuid"), col("score"))
+    val fused = Rerank
+      .rrf(Seq(ranked(bm, "id", "score", prefetch), ranked(cos, "uuid", "score", prefetch)))
+      .withColumnRenamed("rrf_score", "score")
+      .orderBy(col("score").desc, col("id"))
+      .limit(config.limit)
+    fused
+      .join(nodes, fused("id") === nodes("uuid"))
+      .select(col("uuid"), col("name"), col("labels"), col("score"))
+      .orderBy(col("score").desc, col("uuid"))
+  }
+
+  /** Episode lane: BM25 over episode content (search.py:418-464). */
+  def searchEpisodes(query: String, config: KgSearchConfig = KgSearchConfig()): DataFrame = {
+    val episodes = store.load("episodes")
+    val bm = Bm25.score(episodes, "uuid", "content", queryTerms(query))
+    val top = ranked(bm, "id", "score", config.limit)
+    top
+      .join(episodes, top("id") === episodes("uuid"))
+      .select(col("uuid"), col("name"), col("valid_at"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Community lane (search.py:467-518); None if communities not built. */
+  def searchCommunities(query: String, config: KgSearchConfig = KgSearchConfig()): Option[DataFrame] =
+    if (!store.exists("communities")) None
+    else {
+      val c = store.load("communities")
+      val bm = Bm25.score(c, "uuid", "summary", queryTerms(query))
+      val top = ranked(bm, "id", "score", config.limit)
+      Some(
+        top
+          .join(c, top("id") === c("uuid"))
+          .select(col("uuid"), col("name"), col("summary"), col("rank"))
+          .orderBy(col("rank")),
+      )
+    }
+
+  /** All four lanes (the reference's combined search recipes). */
+  def search(
+      query: String,
+      originNode: Option[String] = None,
+      asOf: Option[Timestamp] = None,
+      config: KgSearchConfig = KgSearchConfig(),
+  ): SearchResults =
+    SearchResults(
+      edges = searchEdges(query, originNode, asOf, config),
+      nodes = searchNodes(query, config),
+      episodes = searchEpisodes(query, config),
+      communities = searchCommunities(query, config),
+    )
+
+  private def applyReranker(fused: DataFrame, edges: DataFrame, config: KgSearchConfig): DataFrame =
+    config.reranker match {
+      case "episode_mentions" =>
+        // reorder by number of supporting episodes (search_utils.py:1939-1969)
+        val mentions = edges.select(col("uuid").as("id"), size(col("episodes")).cast("double").as("score"))
+        fused
+          .drop("score")
+          .join(mentions, Seq("id"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(config.limit)
+      case "mmr" =>
+        val spark = fused.sparkSession
+        import spark.implicits._
+        val cands = fused
+          .join(edges.select(col("uuid").as("id"), col("fact_embedding")), Seq("id"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(config.limit * PrefetchFactor * 2)
+          .select(col("id"), col("score"), transform(col("fact_embedding"), _.cast("double")).as("emb"))
+          .as[(String, Double, Array[Double])]
+          .collect()
+        // map string ids to stable longs for the generic MMR kernel
+        val idx = cands.map(_._1).zipWithIndex.toMap
+        val back = idx.map(_.swap)
+        val picked = Rerank.mmr(cands.map(c => (idx(c._1).toLong, c._2, c._3)).toSeq, config.limit, config.mmrLambda)
+        picked.map { case (i, s) => (back(i.toInt), s) }.toDF("id", "score")
+      case _ => fused.orderBy(col("score").desc, col("id")).limit(config.limit)
+    }
+}

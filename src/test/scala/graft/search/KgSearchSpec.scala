@@ -1,0 +1,100 @@
+package graft.search
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.community.Communities
+import graft.io.SnapshotStore
+import graft.kg.{Fixtures, Ids, KgPipeline}
+import org.scalatest.funsuite.AnyFunSuite
+
+class KgSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val store: SnapshotStore = {
+    val s = new SnapshotStore(spark, Files.createTempDirectory("gsearch").toString)
+    new KgPipeline(s).run(Fixtures.pagesDf(), "fixture-v1")
+    Communities.build(s)
+    s
+  }
+
+  test("edge lane: bm25+cosine RRF surfaces the queried entity's facts") {
+    val hits = new KgSearch(store)
+      .searchEdges("Customer#000000004 lives in NATION_3")
+      .collect()
+    assert(hits.nonEmpty)
+    val top = hits.head
+    assert(top.getAs[String]("fact").contains("lives in"))
+    assert(hits.map(_.getAs[String]("fact")).exists(_.contains("Customer#000000004")))
+  }
+
+  test("as-of search excludes facts invalidated before/after the timestamp") {
+    val e3 = Ids.entity("default", f"Customer#${3}%09d")
+    val ks = new KgSearch(store)
+    val before = ks
+      .searchEdges("lives in", asOf = Some(Fixtures.ts(43200L)))
+      .collect()
+      .filter(_.getAs[String]("source_uuid") == e3)
+    val after = ks
+      .searchEdges("lives in", asOf = Some(Fixtures.ts(200000L)))
+      .collect()
+      .filter(_.getAs[String]("source_uuid") == e3)
+    // the mover has exactly one valid lives_in fact at any time
+    assert(before.map(_.getAs[String]("target_uuid")).toSet != after.map(_.getAs[String]("target_uuid")).toSet || (before.isEmpty && after.isEmpty))
+  }
+
+  test("bfs lane: origin proximity pulls in neighbors' facts") {
+    val origin = Ids.entity("default", "Supplier#0")
+    val hits = new KgSearch(store)
+      .searchEdges("zzz-no-keyword-match", originNode = Some(origin), config = KgSearchConfig(limit = 10))
+      .collect()
+    assert(hits.nonEmpty, "bfs lane alone should produce results")
+  }
+
+  test("node lane finds alias-canonicalized entity by name tokens") {
+    val hits = new KgSearch(store).searchNodes("NATION_2").collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getAs[String]("name") == "NATION_2")
+  }
+
+  test("episode lane: bm25 over page content") {
+    val hits = new KgSearch(store).searchEpisodes("works at Supplier#2").collect()
+    assert(hits.nonEmpty)
+  }
+
+  test("community lane returns after build_communities") {
+    val res = new KgSearch(store).searchCommunities("Customer#000000004")
+    assert(res.isDefined)
+  }
+
+  test("mmr reranker returns k diversified results deterministically") {
+    val ks = new KgSearch(store)
+    val cfg = KgSearchConfig(limit = 5, reranker = "mmr")
+    val a = ks.searchEdges("lives in", config = cfg).collect().map(_.getAs[String]("uuid")).toSeq
+    val b = ks.searchEdges("lives in", config = cfg).collect().map(_.getAs[String]("uuid")).toSeq
+    assert(a == b && a.size == 5)
+  }
+
+  test("episode_mentions reranker orders by supporting-episode count") {
+    val ks = new KgSearch(store)
+    val hits = ks
+      .searchEdges("lives in", config = KgSearchConfig(limit = 5, reranker = "episode_mentions"))
+      .collect()
+    assert(hits.nonEmpty)
+  }
+
+  test("full 4-lane search returns all lanes") {
+    val r = new KgSearch(store).search("Customer#000000001 lives in NATION_0")
+    assert(r.edges.collect().nonEmpty)
+    assert(r.nodes.collect().nonEmpty)
+    assert(r.episodes.collect().nonEmpty)
+    assert(r.communities.isDefined)
+  }
+
+  test("incremental community placement follows neighbor plurality") {
+    val anyNode = store.load("nodes").limit(1).collect()(0).getString(0)
+    // placing an existing member should land it in some community
+    val placed = Communities.placeNode(store, anyNode)
+    assert(placed.isDefined)
+  }
+}
