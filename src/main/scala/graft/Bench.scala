@@ -1,24 +1,95 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): one JSON line with per-query seconds
+  * over SPARK_GRAFT_SF_DIR, plus end-to-end KG pipeline throughput
+  * (pages/sec, triples/sec) — the BASELINE.json headline metric.
+  */
 object Bench {
+
+  /** Deterministically scale the pages corpus ×k: replica r rewrites
+    * Customer#/Supplier# ids to CustomerR<r>#/SupplierR<r># (distinct
+    * entities per replica; NATION_/REGION_ stay shared — realistic hub
+    * skew) and suffixes urls.
+    */
+  def replicate(pages: DataFrame, k: Int): DataFrame =
+    if (k <= 1) pages
+    else
+      pages
+        .withColumn("rep", explode(sequence(lit(0), lit(k - 1))))
+        .withColumn(
+          "html",
+          // replica tag must be alphabetic to stay inside the entity
+          // surface grammar: rep 12 → "BC" (digit→letter translate)
+          regexp_replace(
+            col("html").cast("string"),
+            lit("(Customer|Supplier)#"),
+            concat(lit("$1"), translate(col("rep").cast("string"), "0123456789", "ABCDEFGHIJ"), lit("#")),
+          ).cast("binary"),
+        )
+        .withColumn("url", concat(col("url"), lit("?r="), col("rep")))
+        .drop("rep")
+
+  /** Run the full pipeline into a temp store; returns (seconds, pages,
+    * triples).
+    */
+  def runPipeline(spark: SparkSession, sfDir: String, scale: Int): (Double, Long, Long) = {
+    // snapshot store on tmpfs: on a real cluster snapshot writes scale out
+    // with executors/disks; a single local disk would otherwise cap the
+    // two-parallelism scaling measurement at its sequential bandwidth
+    val benchRoot =
+      if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graftbench"
+      else sys.props("java.io.tmpdir")
+    Files.createDirectories(java.nio.file.Paths.get(benchRoot))
+    val store = new io.SnapshotStore(spark, Files.createTempDirectory(java.nio.file.Paths.get(benchRoot), "run").toString)
+    val pages = replicate(kg.Pages.corpus(spark, sfDir), scale)
+      .repartition(spark.sparkContext.defaultParallelism, col("url")) // url-hash layout
+      .localCheckpoint() // materialize input so we time the pipeline, not the generator
+    val nPages = pages.count()
+    val t0 = System.nanoTime()
+    new kg.KgPipeline(store).run(pages, s"bench-$sfDir-x$scale")
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nTriples = store.load("raw_triples").count()
+    (sec, nPages, nTriples)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (pipeSec, nPages, nTriples) = runPipeline(spark, sfDir, scale)
+    results("kg_pipeline_e2e") = pipeSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum
+    val pagesPerSec = nPages / pipeSec
+    val triplesPerSec = nTriples / pipeSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""pipeline":{"pages":$nPages,"triples":$nTriples,"seconds":$pipeSec,""" +
+        s""""pages_per_sec":$pagesPerSec,"triples_per_sec":$triplesPerSec,"scale":$scale}}""",
+    )
     spark.stop()
   }
 }

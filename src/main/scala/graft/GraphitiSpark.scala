@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.community.Communities
+import graft.io.SnapshotStore
+import graft.kg._
+import graft.search.{KgSearch, KgSearchConfig, SearchResults}
+import graft.streaming.IncrementalIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public facade over the engine — the explicit `GraphitiSpark` API the
+  * reference's README promises but never ships (`GraphitiHF` is phantom,
+  * SURVEY.md §3.3). Entry points mirror `graphiti_core/graphiti.py`:
+  *
+  *  - addEpisodeBulk  → `add_episode_bulk` (graphiti.py:587-873)
+  *  - addEpisode      → `add_episode` (graphiti.py:384-585) — a 1-page batch
+  *  - addTriplet      → `add_triplet` (graphiti.py:1021-1085)
+  *  - removeEpisode   → `remove_episode` cascade (graphiti.py:1087-1115)
+  *  - invalidateEdges → `invalidate_edges` (temporal_manager.py:212-286)
+  *  - buildCommunities→ `build_communities` (graphiti.py:875-906)
+  *  - search / searchEdges / … → `search_` (search/search.py:68-182)
+  *  - deleteGroup / deleteByUuids → driver delete ops
+  *    (huggingface_driver.py:433-444, nodes.py:183-345)
+  */
+final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: String = "default") {
+
+  val store = new SnapshotStore(spark, storeRoot)
+  private val searcher = new KgSearch(store)
+
+  /** Bulk episodic ingest of a pages frame (url, warc_ts, html, text, lang). */
+  def addEpisodeBulk(pages: DataFrame, corpusFingerprint: String): Unit =
+    new KgPipeline(store, groupId).run(pages, corpusFingerprint)
+
+  /** Single-episode ingest = incremental batch of one page. */
+  def addEpisode(url: String, warcTs: Timestamp, html: Array[Byte], lang: String = "en"): Unit = {
+    import spark.implicits._
+    val page = Seq((url, warcTs, html, null.asInstanceOf[String], lang))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    IncrementalIngest.ingestBatch(store, page, batchId = -1L)
+  }
+
+  /** Manual triple insert with full resolution (add_triplet,
+    * graphiti.py:1021-1085): the raw fact enters the SAME canonical-remap +
+    * dedup + contradiction-invalidation merge as extraction output.
+    */
+  def addTriplet(subj: String, pred: String, obj: String, validAt: Timestamp): Unit = {
+    import spark.implicits._
+    val epUuid = Ids.edge(groupId, subj, pred, obj, validAt.getTime)
+    val raw = Seq(
+      (
+        Ids.entity("default", subj),
+        pred,
+        Ids.entity("default", obj),
+        s"$subj $pred $obj",
+        groupId,
+        validAt,
+        validAt,
+        Seq(epUuid),
+      ),
+    ).toDF("source_uuid", "name", "target_uuid", "fact", "group_id", "valid_at", "created_at", "episodes")
+    val remapped =
+      if (store.exists("uuid_map")) kg.Linking.remapPointers(raw, store.load("uuid_map")) else raw
+    IncrementalIngest.mergeEdges(store, remapped, batchId = -2L)
+  }
+
+  /** Cascade-remove an episode: drop it, remove it from edges' episode
+    * lists, and delete edges that lose their last supporting episode
+    * (remove_episode, graphiti.py:1087-1115).
+    */
+  def removeEpisode(url: String): Unit = {
+    val epUuid = Ids.episode(groupId, url)
+    val episodes = store.load("episodes").filter(col("uuid") =!= epUuid)
+    store.commit(episodes, "episodes", s"remove episode $url")
+    val edges = store
+      .load("edges")
+      .withColumn("episodes", array_remove(col("episodes"), epUuid))
+      .filter(size(col("episodes")) > 0)
+    store.commit(edges, "edges", s"cascade remove episode $url")
+    if (store.exists("raw_triples")) {
+      store.commit(
+        store.load("raw_triples").filter(col("url") =!= url),
+        "raw_triples",
+        s"cascade remove episode $url",
+      )
+    }
+  }
+
+  /** Mark specific edges invalid as of `at` (invalidate_edges). */
+  def invalidateEdges(uuids: Seq[String], at: Timestamp, reason: String): Unit = {
+    val edges = store
+      .load("edges")
+      .withColumn(
+        "invalid_at",
+        when(col("uuid").isin(uuids: _*), lit(at)).otherwise(col("invalid_at")),
+      )
+      .withColumn(
+        "expired_at",
+        when(col("uuid").isin(uuids: _*), lit(at)).otherwise(col("expired_at")),
+      )
+    store.commit(edges, "edges", s"invalidate ${uuids.size} edges: $reason")
+  }
+
+  /** Delete everything for a group (delete_by_group_id). */
+  def deleteGroup(group: String): Unit =
+    Seq("episodes", "nodes", "edges", "episodic_edges").foreach { t =>
+      if (store.exists(t))
+        store.commit(store.load(t).filter(col("group_id") =!= group), t, s"delete group $group")
+    }
+
+  /** Delete nodes by uuid, cascading to incident edges (delete_by_uuids). */
+  def deleteNodesByUuids(uuids: Seq[String]): Unit = {
+    store.commit(store.load("nodes").filter(!col("uuid").isin(uuids: _*)), "nodes", "delete nodes")
+    store.commit(
+      store
+        .load("edges")
+        .filter(!col("source_uuid").isin(uuids: _*) && !col("target_uuid").isin(uuids: _*)),
+      "edges",
+      "cascade delete node edges",
+    )
+  }
+
+  def buildCommunities(): Unit = Communities.build(store)
+
+  def search(
+      query: String,
+      originNode: Option[String] = None,
+      asOf: Option[Timestamp] = None,
+      config: KgSearchConfig = KgSearchConfig(),
+  ): SearchResults = searcher.search(query, originNode, asOf, config)
+
+  def searchEdges(
+      query: String,
+      originNode: Option[String] = None,
+      asOf: Option[Timestamp] = None,
+      config: KgSearchConfig = KgSearchConfig(),
+  ): DataFrame = searcher.searchEdges(query, originNode, asOf, config)
+
+  /** Episode retrieval window (retrieve_episodes,
+    * graph_data_operations.py:122-181): last n episodes with
+    * valid_at <= referenceTime.
+    */
+  def retrieveEpisodes(referenceTime: Timestamp, lastN: Int = 3): DataFrame =
+    store
+      .load("episodes")
+      .filter(col("valid_at") <= lit(referenceTime))
+      .orderBy(col("valid_at").desc, col("uuid"))
+      .limit(lastN)
+
+  /** Graph state as of t (get_historical_state). */
+  def historicalEdges(t: Timestamp): DataFrame = Invalidation.validAt(store.load("edges"), t)
+}

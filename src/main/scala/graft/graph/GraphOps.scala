@@ -99,6 +99,31 @@ object GraphOps {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** All simple paths (as node arrays) from the source set to any target
+    * node within maxDepth — `find_paths` (`graph_traversal.py:396-429`):
+    * BFS with a path-array column, filtered by last element ∈ targets.
+    * Cycle-free by construction (a node never re-enters its own path).
+    */
+  def findPaths(edges: DataFrame, sources: Seq[Long], targets: Set[Long], maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = sources.toDF("head").withColumn("path", array(col("head")))
+    var results = frontier.filter(col("head").isin(targets.toSeq: _*))
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      frontier = frontier
+        .join(e, frontier("head") === e("src"))
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(col("dst").as("head"), concat(col("path"), array(col("dst"))).as("path"))
+        .localCheckpoint()
+      results = results.unionByName(frontier.filter(col("head").isin(targets.toSeq: _*)))
+    }
+    e.unpersist()
+    results.select(col("path"))
+  }
+
   /** Per-node degree (parallel edges counted — the reference's
     * edge-count-weighted degree projection, `community_operations.py:46-71`).
     */

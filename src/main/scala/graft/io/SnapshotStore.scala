@@ -60,15 +60,12 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   def commit(df: DataFrame, table: String, message: String, fingerprint: String = ""): Int = {
     val next = versions(table).lastOption.getOrElse(-1) + 1
     val dir = tableDir(table).resolve(s"v=$next")
-    // per-partition row counts = the lineage/metrics channel committed
-    // alongside the snapshot (north rule: per-partition lineage + metrics)
-    val partCounts = df
-      .groupBy(spark_partition_id().as("pid"))
-      .count()
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
     df.write.mode("overwrite").parquet(dir.toString)
+    // per-partition row counts = the lineage/metrics channel committed
+    // alongside the snapshot (north rule: per-partition lineage + metrics).
+    // Read from the written parquet FOOTERS (metadata only, one file per
+    // task partition) — zero recomputation of the stage.
+    val partCounts = partitionRowCounts(dir)
     val rows = partCounts.map(_._2).sum
     val metricsJson = partCounts.map { case (p, n) => s""""$p":$n""" }.mkString("{", ",", "}")
     val commitJson =
@@ -78,6 +75,25 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     Files.write(dir.resolve("_commit.json"), commitJson.getBytes(StandardCharsets.UTF_8))
     publish(table, next)
     next
+  }
+
+  /** Row count per written part file, from parquet footers (no data read). */
+  private def partitionRowCounts(dir: Path): Seq[(String, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    Files
+      .list(dir)
+      .iterator()
+      .asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try p.getFileName.toString.split("-")(1) -> reader.getRecordCount
+        finally reader.close()
+      }
   }
 
   private def publish(table: String, version: Int): Unit = {

@@ -42,6 +42,8 @@ object Extract {
     ("founded", s"($EntityPattern) founded ($EntityPattern)\\."),
     ("acquired", s"($EntityPattern) acquired ($EntityPattern)\\."),
     ("shops_in_segment", s"($EntityPattern) shops in the ($EntityPattern) segment\\."),
+    ("placed", s"($EntityPattern) placed order ($EntityPattern)\\."),
+    ("supplies", s"($EntityPattern) supplies ($EntityPattern)\\."),
   )
 
   /** Entity type from surface shape (gazetteer-free deterministic NER). */
@@ -110,6 +112,53 @@ object Extract {
         }
       }
     }
+  }
+
+  /** All relation patterns fused into ONE alternation (pattern i owns
+    * capture groups 2i+1, 2i+2): a single matcher scan per text instead of
+    * one scan per pattern. The relation phrases are mutually exclusive and
+    * sentence-bounded, so the fused scan finds exactly the union of the
+    * per-pattern scans (frozen by ExtractSpec against [[triplesOf]]).
+    */
+  private lazy val combinedPattern =
+    java.util.regex.Pattern.compile(RelationPatterns.map(p => "(?:" + p._2 + ")").mkString("|"))
+
+  /** Single-pass extraction carrying the crawl timestamp — the pipeline's
+    * hot path: text is scanned once for ALL patterns (memory traffic, not
+    * CPU, bounds extraction throughput) and no join is needed to recover
+    * warc_ts. Input columns: (url, text, warc_ts).
+    */
+  def triplesTs(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    val preds = RelationPatterns.map(_._1)
+    pages
+      .select(col("url"), col("text"), col("warc_ts"))
+      .as[(String, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val re = combinedPattern
+        val k = preds.size
+        it.flatMap { case (url, text, ts) =>
+          if (text == null) Iterator.empty
+          else {
+            val m = re.matcher(text)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, String, java.sql.Timestamp)]
+            while (m.find()) {
+              var i = 0
+              var found = false
+              while (i < k && !found) {
+                val s = m.group(2 * i + 1)
+                if (s != null) {
+                  out += ((url, s, preds(i), m.group(2 * i + 2), m.group(0), ts))
+                  found = true
+                }
+                i += 1
+              }
+            }
+            out
+          }
+        }
+      }
+      .toDF("url", "subj", "pred", "obj", "fact", "warc_ts")
   }
 
   def triples(spark: SparkSession, pages: DataFrame): Dataset[RawTriple] = {

@@ -55,4 +55,52 @@ object HtmlText {
     entityMap.foreach { case (from, to) => s = s.replace(from, to) }
     s.replaceAll("\\s+", " ").trim
   }
+
+  // Combined markup stripper: script/style/head subtrees, comments, tags —
+  // ONE regex pass instead of three full-string copies.
+  private val markup = java.util.regex.Pattern.compile(
+    "(?is)<(script|style|head)\\b[^>]*>.*?</\\1>|<!--.*?-->|<[^>]*>",
+  )
+
+  /** Byte-identical fast twin of [[extract]]: one markup-strip pass, then
+    * one manual scan doing entity decoding + whitespace collapse + trim.
+    * The engine's hot path (12 full-string regex copies → 2 passes) —
+    * memory traffic, not CPU, limits extraction throughput at scale.
+    * Equality with [[extract]] is frozen by HtmlTextSpec on fixtures and
+    * on the whole synthetic corpus.
+    */
+  def extractFast(html: String): String = {
+    val stripped = markup.matcher(html).replaceAll(" ")
+    val n = stripped.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    def emit(c: Char): Unit = {
+      // exactly Java regex \s = [ \t\n\x0B\f\r] (NOT Unicode whitespace),
+      // to stay byte-identical with the reference pass
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        if (out.length() > 0) pendingSpace = true // leading ws trimmed
+      } else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+    }
+    while (i < n) {
+      val c = stripped.charAt(i)
+      if (c == '&') {
+        // longest-first entity match at this position (same winners as the
+        // sequential-replace reference: tokens are mutually non-overlapping)
+        val rest = n - i
+        if (rest >= 6 && stripped.startsWith("&nbsp;", i)) { emit(' '); i += 6 }
+        else if (rest >= 6 && stripped.startsWith("&quot;", i)) { emit('"'); i += 6 }
+        else if (rest >= 6 && stripped.startsWith("&apos;", i)) { emit('\''); i += 6 }
+        else if (rest >= 5 && stripped.startsWith("&amp;", i)) { emit('&'); i += 5 }
+        else if (rest >= 5 && stripped.startsWith("&#39;", i)) { emit('\''); i += 5 }
+        else if (rest >= 4 && stripped.startsWith("&lt;", i)) { emit('<'); i += 4 }
+        else if (rest >= 4 && stripped.startsWith("&gt;", i)) { emit('>'); i += 4 }
+        else { emit(c); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    out.toString
+  }
 }

@@ -22,6 +22,15 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
   private def fp(stage: String, parts: Seq[Any]): String =
     graft.kg.Ids.entity("fp", stage + "|" + parts.mkString("|"))
 
+  private val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
+
+  private def timed[T](stage: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    if (verbose) println(f"[kg] $stage%-20s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   /** Run (or resume) all stages over the given pages frame.
     * `inputFingerprint` identifies the input corpus snapshot — stages with
     * an already-committed matching fingerprint are skipped.
@@ -33,41 +42,44 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
     // ---- stage 1: episodes (one per page; valid_at = crawl time,
     // content = deterministic extracted text — graphiti.py:477-490) ----
     val episodesFp = fp("episodes", Seq(inputFingerprint, groupId))
-    if (!store.hasFingerprint("episodes", episodesFp)) {
+    timed("episodes") { if (!store.hasFingerprint("episodes", episodesFp)) {
+      // HTML→text via the fused fast twin (byte-identical to the column
+      // chain, HtmlTextSpec): 2 passes over the bytes instead of 12
+      val gid = groupId
       val episodes = pages
-        .withColumn("text2", coalesce(col("text"), HtmlText.textOf(col("html"))))
-        .select(
-          md5(concat(lit(s"ep|$groupId|"), col("url"))).as("uuid"),
-          col("url").as("name"),
-          col("text2").as("content"),
-          lit("text").as("source"),
-          lit("web crawl").as("source_description"),
-          lit(groupId).as("group_id"),
-          col("warc_ts").as("created_at"),
-          col("warc_ts").as("valid_at"),
-        )
+        .select(col("url"), col("warc_ts"), col("html"), col("text"))
+        .as[(String, java.sql.Timestamp, Array[Byte], String)]
+        .mapPartitions { it =>
+          it.map { case (url, ts, html, text) =>
+            val t = if (text != null) text else HtmlText.extractFast(new String(html, "UTF-8"))
+            (Ids.episode(gid, url), url, t, "text", "web crawl", gid, ts, ts)
+          }
+        }
+        .toDF("uuid", "name", "content", "source", "source_description", "group_id", "created_at", "valid_at")
       store.commit(episodes, "episodes", s"ingest episodes group=$groupId", episodesFp)
-    }
+    } }
 
     // ---- stage 2: extraction (mentions + raw triples; mapPartitions /
     // codegen'd regex — extract_nodes + extract_edges contracts) ----
     val triplesFp = fp("raw_triples", Seq(inputFingerprint, groupId))
-    if (!store.hasFingerprint("raw_triples", triplesFp)) {
-      val withText = pages.withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
-      val triples = Extract
-        .triplesOf(withText, col("text"))
-        .join(withText.select(col("url"), col("warc_ts")), Seq("url"))
+    timed("raw_triples") { if (!store.hasFingerprint("raw_triples", triplesFp)) {
+      // read the already-extracted text back from the episodes snapshot
+      // (HTML→text ran exactly once, in stage 1); all patterns in one
+      // mapPartitions pass, no shuffle (url/warc_ts carried through)
+      val withText = store
+        .load("episodes")
+        .select(col("name").as("url"), col("content").as("text"), col("valid_at").as("warc_ts"))
+      val triples = Extract.triplesTs(spark, withText)
       store.commit(triples, "raw_triples", "extract triples", triplesFp)
-    }
+    } }
 
     // ---- stage 3: raw entity nodes (distinct surfaces → deterministic
     // uuids + hashed-BoW name embeddings) ----
     val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId))
-    if (!store.hasFingerprint("nodes_raw", nodesRawFp)) {
+    timed("nodes_raw") { if (!store.hasFingerprint("nodes_raw", nodesRawFp)) {
       val t = store.load("raw_triples")
       val surfaces = t
-        .select(col("subj").as("name"))
-        .unionByName(t.select(col("obj").as("name")))
+        .select(explode(array(col("subj"), col("obj"))).as("name"))
         .distinct()
       val nodesRaw = surfaces
         .as[String]
@@ -78,20 +90,20 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
         }
         .toDF("uuid", "name", "label", "name_embedding")
       store.commit(nodesRaw, "nodes_raw", "raw entity nodes", nodesRawFp)
-    }
+    } }
 
     // ---- stage 4: linking + canonical map (LSH blocking → score →
     // union-find min-uuid; dedupe_nodes_bulk semantics) ----
     val mapFp = fp("uuid_map", Seq(inputFingerprint, groupId))
-    if (!store.hasFingerprint("uuid_map", mapFp)) {
+    timed("uuid_map") { if (!store.hasFingerprint("uuid_map", mapFp)) {
       val pairs = Linking.duplicatePairs(store.load("nodes_raw"))
       val uuidMap = Linking.canonicalMap(pairs)
       store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
-    }
+    } }
 
     // ---- stage 5: canonical nodes ----
     val nodesFp = fp("nodes", Seq(inputFingerprint, groupId))
-    if (!store.hasFingerprint("nodes", nodesFp)) {
+    timed("nodes") { if (!store.hasFingerprint("nodes", nodesFp)) {
       val raw = store.load("nodes_raw")
       val m = broadcast(store.load("uuid_map"))
       val canon = raw
@@ -107,12 +119,12 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
           col("name_embedding"),
         )
       store.commit(canon, "nodes", "canonical entity nodes", nodesFp)
-    }
+    } }
 
     // ---- stage 6: edges (pointer remap → fact dedup → contradiction
     // invalidation → deterministic uuids) ----
     val edgesFp = fp("edges", Seq(inputFingerprint, groupId))
-    if (!store.hasFingerprint("edges", edgesFp)) {
+    timed("edges") { if (!store.hasFingerprint("edges", edgesFp)) {
       val t = store.load("raw_triples")
       val m = store.load("uuid_map")
       val raw = t.select(
@@ -145,17 +157,16 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
           ),
         )
       store.commit(edges, "edges", "bitemporal entity edges", edgesFp)
-    }
+    } }
 
     // ---- stage 7: episodic MENTIONS edges (build_episodic_edges,
     // edge_operations.py:48-65) ----
     val epeFp = fp("episodic_edges", Seq(inputFingerprint, groupId))
-    if (!store.hasFingerprint("episodic_edges", epeFp)) {
+    timed("episodic_edges") { if (!store.hasFingerprint("episodic_edges", epeFp)) {
       val t = store.load("raw_triples")
       val m = store.load("uuid_map")
       val mentions = t
-        .select(col("url"), col("subj").as("name"))
-        .unionByName(t.select(col("url"), col("obj").as("name")))
+        .select(col("url"), explode(array(col("subj"), col("obj"))).as("name"))
         .distinct()
         .withColumn("entity_uuid", md5(concat(lit("en|default|"), col("name"))))
       val remapped = mentions
@@ -167,13 +178,14 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
         )
         .distinct()
         .withColumn("name", lit("MENTIONS"))
+        .withColumn("group_id", lit(groupId))
       store.commit(remapped, "episodic_edges", "episode MENTIONS entity", epeFp)
-    }
+    } }
 
     // ---- stage 8: IS_DUPLICATE_OF edges (build_duplicate_of_edges,
     // edge_operations.py:68-91) ----
     val dupFp = fp("duplicate_of_edges", Seq(inputFingerprint, groupId))
-    if (!store.hasFingerprint("duplicate_of_edges", dupFp)) {
+    timed("duplicate_of_edges") { if (!store.hasFingerprint("duplicate_of_edges", dupFp)) {
       val m = store.load("uuid_map")
       val dupEdges = m
         .filter(col("uuid") =!= col("canonical"))
@@ -183,6 +195,6 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
           lit("IS_DUPLICATE_OF").as("name"),
         )
       store.commit(dupEdges, "duplicate_of_edges", "duplicate-of edges", dupFp)
-    }
+    } }
   }
 }

@@ -53,9 +53,30 @@ final case class EntityEdge(
 )
 
 object Ids {
+  // ThreadLocal digest: MessageDigest.getInstance does a synchronized JCA
+  // provider lookup — calling it per row/token serializes 32 executor
+  // threads (measured: the embed UDF anti-scaled 8→32 cores before this)
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"),
+  )
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private[kg] def md5bytes(s: String): Array[Byte] = {
+    val d = md.get()
+    d.reset()
+    d.digest(s.getBytes("UTF-8"))
+  }
+
   private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
+    val d = md5bytes(s)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
   def episode(groupId: String, url: String): String = md5hex(s"ep|$groupId|$url")
   def entity(groupId: String, name: String): String = md5hex(s"en|$groupId|$name")
@@ -77,17 +98,24 @@ object Embedder {
   def embed(text: String): Array[Float] = {
     val v = new Array[Double](Dim)
     val norm = text.replace('\n', ' ').toLowerCase
-    norm.split(" ").filter(_.nonEmpty).foreach { tok =>
-      val d = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
-      // two md5-derived signals per token: target dim and sign
-      val dim = java.lang.Byte.toUnsignedInt(d(0)) % Dim
-      val sgn = if ((d(1) & 1) == 1) 1.0 else -1.0
-      v(dim) += sgn
-      val dim2 = java.lang.Byte.toUnsignedInt(d(2)) % Dim
-      val sgn2 = if ((d(3) & 1) == 1) 1.0 else -1.0
-      v(dim2) += 0.5 * sgn2
+    norm.split(" ").foreach { tok =>
+      if (tok.nonEmpty) {
+        val d = Ids.md5bytes(tok) // thread-local digest, no JCA lookup
+        // two md5-derived signals per token: target dim and sign
+        val dim = java.lang.Byte.toUnsignedInt(d(0)) % Dim
+        val sgn = if ((d(1) & 1) == 1) 1.0 else -1.0
+        v(dim) += sgn
+        val dim2 = java.lang.Byte.toUnsignedInt(d(2)) % Dim
+        val sgn2 = if ((d(3) & 1) == 1) 1.0 else -1.0
+        v(dim2) += 0.5 * sgn2
+      }
     }
-    val n = math.sqrt(v.map(x => x * x).sum)
-    if (n == 0) new Array[Float](Dim) else v.map(x => (x / n).toFloat)
+    var ss = 0.0
+    var i = 0
+    while (i < Dim) { ss += v(i) * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    val out = new Array[Float](Dim)
+    if (n != 0) { i = 0; while (i < Dim) { out(i) = (v(i) / n).toFloat; i += 1 } }
+    out
   }
 }

@@ -33,8 +33,26 @@ object Pages {
   def customerPages(spark: SparkSession, dir: String): DataFrame = {
     val c = T.load(spark, dir, "customer")
     val n = broadcast(T.load(spark, dir, "nation"))
+    // order history paragraph: one sentence per order, deterministically
+    // ordered — gives pages realistic (KB-scale) bodies and a `placed`
+    // relation with fan-out
+    val o = T.load(spark, dir, "orders")
+      .select(
+        col("o_custkey"),
+        struct(
+          col("o_orderkey"),
+          concat(lit("placed order Order#"), col("o_orderkey"), lit(".")).as("s"),
+        ).as("os"),
+      )
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("os"))).as("oss"))
+      .select(
+        col("o_custkey"),
+        concat_ws(" ", transform(col("oss"), x => x.getField("s"))).as("order_tail"),
+      )
     val base = c
       .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
       .select(
         concat(lit("https://example.org/customer/"), col("c_custkey")).as("url"),
         timestamp_seconds(lit(Epoch) + col("c_custkey") * lit(60L)).as("warc_ts"),
@@ -43,6 +61,12 @@ object Pages {
         concat(
           col("c_name"), lit(" lives in "), col("n_name"), lit(". "),
           col("c_name"), lit(" shops in the "), col("c_mktsegment"), lit(" segment."),
+          when(
+            col("order_tail").isNotNull,
+            // each order sentence needs the subject: rebuild as
+            // "<name> placed order Order#k." per sentence
+            concat(lit(" "), regexp_replace(col("order_tail"), lit("placed order"), concat(col("c_name"), lit(" placed order")))),
+          ).otherwise(lit("")),
         ).as("body"),
         col("c_name").as("title"),
       )
@@ -68,15 +92,33 @@ object Pages {
     val s = T.load(spark, dir, "supplier")
     val n = broadcast(T.load(spark, dir, "nation"))
     val r = broadcast(T.load(spark, dir, "region"))
+    // supply catalog paragraph (line 1 of each order only, for bounded
+    // but Zipf-skewed page sizes — hot suppliers get big pages)
+    val li = T.load(spark, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_suppkey"), col("l_partkey"))
+      .distinct()
+      .select(
+        col("l_suppkey"),
+        struct(col("l_partkey"), concat(lit("supplies Part#"), col("l_partkey"), lit(".")).as("s")).as("ps"),
+      )
+      .groupBy(col("l_suppkey"))
+      .agg(array_sort(collect_list(col("ps"))).as("pss"))
+      .select(col("l_suppkey"), concat_ws(" ", transform(col("pss"), x => x.getField("s"))).as("supply_tail"))
     val df = s
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
+      .join(li, col("s_suppkey") === col("l_suppkey"), "left")
       .select(
         concat(lit("https://example.org/supplier/"), col("s_suppkey")).as("url"),
         timestamp_seconds(lit(Epoch) + lit(900L) + col("s_suppkey") * lit(60L)).as("warc_ts"),
         concat(
           col("s_name"), lit(" is located in "), col("n_name"), lit(". "),
           col("n_name"), lit(" is part of "), col("r_name"), lit("."),
+          when(
+            col("supply_tail").isNotNull,
+            concat(lit(" "), regexp_replace(col("supply_tail"), lit("supplies Part#"), concat(col("s_name"), lit(" supplies Part#")))),
+          ).otherwise(lit("")),
         ).as("body"),
         col("s_name").as("title"),
       )

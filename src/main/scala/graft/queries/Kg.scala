@@ -46,7 +46,26 @@ object Kg {
            TIMESTAMP '2024-01-01 00:00:00' + to_seconds(900 + s_suppkey * 60)
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT 'https://example.org/customer/' || c_custkey AS url,
+           c_name, 'placed', 'Order#' || o_orderkey,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(c_custkey * 60)
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT DISTINCT 'https://example.org/supplier/' || l_suppkey AS url,
+           'Supplier#' || lpad(CAST(l_suppkey AS VARCHAR), 9, '0'),
+           'supplies', 'Part#' || l_partkey,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(900 + l_suppkey * 60)
+    FROM lineitem WHERE l_linenumber = 1
     """
+
+
+  /** Shared: corpus → (url, subj, pred, obj, fact, warc_ts), single-pass. */
+  private def extractAll(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val pages = Pages.corpus(s, dir)
+      .withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
+    Extract.triplesTs(s, pages)
+  }
 
   def defs: Seq[QueryDef] = Seq(
     // ---- flagship: raw html bytes → deterministic text → SVO triple
@@ -54,9 +73,7 @@ object Kg {
     QueryDef(
       "kg_extract_triples",
       (s, dir) => {
-        val pages = Pages.corpus(s, dir)
-        Extract
-          .triplesOf(pages, HtmlText.textOf(col("html")))
+        extractAll(s, dir)
           .select(col("url"), col("subj"), col("pred"), col("obj"))
           .orderBy(col("url"), col("pred"), col("subj"), col("obj"))
       },
@@ -72,8 +89,7 @@ object Kg {
     QueryDef(
       "kg_nodes",
       (s, dir) => {
-        val pages = Pages.corpus(s, dir)
-        val t = Extract.triplesOf(pages, HtmlText.textOf(col("html")))
+        val t = extractAll(s, dir)
         t.select(col("subj").as("name"))
           .unionByName(t.select(col("obj").as("name")))
           .distinct()
@@ -107,11 +123,7 @@ object Kg {
     QueryDef(
       "kg_edges_invalidation",
       (s, dir) => {
-        val pages = Pages.corpus(s, dir)
-        val t = Extract
-          .triplesOf(pages, HtmlText.textOf(col("html")))
-          .join(pages.select(col("url"), col("warc_ts")), Seq("url"))
-          .filter(col("pred") === lit("lives_in"))
+        val t = extractAll(s, dir).filter(col("pred") === lit("lives_in"))
         val w = Window.partitionBy(col("subj"), col("pred")).orderBy(col("warc_ts"), col("url"))
         t.withColumn("next_obj", lead(col("obj"), 1).over(w))
           .withColumn("next_ts", lead(col("warc_ts"), 1).over(w))
@@ -145,11 +157,7 @@ object Kg {
       "kg_point_in_time",
       (s, dir) => {
         val t0 = lit("2024-01-16 00:00:00").cast("timestamp")
-        val pages = Pages.corpus(s, dir)
-        val t = Extract
-          .triplesOf(pages, HtmlText.textOf(col("html")))
-          .join(pages.select(col("url"), col("warc_ts")), Seq("url"))
-          .filter(col("pred") === lit("lives_in"))
+        val t = extractAll(s, dir).filter(col("pred") === lit("lives_in"))
         val w = Window.partitionBy(col("subj"), col("pred")).orderBy(col("warc_ts"), col("url"))
         t.withColumn("next_obj", lead(col("obj"), 1).over(w))
           .withColumn("next_ts", lead(col("warc_ts"), 1).over(w))

@@ -30,6 +30,43 @@ object Temporal {
     """
 
   def defs: Seq[QueryDef] = Seq(
+    // ---- CNF date-filter DSL (search_filters.py:26-123): outer AND of
+    // inner ORs via the SearchFilters builder, over interval-derived facts ----
+    QueryDef(
+      "q_filter_dsl",
+      (s, dir) => {
+        import graft.search.SearchFilters._
+        val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+        val t2 = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
+        val e = T.load(s, dir, "events")
+        val w = Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val facts = e
+          .withColumn("valid_at", col("ts"))
+          .withColumn("invalid_at", lead(col("ts"), 1).over(w))
+        val f = Filters(
+          validAt = Seq(
+            Seq(DateFilter("valid_at", Gte, Some(t1))),
+            Seq(DateFilter("valid_at", Lt, Some(t2))),
+          ),
+          invalidAt = Seq(Seq(DateFilter("invalid_at", IsNull), DateFilter("invalid_at", Gt, Some(t2)))),
+        )
+        facts
+          .filter(toPredicate(f))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        SELECT event_id, user_id, event_type
+        FROM ($factsSql) f
+        WHERE valid_at >= TIMESTAMP '2024-02-01 00:00:00'
+          AND valid_at <  TIMESTAMP '2024-04-01 00:00:00'
+          AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-04-01 00:00:00')
+        ORDER BY event_id
+      """),
+    ),
+
     // ---- contradiction invalidation (resolve_edge_contradictions,
     // edge_operations.py:381-411): newer fact for same key closes the
     // older fact's validity interval ----

@@ -16,6 +16,26 @@ object TextAnalysis {
   private val DataStops = Seq("spark", "query", "table", "join", "filter")
 
   def defs: Seq[QueryDef] = Seq(
+    // ---- lucene_sanitize escaping chain (helpers.py:62-96) applied to
+    // synthetic query strings built from part names ----
+    QueryDef(
+      "q_lucene_sanitize",
+      (s, dir) => {
+        val p = T.load(s, dir, "part")
+        p.filter(col("p_partkey") < 50)
+          .withColumn("q", concat(col("p_name"), lit(" (size:"), col("p_size"), lit(") +brand!")))
+          .withColumn("sanitized", graft.search.Sanitize.luceneSanitize(col("q")))
+          .select(col("p_partkey"), col("sanitized"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey,
+               regexp_replace(p_name || ' (size:' || p_size || ') +brand!',
+                              '([+\-!(){}\[\]^"~*?:\\/]|&&|\|\|)', '\\\1', 'g') AS sanitized
+        FROM part WHERE p_partkey < 50 ORDER BY p_partkey
+      """),
+    ),
+
     // ---- language-ID heuristic: stopword-family hit ratios decide the
     // predicted label; compared against the corpus `lang` column ----
     QueryDef(

@@ -92,7 +92,7 @@ final class KgSearch(store: SnapshotStore) {
     }
 
     val fused = Rerank.rrf(lanes.toSeq).withColumnRenamed("rrf_score", "score")
-    val top = applyReranker(fused, edges, config)
+    val top = applyReranker(fused, edges, config, query)
     top
       .join(edges, top("id") === edges("uuid"))
       .select(
@@ -162,7 +162,7 @@ final class KgSearch(store: SnapshotStore) {
       communities = searchCommunities(query, config),
     )
 
-  private def applyReranker(fused: DataFrame, edges: DataFrame, config: KgSearchConfig): DataFrame =
+  private def applyReranker(fused: DataFrame, edges: DataFrame, config: KgSearchConfig, lastQuery: String): DataFrame =
     config.reranker match {
       case "episode_mentions" =>
         // reorder by number of supporting episodes (search_utils.py:1939-1969)
@@ -187,6 +187,20 @@ final class KgSearch(store: SnapshotStore) {
         val back = idx.map(_.swap)
         val picked = Rerank.mmr(cands.map(c => (idx(c._1).toLong, c._2, c._3)).toSeq, config.limit, config.mmrLambda)
         picked.map { case (i, s) => (back(i.toInt), s) }.toDF("id", "score")
+      case "cross_encoder" =>
+        // pluggable scorer slot (reference: LLM cross-encoder client);
+        // deterministic stand-in = query-token overlap ratio on the fact
+        val qTokens = queryTerms(lastQuery)
+        val overlap = edges.select(
+          col("uuid").as("id"),
+          (size(array_intersect(split(lower(col("fact")), " "), array(qTokens.map(lit): _*)))
+            .cast("double") / lit(math.max(qTokens.size, 1))).as("score"),
+        )
+        fused
+          .drop("score")
+          .join(overlap, Seq("id"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(config.limit)
       case _ => fused.orderBy(col("score").desc, col("id")).limit(config.limit)
     }
 }

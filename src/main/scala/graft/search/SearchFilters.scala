@@ -1,0 +1,66 @@
+package graft.search
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Composable date-filter DSL — the reference's `SearchFilters` CNF
+  * lists-of-lists (`graphiti_core/search/search_filters.py:26-123`):
+  * the outer list is AND-ed, each inner list OR-ed; operators
+  * `= <> > < >= <= IS NULL / IS NOT NULL` over the four bitemporal
+  * columns. Produces one Catalyst `Column` predicate tree — pushed down
+  * by Catalyst like any hand-written filter.
+  */
+object SearchFilters {
+
+  sealed trait Op
+  case object Eq extends Op
+  case object Ne extends Op
+  case object Gt extends Op
+  case object Lt extends Op
+  case object Gte extends Op
+  case object Lte extends Op
+  case object IsNull extends Op
+  case object IsNotNull extends Op
+
+  /** One comparison: column op value (value ignored for null checks). */
+  final case class DateFilter(column: String, op: Op, value: Option[java.sql.Timestamp] = None)
+
+  /** CNF: AND of ORs (search_filters.py:87-123). */
+  final case class Filters(
+      validAt: Seq[Seq[DateFilter]] = Nil,
+      invalidAt: Seq[Seq[DateFilter]] = Nil,
+      createdAt: Seq[Seq[DateFilter]] = Nil,
+      expiredAt: Seq[Seq[DateFilter]] = Nil,
+      edgeTypes: Seq[String] = Nil,
+      nodeLabels: Seq[String] = Nil,
+  )
+
+  private def one(f: DateFilter): Column = {
+    val c = col(f.column)
+    f.op match {
+      case Eq => c === lit(f.value.get)
+      case Ne => c =!= lit(f.value.get)
+      case Gt => c > lit(f.value.get)
+      case Lt => c < lit(f.value.get)
+      case Gte => c >= lit(f.value.get)
+      case Lte => c <= lit(f.value.get)
+      case IsNull => c.isNull
+      case IsNotNull => c.isNotNull
+    }
+  }
+
+  private def cnf(groups: Seq[Seq[DateFilter]]): Option[Column] =
+    if (groups.isEmpty) None
+    else Some(groups.map(g => g.map(one).reduce(_ || _)).reduce(_ && _))
+
+  /** Build the full predicate (true when no filters configured). */
+  def toPredicate(f: Filters): Column = {
+    val parts =
+      Seq(cnf(f.validAt), cnf(f.invalidAt), cnf(f.createdAt), cnf(f.expiredAt)).flatten ++
+        (if (f.edgeTypes.nonEmpty) Seq(col("name").isin(f.edgeTypes: _*)) else Nil) ++
+        (if (f.nodeLabels.nonEmpty)
+           Seq(arrays_overlap(col("labels"), array(f.nodeLabels.map(lit): _*)))
+         else Nil)
+    parts.reduceOption(_ && _).getOrElse(lit(true))
+  }
+}

@@ -47,10 +47,8 @@ object IncrementalIngest {
     )
     store.merge("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes")
 
-    // raw triples for the new pages
-    val triples = Extract
-      .triplesOf(withText, col("text"))
-      .join(withText.select(col("url"), col("warc_ts")), Seq("url"))
+    // raw triples for the new pages (single-pass, shuffle-free)
+    val triples = Extract.triplesTs(spark, withText)
     store.merge("raw_triples", triples, Seq("url", "subj", "pred", "obj"), s"incremental batch=$batchId triples")
 
     // new surfaces → nodes_raw merge
@@ -93,6 +91,19 @@ object IncrementalIngest {
       ),
       uuidMap,
     )
+    mergeEdges(store, newRaw, batchId)
+  }
+
+  /** Merge raw fact rows (already canonical-uuid'd) into the edges
+    * snapshot, rebuilding only affected contention groups. Public so
+    * `add_triplet`-style manual inserts run the exact same resolution
+    * algebra as extraction output (graphiti.py:1021-1085).
+    */
+  def mergeEdges(store: SnapshotStore, newRaw: DataFrame, batchId: Long): Unit = {
+    import newRaw.sparkSession.implicits._
+    val uuidMap =
+      if (store.exists("uuid_map")) store.load("uuid_map")
+      else Seq.empty[(String, String)].toDF("uuid", "canonical")
     val embedUdf = udf((s: String) => Embedder.embed(s).toSeq)
     val rebuildCols = Seq("group_id", "source_uuid", "name", "target_uuid", "fact", "valid_at", "created_at", "episodes")
     // remap existing edges through the UPDATED map; a later-arriving alias

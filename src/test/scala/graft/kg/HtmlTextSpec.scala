@@ -39,6 +39,26 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("extractFast is byte-identical to extract on fixtures and corpus") {
+    fixtures.foreach { case (html, _) =>
+      assert(HtmlText.extractFast(html) == HtmlText.extract(html), s"for html: $html")
+    }
+    // whole synthetic corpus (sf0.001): every page byte-identical
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val htmls = Pages
+      .corpus(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("html").cast("string"))
+      .as[String]
+      .collect()
+    htmls.foreach { h =>
+      assert(HtmlText.extractFast(h) == HtmlText.extract(h))
+    }
+    // entity corner cases
+    Seq("&amp;amp;", "&&amp;", "&nb&nbsp;sp;", "a&unknown;b", "&", "x&gt", "&quot;&#39;&apos;")
+      .foreach(s => assert(HtmlText.extractFast(s) == HtmlText.extract(s), s"for: $s"))
+  }
+
   test("binary input (pages schema) round-trips through UTF-8") {
     val spark = TestSpark.spark
     import spark.implicits._
