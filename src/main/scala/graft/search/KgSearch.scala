@@ -46,10 +46,15 @@ final class KgSearch(store: SnapshotStore) {
   private def queryTerms(query: String): Seq[String] =
     query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
 
-  /** Rank column helper: 1-based rank by score desc, id asc. */
+  /** Rank column helper: 1-based rank by score desc, id asc. Top-n is
+    * taken with distributed TakeOrdered (orderBy + limit) FIRST; the
+    * unpartitioned row_number window then runs over ≤ n rows only (a
+    * global window over the full lane would single-partition it at scale).
+    */
   private def ranked(df: DataFrame, idCol: String, scoreCol: String, n: Int): DataFrame = {
+    val top = df.orderBy(col(scoreCol).desc, col(idCol)).limit(n)
     val w = Window.orderBy(col(scoreCol).desc, col(idCol))
-    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+    top.withColumn("rank", row_number().over(w))
       .select(col(idCol).as("id"), col("rank"))
   }
 

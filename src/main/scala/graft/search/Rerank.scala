@@ -21,11 +21,13 @@ object Rerank {
 
   /** Min-max normalization of a score column over the whole frame
     * (`hybrid_search.py:395-415`); constant column maps to 0.
+    * Implemented as a 2-row aggregate broadcast-joined back — NOT a
+    * global window (an empty partitionBy would funnel the whole frame
+    * through one partition at scale).
     */
   def minMax(df: DataFrame, scoreCol: String, outCol: String): DataFrame = {
-    val w = Window.partitionBy()
-    df.withColumn("__mn", min(col(scoreCol)).over(w))
-      .withColumn("__mx", max(col(scoreCol)).over(w))
+    val stats = df.agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+    df.crossJoin(broadcast(stats))
       .withColumn(
         outCol,
         when(col("__mx") === col("__mn"), lit(0.0))
