@@ -199,6 +199,33 @@ object Graph {
       """),
     ),
 
+    // ---- find_paths (graph_traversal.py:396-429): all simple paths from
+    // node 1 to a target set within depth 3, as node arrays ----
+    QueryDef(
+      "q_graph_find_paths",
+      (s, dir) => {
+        val u = GraphOps.undirect(edges(s, dir))
+        GraphOps
+          .findPaths(u, Seq(1L), Set(2L, 3L), maxDepth = 3)
+          .withColumn("path_str", concat_ws("->", col("path")))
+          .select(col("path_str"))
+          .orderBy(col("path_str"))
+      },
+      Some(s"""
+        WITH RECURSIVE uedges AS ($uEdgesSql),
+        walk(head, path) AS (
+          SELECT CAST(1 AS BIGINT), [CAST(1 AS BIGINT)]
+          UNION ALL
+          SELECT e.dst, list_append(w.path, e.dst)
+          FROM walk w JOIN uedges e ON e.src = w.head
+          WHERE NOT list_contains(w.path, e.dst) AND len(w.path) <= 3
+        )
+        SELECT array_to_string(path, '->') AS path_str FROM walk
+        WHERE head IN (2, 3)
+        ORDER BY path_str
+      """),
+    ),
+
     // ---- subgraph extraction around seeds (graph_traversal.py:464-502):
     // edges with both endpoints within BFS depth 2 of node 1 ----
     QueryDef(
