@@ -38,7 +38,7 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     import spark.implicits._
     val page = Seq((url, warcTs, html, null.asInstanceOf[String], lang))
       .toDF("url", "warc_ts", "html", "text", "lang")
-    IncrementalIngest.ingestBatch(store, page, batchId = -1L)
+    IncrementalIngest.ingestBatch(store, page, batchId = -1L, groupId)
   }
 
   /** Manual triple insert with full resolution (add_triplet,
@@ -50,9 +50,9 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     val epUuid = Ids.edge(groupId, subj, pred, obj, validAt.getTime)
     val raw = Seq(
       (
-        Ids.entity("default", subj),
+        Ids.entity(groupId, subj),
         pred,
-        Ids.entity("default", obj),
+        Ids.entity(groupId, obj),
         s"$subj $pred $obj",
         groupId,
         validAt,
@@ -66,8 +66,9 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
   }
 
   /** Cascade-remove an episode: drop it, remove it from edges' episode
-    * lists, and delete edges that lose their last supporting episode
-    * (remove_episode, graphiti.py:1087-1115).
+    * lists, delete edges that lose their last supporting episode, and
+    * delete nodes mentioned ONLY by this episode (the reference deletes
+    * episode-created nodes — remove_episode, graphiti.py:1087-1115).
     */
   def removeEpisode(url: String): Unit = {
     val epUuid = Ids.episode(groupId, url)
@@ -85,20 +86,46 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
         s"cascade remove episode $url",
       )
     }
+    // orphaned nodes: mentioned by this episode and by no other
+    if (store.exists("episodic_edges")) {
+      val ee = store.load("episodic_edges")
+      val orphans = ee
+        .filter(col("episode_uuid") === epUuid)
+        .select(col("entity_uuid"))
+        .join(
+          ee.filter(col("episode_uuid") =!= epUuid).select(col("entity_uuid")).distinct(),
+          Seq("entity_uuid"),
+          "left_anti",
+        )
+      store.commit(
+        ee.filter(col("episode_uuid") =!= epUuid),
+        "episodic_edges",
+        s"cascade remove episode $url",
+      )
+      if (store.exists("nodes"))
+        store.commit(
+          store.load("nodes").join(orphans, col("uuid") === col("entity_uuid"), "left_anti"),
+          "nodes",
+          s"cascade remove orphaned nodes of $url",
+        )
+    }
   }
 
-  /** Mark specific edges invalid as of `at` (invalidate_edges). */
+  /** Mark specific edges invalid as of `at` (invalidate_edges). The
+    * explicit invalidation is recorded in `manual_invalid_at`, which
+    * contention-group rebuilds carry through (IncrementalIngest.mergeEdges)
+    * — so it survives later batches touching the same group.
+    */
   def invalidateEdges(uuids: Seq[String], at: Timestamp, reason: String): Unit = {
-    val edges = store
-      .load("edges")
-      .withColumn(
-        "invalid_at",
-        when(col("uuid").isin(uuids: _*), lit(at)).otherwise(col("invalid_at")),
-      )
-      .withColumn(
-        "expired_at",
-        when(col("uuid").isin(uuids: _*), lit(at)).otherwise(col("expired_at")),
-      )
+    val base = store.load("edges")
+    val withManual =
+      if (base.columns.contains("manual_invalid_at")) base
+      else base.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
+    val hit = col("uuid").isin(uuids: _*)
+    val edges = withManual
+      .withColumn("manual_invalid_at", when(hit, lit(at)).otherwise(col("manual_invalid_at")))
+      .withColumn("invalid_at", when(hit, least(lit(at), col("invalid_at"))).otherwise(col("invalid_at")))
+      .withColumn("expired_at", when(hit, least(lit(at), col("expired_at"))).otherwise(col("expired_at")))
     store.commit(edges, "edges", s"invalidate ${uuids.size} edges: $reason")
   }
 

@@ -28,36 +28,52 @@ object Invalidation {
     * target_uuid) merge to one edge with the earliest valid_at/created_at
     * and the union of episode uuids.
     */
-  def dedupeFacts(edges: DataFrame): DataFrame =
-    edges
+  def dedupeFacts(edges: DataFrame): DataFrame = {
+    // manual_invalid_at survives rebuilds: invalidate_edges() records the
+    // user's explicit invalidation here, and every re-dedup keeps the
+    // earliest one (the window pass never writes this column)
+    val withManual =
+      if (edges.columns.contains("manual_invalid_at")) edges
+      else edges.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
+    withManual
       .groupBy(col("group_id"), col("source_uuid"), col("name"), col("target_uuid"))
       .agg(
         min(col("valid_at")).as("valid_at"),
         min(col("created_at")).as("created_at"),
         first(col("fact")).as("fact"), // fact strings per (s,p,o) are identical by construction
         array_sort(array_distinct(flatten(collect_list(col("episodes"))))).as("episodes"),
+        min(col("manual_invalid_at")).as("manual_invalid_at"),
       )
+  }
 
   /** Apply the contradiction rule over the full (deduped) edge set.
     * Adds: uuid (deterministic), invalid_at, expired_at.
     */
   def invalidate(edges: DataFrame): DataFrame = {
+    // Strict-inequality semantics (edge_operations.py:400-409): a fact is
+    // invalidated only by a contradicting fact with STRICTLY later
+    // valid_at — simultaneous facts both stay valid (no empty intervals).
+    // Post-dedup every row in a contention group has a distinct target, so
+    // the closer is simply the next strictly-greater valid_at in the group:
+    // a range window (not lead), so ties skip to the next distinct time.
     val w = Window
       .partitionBy(col("group_id"), col("source_uuid"), col("name"))
-      .orderBy(col("valid_at"), col("target_uuid"))
-    edges
-      .withColumn("next_target", lead(col("target_uuid"), 1).over(w))
-      .withColumn("next_valid", lead(col("valid_at"), 1).over(w))
-      .withColumn(
-        "invalid_at",
-        when(col("next_target").isNotNull && col("next_target") =!= col("target_uuid"), col("next_valid")),
-      )
+      .orderBy(unix_micros(col("valid_at")))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val windowed = edges
+      .withColumn("invalid_at", timestamp_micros(min(unix_micros(col("valid_at"))).over(w)))
       // ingestion-time expiry mirrors the event-time invalidation (the
       // reference stamps expired_at = utc_now() at the moment the system
       // learns of the contradiction; deterministically that is the
       // newer fact's ingestion == its valid_at here)
       .withColumn("expired_at", col("invalid_at"))
-      .drop("next_target", "next_valid")
+    // an explicit invalidate_edges() call wins if it closes the interval
+    // earlier than (or in absence of) a contradicting fact
+    if (windowed.columns.contains("manual_invalid_at"))
+      windowed
+        .withColumn("invalid_at", least(col("invalid_at"), col("manual_invalid_at")))
+        .withColumn("expired_at", least(col("expired_at"), col("manual_invalid_at")))
+    else windowed
   }
 
   /** Point-in-time validity predicate (`temporal_manager.py:310-314`). */

@@ -42,7 +42,10 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
     // ---- stage 1: episodes (one per page; valid_at = crawl time,
     // content = deterministic extracted text — graphiti.py:477-490) ----
     val episodesFp = fp("episodes", Seq(inputFingerprint, groupId))
-    timed("episodes") { if (!store.hasFingerprint("episodes", episodesFp)) {
+    // stage 9 re-commits episodes with entity_edges back-filled; either
+    // fingerprint means this corpus's episodes are already materialized
+    val episodesEeFp = fp("episodes_ee", Seq(inputFingerprint, groupId))
+    timed("episodes") { if (!store.hasFingerprint("episodes", episodesFp) && !store.hasFingerprint("episodes", episodesEeFp)) {
       // HTML→text via the fused fast twin (byte-identical to the column
       // chain, HtmlTextSpec): 2 passes over the bytes instead of 12
       val gid = groupId
@@ -69,7 +72,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
       val withText = store
         .load("episodes")
         .select(col("name").as("url"), col("content").as("text"), col("valid_at").as("warc_ts"))
-      val triples = Extract.triplesTs(spark, withText)
+      val triples = Extract.triplesTs(spark, withText).withColumn("group_id", lit(groupId))
       store.commit(triples, "raw_triples", "extract triples", triplesFp)
     } }
 
@@ -81,14 +84,15 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
       val surfaces = t
         .select(explode(array(col("subj"), col("obj"))).as("name"))
         .distinct()
+      val gid = groupId
       val nodesRaw = surfaces
         .as[String]
         .mapPartitions { it =>
           it.map { name =>
-            (Ids.entity("default", name), name, Extract.entityTypeOf(name), Embedder.embed(name).toSeq)
+            (Ids.entity(gid, name), name, Extract.entityTypeOf(name), Embedder.embed(name).toSeq, gid)
           }
         }
-        .toDF("uuid", "name", "label", "name_embedding")
+        .toDF("uuid", "name", "label", "name_embedding", "group_id")
       store.commit(nodesRaw, "nodes_raw", "raw entity nodes", nodesRawFp)
     } }
 
@@ -101,22 +105,48 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
       store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
     } }
 
-    // ---- stage 5: canonical nodes ----
+    // ---- stage 5: canonical nodes, full reference schema
+    // (huggingface_driver.py:248-261): uuid, name, group_id, labels,
+    // created_at, name_embedding, summary, attributes. The LLM-derived
+    // summary/attributes are deterministic stand-ins: summary = the
+    // lexicographically-first supporting fact mentioning the entity
+    // (extract_attributes_from_nodes contract, node_operations.py:302-391),
+    // created_at = earliest mention timestamp, attributes = typed map. ----
     val nodesFp = fp("nodes", Seq(inputFingerprint, groupId))
     timed("nodes") { if (!store.hasFingerprint("nodes", nodesFp)) {
       val raw = store.load("nodes_raw")
       val m = broadcast(store.load("uuid_map"))
+      // per-canonical-node facts: one shuffle on the canonical uuid
+      val t = store.load("raw_triples")
+      val nodeFacts = t
+        .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+        .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
+        .join(m, Seq("uuid"), "left")
+        .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
+        .groupBy(col("cuuid"))
+        .agg(
+          min(col("fact")).as("summary"),
+          min(col("warc_ts")).as("created_at"),
+          count(lit(1)).as("mention_count"),
+        )
       val canon = raw
         .join(m, Seq("uuid"), "left")
         .withColumn("canonical", coalesce(col("canonical"), col("uuid")))
         // representative row = the node whose uuid IS the canonical uuid
         .filter(col("uuid") === col("canonical"))
+        .join(nodeFacts, col("uuid") === col("cuuid"), "left")
         .select(
           col("uuid"),
           col("name"),
-          lit(groupId).as("group_id"),
+          col("group_id"),
           array(col("label")).as("labels"),
+          col("created_at"),
           col("name_embedding"),
+          coalesce(col("summary"), col("name")).as("summary"),
+          map(
+            lit("entity_type"), col("label"),
+            lit("mention_count"), coalesce(col("mention_count"), lit(0L)).cast("string"),
+          ).as("attributes"),
         )
       store.commit(canon, "nodes", "canonical entity nodes", nodesFp)
     } }
@@ -128,9 +158,9 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
       val t = store.load("raw_triples")
       val m = store.load("uuid_map")
       val raw = t.select(
-        md5(concat(lit("en|default|"), col("subj"))).as("source_uuid"),
+        md5(concat(lit(s"en|$groupId|"), col("subj"))).as("source_uuid"),
         col("pred").as("name"),
-        md5(concat(lit("en|default|"), col("obj"))).as("target_uuid"),
+        md5(concat(lit(s"en|$groupId|"), col("obj"))).as("target_uuid"),
         col("fact"),
         lit(groupId).as("group_id"),
         col("warc_ts").as("valid_at"),
@@ -168,7 +198,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
       val mentions = t
         .select(col("url"), explode(array(col("subj"), col("obj"))).as("name"))
         .distinct()
-        .withColumn("entity_uuid", md5(concat(lit("en|default|"), col("name"))))
+        .withColumn("entity_uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
       val remapped = mentions
         .join(broadcast(m), col("entity_uuid") === col("uuid"), "left")
         .withColumn("entity_uuid", coalesce(col("canonical"), col("entity_uuid")))
@@ -195,6 +225,24 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
           lit("IS_DUPLICATE_OF").as("name"),
         )
       store.commit(dupEdges, "duplicate_of_edges", "duplicate-of edges", dupFp)
+    } }
+
+    // ---- stage 9: back-fill episodes.entity_edges — the reference keeps
+    // the edge uuids created from each episode on the episode row
+    // (graphiti.py:549; schema huggingface_driver.py:284-299). Reverse
+    // mapping of edges.episodes: one explode + groupBy on episode uuid. ----
+    timed("episodes_ee") { if (!store.hasFingerprint("episodes", episodesEeFp)) {
+      val byEpisode = store
+        .load("edges")
+        .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
+        .groupBy(col("uuid"))
+        .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
+      val episodes = store
+        .load("episodes")
+        .drop("entity_edges")
+        .join(byEpisode, Seq("uuid"), "left")
+        .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
+      store.commit(episodes, "episodes", "back-fill entity_edges", episodesEeFp)
     } }
   }
 }

@@ -58,30 +58,38 @@ object Linking {
     * duplicates; whole-token overlap keeps them apart.
     */
   def duplicatePairs(nodes: DataFrame): DataFrame = {
-    val withKey = nodes
-      .select(col("uuid"), col("name"))
+    // group isolation: blocking keys are scoped by group_id — two tenants
+    // mentioning "Acme" must NOT link (the reference partitions every node
+    // op by group_id, huggingface_driver.py:535-554). Frames without a
+    // group_id column (single-tenant tests) get one implicit group.
+    val grouped =
+      if (nodes.columns.contains("group_id")) nodes
+      else nodes.withColumn("group_id", lit("default"))
+    val withKey = grouped
+      .select(col("group_id").as("g"), col("uuid"), col("name"))
       .withColumn("norm", normName(col("name")))
     // block 1: exact normalized-name key
-    val a = withKey.select(col("norm"), col("uuid").as("u1"))
-    val b = withKey.select(col("norm"), col("uuid").as("u2"))
-    val keyPairs = a.join(b, Seq("norm")).filter(col("u1") < col("u2")).select(col("u1"), col("u2"))
+    val a = withKey.select(col("g"), col("norm"), col("uuid").as("u1"))
+    val b = withKey.select(col("g"), col("norm"), col("uuid").as("u2"))
+    val keyPairs = a.join(b, Seq("g", "norm")).filter(col("u1") < col("u2")).select(col("u1"), col("u2"))
     // block 2: MinHash-LSH over word tokens (multi-word names), verified
     // by exact token-Jaccard ≥ 0.8
-    val sh = nodes
-      .select(col("uuid"), col("name"))
+    val sh = grouped
+      .select(col("group_id").as("g"), col("uuid"), col("name"))
       .withColumn("sh", nameTokens(col("name")))
       .filter(size(col("sh")) >= 2) // single-token names are key-block territory
       .withColumn("mh", Dedup.minhashSignature(col("sh"), 8))
     val banded = sh.select(
+      col("g"),
       col("uuid"),
       col("sh"),
       posexplode(array((0 until 8).map(k => concat(lit(s"$k:"), element_at(col("mh"), k + 1))): _*))
         .as(Seq("band", "key")),
     )
-    val la = banded.select(col("band"), col("key"), col("uuid").as("u1"), col("sh").as("s1"))
-    val lb = banded.select(col("band"), col("key"), col("uuid").as("u2"), col("sh").as("s2"))
+    val la = banded.select(col("g"), col("band"), col("key"), col("uuid").as("u1"), col("sh").as("s1"))
+    val lb = banded.select(col("g"), col("band"), col("key"), col("uuid").as("u2"), col("sh").as("s2"))
     val lshPairs = la
-      .join(lb, Seq("band", "key"))
+      .join(lb, Seq("g", "band", "key"))
       .filter(col("u1") < col("u2"))
       .dropDuplicates("u1", "u2")
       .filter(Dedup.jaccard(col("s1"), col("s2")) >= 0.8)

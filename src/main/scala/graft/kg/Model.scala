@@ -25,6 +25,7 @@ final case class Episode(
     group_id: String,
     created_at: Timestamp,
     valid_at: Timestamp,
+    entity_edges: Seq[String], // edge uuids created from this episode (graphiti.py:549)
 )
 
 final case class EntityNode(
@@ -35,6 +36,7 @@ final case class EntityNode(
     created_at: Timestamp,
     name_embedding: Seq[Float],
     summary: String,
+    attributes: Map[String, String], // typed attribute map (huggingface_driver.py:248-261)
 )
 
 final case class EntityEdge(
@@ -50,6 +52,7 @@ final case class EntityEdge(
     expired_at: Option[Timestamp],
     valid_at: Option[Timestamp],
     invalid_at: Option[Timestamp],
+    manual_invalid_at: Option[Timestamp], // explicit invalidate_edges(); survives rebuilds
 )
 
 object Ids {

@@ -84,7 +84,7 @@ object Dedup {
                  sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
           FROM toks, (SELECT unnest(range(0, 60)) AS bit) b
           GROUP BY id, b.bit)
-        SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
         FROM votes GROUP BY id ORDER BY id
       """),
     ),

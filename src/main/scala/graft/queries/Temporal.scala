@@ -294,10 +294,10 @@ object Temporal {
       },
       Some(s"""
         SELECT
-          sum(CASE WHEN invalid_at IS NOT NULL AND invalid_at <= valid_at THEN 1 ELSE 0 END) AS n_inverted_intervals,
-          sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS n_negative_values,
-          sum(CASE WHEN valid_at > TIMESTAMP '2025-01-01 00:00:00' THEN 1 ELSE 0 END) AS n_future_dates,
-          sum(CASE WHEN invalid_at IS NULL THEN 1 ELSE 0 END) AS n_open_intervals,
+          sum(CASE WHEN invalid_at IS NOT NULL AND invalid_at <= valid_at THEN 1 ELSE 0 END)::BIGINT AS n_inverted_intervals,
+          sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_negative_values,
+          sum(CASE WHEN valid_at > TIMESTAMP '2025-01-01 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS n_future_dates,
+          sum(CASE WHEN invalid_at IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_open_intervals,
           count(*) AS n_total
         FROM ($factsSql) f
       """),
@@ -356,7 +356,7 @@ object Temporal {
       },
       Some("""
         SELECT event_type,
-               sum(CASE WHEN dup_of_prev THEN 1 ELSE 0 END) AS n_band_dups,
+               sum(CASE WHEN dup_of_prev THEN 1 ELSE 0 END)::BIGINT AS n_band_dups,
                count(*) AS n
         FROM (
           SELECT event_type,

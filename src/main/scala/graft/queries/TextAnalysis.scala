@@ -136,9 +136,9 @@ object TextAnalysis {
       },
       Some("""
         SELECT source,
-               sum(len(string_split(text, ' '))) AS total_ws_tokens,
-               sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS total_alpha,
-               sum(len(regexp_extract_all(text, '[0-9]+'))) AS total_digit,
+               sum(len(string_split(text, ' ')))::BIGINT AS total_ws_tokens,
+               sum(len(regexp_extract_all(lower(text), '[a-z]+')))::BIGINT AS total_alpha,
+               sum(len(regexp_extract_all(text, '[0-9]+')))::BIGINT AS total_digit,
                count(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source
       """),

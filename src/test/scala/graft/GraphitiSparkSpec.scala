@@ -62,6 +62,72 @@ class GraphitiSparkSpec extends AnyFunSuite {
     assert(row.getAs[Timestamp]("expired_at") == at)
   }
 
+  test("manual invalidation survives a later batch rebuilding the same contention group") {
+    val g = fresh()
+    val e = f"Customer#${2}%09d" // no alias, not a mover → one open lives_in fact
+    val src = Ids.entity("default", e)
+    val edge = g.store
+      .load("edges")
+      .filter(col("source_uuid") === src && col("name") === "lives_in")
+      .collect()(0)
+    val at = new Timestamp(Fixtures.ts(700000L).getTime)
+    g.invalidateEdges(Seq(edge.getAs[String]("uuid")), at, "manual correction")
+    // a new episode re-asserts the SAME fact → mergeEdges rebuilds the group
+    g.addEpisode(
+      "https://t.example/reassert",
+      Fixtures.ts(800000L),
+      s"<html><body><p>$e lives in NATION_1.</p></body></html>".getBytes("UTF-8"),
+    )
+    val after = g.store
+      .load("edges")
+      .filter(col("source_uuid") === src && col("name") === "lives_in")
+      .collect()(0)
+    assert(after.getAs[Timestamp]("manual_invalid_at") == at)
+    assert(after.getAs[Timestamp]("invalid_at") == at) // not reopened by the rebuild
+  }
+
+  test("removeEpisode deletes nodes mentioned only by that episode") {
+    val g = fresh()
+    val url = "https://t.example/solo"
+    g.addEpisode(
+      url,
+      Fixtures.ts(900000L),
+      "<html><body><p>Zyzzyva#77 lives in NATION_0.</p></body></html>".getBytes("UTF-8"),
+    )
+    val solo = Ids.entity("default", "Zyzzyva#77")
+    assert(g.store.load("nodes").filter(col("uuid") === solo).count() == 1)
+    g.removeEpisode(url)
+    // Zyzzyva#77 was mentioned only by the removed episode → node deleted;
+    // NATION_0 is mentioned by other episodes → kept
+    assert(g.store.load("nodes").filter(col("uuid") === solo).count() == 0)
+    val n0 = {
+      val m = g.store.load("uuid_map").filter(col("uuid") === Ids.entity("default", "NATION_0")).collect()
+      if (m.nonEmpty) m(0).getString(1) else Ids.entity("default", "NATION_0")
+    }
+    assert(g.store.load("nodes").filter(col("uuid") === n0).count() == 1)
+  }
+
+  test("nodes carry the full reference schema; episodes carry entity_edges") {
+    val g = fresh()
+    val row = g.store.load("nodes").limit(1).collect()(0)
+    Seq("uuid", "name", "group_id", "labels", "created_at", "name_embedding", "summary", "attributes")
+      .foreach(c => assert(row.fieldIndex(c) >= 0))
+    assert(g.store.load("nodes").filter(col("created_at").isNull).count() == 0)
+    assert(g.store.load("nodes").filter(col("summary").isNull).count() == 0)
+    val n2 = Ids.entity("default", f"Customer#${2}%09d")
+    val attrs = g.store.load("nodes").filter(col("uuid") === n2).collect()(0).getMap[String, String](7)
+    assert(attrs("entity_type") == "Person")
+    assert(attrs("mention_count").toInt >= 1)
+    // every episode that produced an edge lists it in entity_edges
+    val ep = Ids.episode("default", "https://t.example/c/1")
+    val ee = g.store.load("episodes").filter(col("uuid") === ep).collect()(0).getSeq[String](
+      g.store.load("episodes").schema.fieldIndex("entity_edges"),
+    )
+    assert(ee.nonEmpty)
+    val edgeUuids = g.store.load("edges").filter(array_contains(col("episodes"), ep)).collect().map(_.getAs[String]("uuid")).toSet
+    assert(ee.toSet == edgeUuids)
+  }
+
   test("deleteNodesByUuids cascades to incident edges") {
     val g = fresh()
     val n = Ids.entity("default", "NATION_0")

@@ -69,6 +69,41 @@ class InvalidationSpec extends AnyFunSuite {
     assert(got(1).getAs[Timestamp]("invalid_at") == null)
   }
 
+  test("simultaneous contradicting facts both stay valid (strict inequality, edge_operations.py:400-409)") {
+    val edges = Seq(
+      edge("a", "lives_in", "X", 0),
+      edge("a", "lives_in", "Y", 0), // same valid_at as X: neither closes the other
+      edge("a", "lives_in", "Z", 5),
+    ).toDF(cols: _*)
+    val got = Invalidation
+      .invalidate(Invalidation.dedupeFacts(edges))
+      .orderBy(col("target_uuid"))
+      .collect()
+    // X and Y are both closed by Z (the next STRICTLY later fact), not by
+    // each other — no empty validity intervals
+    assert(got(0).getAs[Timestamp]("invalid_at") == t(5))
+    assert(got(1).getAs[Timestamp]("invalid_at") == t(5))
+    assert(got(2).getAs[Timestamp]("invalid_at") == null)
+  }
+
+  test("manual_invalid_at survives dedupe and caps invalid_at (invalidate_edges persistence)") {
+    val manual = t(3)
+    val withManual = Seq(edge("a", "lives_in", "X", 0), edge("a", "lives_in", "Y", 5))
+      .toDF(cols: _*)
+      .withColumn(
+        "manual_invalid_at",
+        when(col("target_uuid") === "X", lit(manual)).otherwise(lit(null).cast("timestamp")),
+      )
+    val got = Invalidation
+      .invalidate(Invalidation.dedupeFacts(withManual))
+      .orderBy(col("valid_at"))
+      .collect()
+    // X's window closer would be t(5); the earlier manual invalidation wins
+    assert(got(0).getAs[Timestamp]("invalid_at") == manual)
+    assert(got(0).getAs[Timestamp]("manual_invalid_at") == manual)
+    assert(got(1).getAs[Timestamp]("invalid_at") == null)
+  }
+
   test("point-in-time predicate (temporal_manager.py:310-314)") {
     val edges = Seq(edge("a", "lives_in", "X", 0), edge("a", "lives_in", "Y", 5)).toDF(cols: _*)
     val inv = Invalidation.invalidate(Invalidation.dedupeFacts(edges))
