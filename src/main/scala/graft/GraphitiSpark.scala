@@ -60,8 +60,18 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
         Seq(epUuid),
       ),
     ).toDF("source_uuid", "name", "target_uuid", "fact", "group_id", "valid_at", "created_at", "episodes")
-    val remapped =
-      if (store.exists("uuid_map")) kg.Linking.remapPointers(raw, store.load("uuid_map")) else raw
+    // canonical-map PROBE for the two endpoints (index read, not a full
+    // map broadcast — the single-row save stays O(1) against the corpus)
+    val endpoints = raw
+      .select(col("source_uuid").as("uuid"))
+      .unionByName(raw.select(col("target_uuid").as("uuid")))
+      .distinct()
+    val m =
+      if (store.exists("uuid_map_by_uuid")) store.loadForKeys("uuid_map_by_uuid", endpoints, Seq("uuid"))
+      else if (store.exists("uuid_map"))
+        store.load("uuid_map").join(endpoints, Seq("uuid"), "left_semi")
+      else raw.sparkSession.emptyDataFrame
+    val remapped = if (store.exists("uuid_map")) kg.Linking.remapPointers(raw, m) else raw
     IncrementalIngest.mergeEdges(store, remapped, batchId = -2L)
   }
 
@@ -129,6 +139,96 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     store.commit(edges, "edges", s"invalidate ${uuids.size} edges: $reason")
   }
 
+  /** Resolve conflicting temporal records of the same logical edge —
+    * rows sharing (group_id, source_uuid, name, target_uuid) with different
+    * valid_at (temporal_edge_invalidation, temporal_manager.py:530-618).
+    * Strategies:
+    *  - "first_wins": keep the earliest record, expire the rest now;
+    *  - "last_wins":  keep the latest record, expire the rest now;
+    *  - "merge":      collapse the group to ONE record spanning
+    *                  [min(valid_at), max(invalid_at)] (`_merge_temporal_
+    *                  records`, :1447-1465);
+    *  - "invalidate": expire every conflicting record (also the MANUAL
+    *                  fallback, :581-584).
+    * Single-record groups are untouched (":559-560").
+    */
+  def resolveConflicts(strategy: String, now: Timestamp): Unit = {
+    require(
+      Set("first_wins", "last_wins", "merge", "invalidate").contains(strategy),
+      s"unknown conflict strategy: $strategy",
+    )
+    import org.apache.spark.sql.expressions.Window
+    val key = Seq(col("group_id"), col("source_uuid"), col("name"), col("target_uuid"))
+    val edges = store.load("edges")
+    val wAsc = Window.partitionBy(key: _*).orderBy(col("valid_at"), col("uuid"))
+    val wDesc = Window.partitionBy(key: _*).orderBy(col("valid_at").desc, col("uuid").desc)
+    val wAll = Window.partitionBy(key: _*)
+    val marked = edges
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__rn_first", row_number().over(wAsc))
+      .withColumn("__rn_last", row_number().over(wDesc))
+    val resolved = strategy match {
+      case "first_wins" =>
+        marked.withColumn(
+          "expired_at",
+          when(col("__n") > 1 && col("__rn_first") =!= 1, least(lit(now), col("expired_at"))).otherwise(col("expired_at")),
+        )
+      case "last_wins" =>
+        marked.withColumn(
+          "expired_at",
+          when(col("__n") > 1 && col("__rn_last") =!= 1, least(lit(now), col("expired_at"))).otherwise(col("expired_at")),
+        )
+      case "invalidate" =>
+        marked.withColumn(
+          "expired_at",
+          when(col("__n") > 1, least(lit(now), col("expired_at"))).otherwise(col("expired_at")),
+        )
+      case "merge" =>
+        // one surviving row per group: earliest record widened to the
+        // group's full span; invalid_at = max non-null (NULL = still open
+        // only when EVERY record is open, mirroring the reference's
+        // max(..., default=None))
+        marked
+          .withColumn("__anyOpen", max(when(col("invalid_at").isNull, 1).otherwise(0)).over(wAll))
+          .withColumn("__maxInv", max(col("invalid_at")).over(wAll))
+          .filter(col("__rn_first") === 1)
+          .withColumn(
+            "invalid_at",
+            when(col("__n") > 1, when(col("__maxInv").isNotNull, col("__maxInv"))).otherwise(col("invalid_at")),
+          )
+          .drop("__anyOpen", "__maxInv")
+    }
+    store.commit(
+      resolved.drop("__n", "__rn_first", "__rn_last"),
+      "edges",
+      s"resolve temporal conflicts: $strategy",
+    )
+  }
+
+  /** Age-based auto cleanup (auto_temporal_cleanup,
+    * temporal_manager.py:1227-1322): records invalidated before `cutoff`
+    * are archived in place ("soft": flagged, kept queryable) or removed
+    * ("hard"). Returns the number of records cleaned.
+    */
+  def cleanupAged(strategy: String, cutoff: Timestamp): Long = {
+    require(Set("soft", "hard").contains(strategy), s"unknown cleanup strategy: $strategy")
+    val edges = store.load("edges")
+    val old = col("invalid_at").isNotNull && col("invalid_at") < lit(cutoff)
+    strategy match {
+      case "soft" =>
+        val withFlag =
+          (if (edges.columns.contains("archived")) edges else edges.withColumn("archived", lit(false)))
+            .withColumn("archived", col("archived") || old)
+        store.commit(withFlag, "edges", s"soft cleanup before $cutoff")
+        withFlag.filter(col("archived")).count()
+      case "hard" =>
+        val kept = edges.filter(!coalesce(old, lit(false)))
+        val removed = edges.count() - kept.count()
+        store.commit(kept, "edges", s"hard cleanup before $cutoff")
+        removed
+    }
+  }
+
   /** Delete everything for a group (delete_by_group_id). */
   def deleteGroup(group: String): Unit =
     Seq("episodes", "nodes", "edges", "episodic_edges").foreach { t =>
@@ -149,6 +249,14 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
   }
 
   def buildCommunities(): Unit = Communities.build(store)
+
+  /** (Re)build the query-time search indexes (BM25 inverted index + ANN
+    * signature buckets) from the current snapshots — the explicit analog
+    * of the reference's `optimize_performance` prebuild
+    * (performance_optimizer.py:184-237). Incremental batches keep them
+    * fresh automatically once built.
+    */
+  def buildSearchIndexes(): Unit = graft.search.SearchIndexes.build(store)
 
   def search(
       query: String,

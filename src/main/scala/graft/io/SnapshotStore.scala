@@ -109,7 +109,47 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   }
 
   def loadVersion(table: String, version: Int): DataFrame =
-    spark.read.parquet(tableDir(table).resolve(s"v=$version").toString)
+    readManifest(table, version) match {
+      case Some(m) =>
+        // bucketed snapshot: assemble the manifest-referenced bucket dirs
+        // (carried buckets live in OLDER version dirs — zero-copy reuse)
+        val dirs = m.buckets.toSeq.sortBy(_._1).map { case (b, (v, _)) =>
+          tableDir(table).resolve(s"v=$v").resolve(s"__bucket=$b").toString
+        }
+        if (dirs.isEmpty) spark.emptyDataFrame
+        else spark.read.parquet(dirs: _*)
+      case None =>
+        spark.read.parquet(tableDir(table).resolve(s"v=$version").toString)
+    }
+
+  /** Index-probe read: rows of `table` whose `keyCols` values appear in
+    * `keys`. On a bucketed table this reads ONLY the hash buckets the keys
+    * fall in (manifest-addressed partition pruning) — an index probe, not
+    * a scan; `keyCols` must equal the table's bucketBy columns. On a plain
+    * table it degrades to scan + semi-join.
+    */
+  def loadForKeys(table: String, keys: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val v = currentVersion(table).getOrElse(sys.error(s"no committed snapshot for $table"))
+    readManifest(table, v) match {
+      case Some(m) =>
+        val wanted = keys
+          .select(keyCols.map(col): _*)
+          .distinct()
+          .withColumn("__bucket", bucketExpr(keyCols, m.numBuckets))
+        val buckets = wanted.select(col("__bucket")).distinct().collect().map(_.getInt(0)).toSet
+        val dirs = m.buckets.collect {
+          case (b, (ver, _)) if buckets.contains(b) =>
+            tableDir(table).resolve(s"v=$ver").resolve(s"__bucket=$b").toString
+        }.toSeq
+        if (dirs.isEmpty) load(table).limit(0)
+        else
+          spark.read
+            .parquet(dirs: _*)
+            .join(broadcast(wanted.drop("__bucket")), keyCols, "left_semi")
+      case None =>
+        load(table).join(broadcast(keys.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
+    }
+  }
 
   /** Re-point the table at an older snapshot (time travel / rollback). */
   def rollback(table: String, version: Int): Unit = {
@@ -135,6 +175,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     * current snapshot; new keys are appended (MERGE INTO ... WHEN MATCHED
     * UPDATE WHEN NOT MATCHED INSERT, expressed as anti-join ∪ updates —
     * the copy-on-write analog of Iceberg merge-on-read).
+    *
+    * NOTE: rewrites the WHOLE table per merge — fine for small tables and
+    * bulk rebuilds; incremental micro-batches should use [[mergeBucketed]]
+    * (work ∝ touched buckets, not corpus).
     */
   def merge(table: String, updates: DataFrame, key: Seq[String], message: String): Int = {
     val merged =
@@ -142,6 +186,164 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       else load(table).join(updates.select(key.map(col): _*), key, "left_anti").unionByName(updates)
     commit(merged, table, message)
   }
+
+  // ------------------------------------------------------------------
+  // Bucketed merge-on-read: hash-bucket layout + per-version manifest
+  // ------------------------------------------------------------------
+
+  /** Default bucket count for bucketed tables. Sized for the test corpus;
+    * at 100 TB size it so one bucket ≈ one executor task's comfortable
+    * input (e.g. 2^15–2^17 buckets).
+    */
+  val DefaultBuckets = 64
+
+  private def bucketExpr(key: Seq[String], numBuckets: Int) =
+    pmod(xxhash64(key.map(col): _*), lit(numBuckets)).cast("int")
+
+  /** Bucketed key-based upsert — the merge-on-read analog of an Iceberg
+    * `bucket(key)` partition layout. The table's rows live in `numBuckets`
+    * hash buckets of `key`; a merge rewrites ONLY the buckets containing
+    * affected keys and carries every other bucket forward by MANIFEST
+    * REFERENCE (`_manifest.json`: bucket → version that owns its files) —
+    * zero data copied for untouched buckets. Work per merge ∝ batch size +
+    * size of touched buckets, not corpus size — the scale-safe shape for
+    * micro-batch ingest (the reference's incremental deltas,
+    * incremental_updater.py:94-388, against a 10^12-doc corpus).
+    *
+    * Same replace-by-key semantics as [[merge]] (key may be non-unique:
+    * all old rows with a matching key are replaced by the update rows).
+    * `deleteKeys` additionally removes old rows whose key matches without
+    * re-inserting (for cascade deletes inside touched buckets).
+    */
+  def mergeBucketed(
+      table: String,
+      updates: DataFrame,
+      key: Seq[String],
+      message: String,
+      numBuckets: Int = DefaultBuckets,
+      deleteKeys: Option[DataFrame] = None,
+      bucketBy: Seq[String] = Nil,
+  ): Int = {
+    // bucketBy (default = key) may be a SUBSET of the match key: rows with
+    // equal match keys then still colocate, and the table is additionally
+    // probe-able by the bucketBy prefix alone (loadForKeys)
+    val bCols = if (bucketBy.nonEmpty) bucketBy else key
+    val prev = currentVersion(table)
+    val prevManifest = prev
+      .flatMap(v => readManifest(table, v))
+      // a bucket-count change invalidates the hash layout → full rewrite
+      .filter(_.numBuckets == numBuckets)
+    // legacy plain table (no manifest / re-bucketed): fold ALL existing
+    // rows into this write once; subsequent merges are incremental
+    val legacyAll = prev.isDefined && prevManifest.isEmpty
+
+    val withB = updates.withColumn("__bucket", bucketExpr(bCols, numBuckets))
+    val delB = deleteKeys.map(_.withColumn("__bucket", bucketExpr(bCols, numBuckets)))
+    val affected: Set[Int] =
+      (withB.select(col("__bucket")).distinct().collect().map(_.getInt(0)) ++
+        delB.toSeq.flatMap(_.select(col("__bucket")).distinct().collect().map(_.getInt(0)))).toSet
+
+    // previous rows of the affected buckets only (manifest-addressed dirs)
+    val oldAffected: Option[DataFrame] =
+      if (legacyAll) Some(load(table))
+      else
+        prevManifest.flatMap { m =>
+          val dirs = m.buckets.collect {
+            case (b, (v, _)) if affected.contains(b) =>
+              tableDir(table).resolve(s"v=$v").resolve(s"__bucket=$b").toString
+          }.toSeq
+          if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+        }
+
+    val keptOld = oldAffected.map { old =>
+      val afterDel = deleteKeys match {
+        case Some(dk) => old.join(dk.select(key.map(col): _*).distinct(), key, "left_anti")
+        case None => old
+      }
+      afterDel.join(updates.select(key.map(col): _*).distinct(), key, "left_anti")
+    }
+    val merged = keptOld
+      .map(_.unionByName(updates, allowMissingColumns = true))
+      .getOrElse(updates)
+      .withColumn("__bucket", bucketExpr(bCols, numBuckets))
+
+    val next = versions(table).lastOption.getOrElse(-1) + 1
+    val dir = tableDir(table).resolve(s"v=$next")
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(dir.toString)
+    // an all-empty result writes no bucket dirs; fall back to a PLAIN empty
+    // snapshot (schema-preserving — a manifest with zero buckets would lose
+    // the schema on load)
+    if (bucketDirsIn(dir).isEmpty && (legacyAll || prevManifest.forall(m => m.buckets.forall { case (b, _) => affected.contains(b) }))) {
+      merged.drop("__bucket").write.mode("overwrite").parquet(dir.toString)
+      val commitJson =
+        s"""{"version":$next,"message":${jstr(message)},"fingerprint":"",
+           |"rows":0,"rewritten_buckets":${affected.size},"total_buckets":0,
+           |"committed_at":${System.currentTimeMillis()}}""".stripMargin
+      Files.write(dir.resolve("_commit.json"), commitJson.getBytes(StandardCharsets.UTF_8))
+      publish(table, next)
+      return next
+    }
+
+    // per-bucket row counts for the WRITTEN buckets from parquet FOOTERS
+    // (metadata only, no recompute); carried buckets keep their recorded
+    // counts — so total rows and per-bucket lineage cost O(touched), not
+    // O(corpus)
+    val written = bucketDirsIn(dir)
+    val writtenCounts = written.sorted.map { b =>
+      b -> (next, partitionRowCounts(dir.resolve(s"__bucket=$b")).map(_._2).sum)
+    }.toMap
+    val carried: Map[Int, (Int, Long)] =
+      if (legacyAll) Map.empty
+      else prevManifest.map(_.buckets.filterNot { case (b, _) => affected.contains(b) }).getOrElse(Map.empty)
+    val manifest = Manifest(numBuckets, carried ++ writtenCounts)
+    Files.write(
+      dir.resolve("_manifest.json"),
+      manifestJson(manifest).getBytes(StandardCharsets.UTF_8),
+    )
+    val rows = manifest.buckets.valuesIterator.map(_._2).sum
+    val commitJson =
+      s"""{"version":$next,"message":${jstr(message)},"fingerprint":"",
+         |"rows":$rows,"rows_written":${writtenCounts.valuesIterator.map(_._2).sum},
+         |"rewritten_buckets":${affected.size},"total_buckets":${manifest.buckets.size},
+         |"committed_at":${System.currentTimeMillis()}}""".stripMargin
+    Files.write(dir.resolve("_commit.json"), commitJson.getBytes(StandardCharsets.UTF_8))
+    publish(table, next)
+    next
+  }
+
+  /** bucket → (version that owns its files, row count). */
+  private final case class Manifest(numBuckets: Int, buckets: Map[Int, (Int, Long)])
+
+  private def manifestJson(m: Manifest): String = {
+    val entries = m.buckets.toSeq.sortBy(_._1).map { case (b, (v, n)) => s""""$b":[$v,$n]""" }.mkString(",")
+    s"""{"num_buckets":${m.numBuckets},"buckets":{$entries}}"""
+  }
+
+  private def readManifest(table: String, version: Int): Option[Manifest] = {
+    val p = tableDir(table).resolve(s"v=$version").resolve("_manifest.json")
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val nb = """"num_buckets":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+      val entries = """"(\d+)":\[(\d+),(\d+)\]""".r
+        .findAllMatchIn(s.substring(s.indexOf("\"buckets\"")))
+        .map(m => m.group(1).toInt -> (m.group(2).toInt, m.group(3).toLong))
+        .toMap
+      Some(Manifest(nb, entries))
+    }
+  }
+
+  private def bucketDirsIn(dir: Path): Seq[Int] =
+    if (!Files.exists(dir)) Seq.empty
+    else
+      Files
+        .list(dir)
+        .iterator()
+        .asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toInt)
+        .toSeq
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {

@@ -129,6 +129,11 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
           min(col("warc_ts")).as("created_at"),
           count(lit(1)).as("mention_count"),
         )
+        .localCheckpoint()
+      // node_stats doubles as the incremental-ingest stats index (all three
+      // aggregates are decomposable: min/min/sum) — committed here so
+      // IncrementalIngest never re-scans raw_triples to bootstrap it
+      store.mergeBucketed("node_stats", nodeFacts, Seq("cuuid"), "node mention stats index")
       val canon = raw
         .join(m, Seq("uuid"), "left")
         .withColumn("canonical", coalesce(col("canonical"), col("uuid")))
@@ -225,6 +230,26 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
           lit("IS_DUPLICATE_OF").as("name"),
         )
       store.commit(dupEdges, "duplicate_of_edges", "duplicate-of edges", dupFp)
+    } }
+
+    // ---- stage 8.5: incremental-ingest indexes (node_blocks /
+    // uuid_map_by_uuid / node_stats / edge_endpoints), bucketed — so the
+    // FIRST micro-batch after a bulk load probes instead of re-scanning
+    // the corpus (IncrementalIngest; cheap byproducts of stages 3-6) ----
+    timed("indexes") {
+      graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark)
+    }
+
+    // ---- stage 8.6: query-time search indexes (BM25 inverted index +
+    // corpus stats per text surface, ANN signature buckets) — committed at
+    // pipeline time so a query probes posting/signature buckets instead of
+    // scanning the corpus (prebuilt indices, performance_optimizer.py:
+    // 184-237, vector_search.py:36-189). Fingerprinted for resume.
+    val sidxFp = fp("search_indexes", Seq(inputFingerprint, groupId))
+    timed("search_indexes") { if (!store.hasFingerprint("edges_bm25stats", sidxFp)) {
+      graft.search.SearchIndexes.build(store)
+      // stamp resume fingerprint on the (tiny) stats table commit
+      store.commit(store.load("edges_bm25stats"), "edges_bm25stats", "search indexes built", sidxFp)
     } }
 
     // ---- stage 9: back-fill episodes.entity_edges — the reference keeps

@@ -57,6 +57,36 @@ object Linking {
     * ("Customer#000000001" vs "...002") are char-trigram-similar but NOT
     * duplicates; whole-token overlap keeps them apart.
     */
+  /** Blocking keys of a node set: (key, uuid), where key is the
+    * group-scoped exact normalized-name key or one of the 8 MinHash band
+    * keys. Two nodes can be duplicate candidates ONLY if they share a key
+    * (this is precisely [[duplicatePairs]]' candidate space). Persisted as
+    * the `node_blocks` index so incremental linking probes only the keys a
+    * batch touches instead of re-blocking the corpus
+    * (IncrementalIngest; reference: incremental_updater.py:94-388).
+    */
+  def blockingKeys(nodes: DataFrame): DataFrame = {
+    val grouped =
+      if (nodes.columns.contains("group_id")) nodes
+      else nodes.withColumn("group_id", lit("default"))
+    val base = grouped.select(col("group_id").as("g"), col("uuid"), col("name"))
+    val exact = base.select(
+      concat(col("g"), lit("|k|"), normName(col("name"))).as("key"),
+      col("uuid"),
+    )
+    val bands = base
+      .withColumn("sh", nameTokens(col("name")))
+      .filter(size(col("sh")) >= 2)
+      .withColumn("mh", Dedup.minhashSignature(col("sh"), 8))
+      .select(
+        col("g"),
+        col("uuid"),
+        explode(array((0 until 8).map(k => concat(lit(s"$k:"), element_at(col("mh"), k + 1))): _*)).as("band"),
+      )
+      .select(concat(col("g"), lit("|b|"), col("band")).as("key"), col("uuid"))
+    exact.unionByName(bands).distinct()
+  }
+
   def duplicatePairs(nodes: DataFrame): DataFrame = {
     // group isolation: blocking keys are scoped by group_id — two tenants
     // mentioning "Acme" must NOT link (the reference partitions every node

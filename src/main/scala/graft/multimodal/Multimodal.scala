@@ -7,17 +7,54 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed batch-wise in
   * `mapPartitions` (the Scala analog of `mapInPandas` batch UDFs).
   *
-  * The actual image/audio DECODE is STUBBED (no codec libraries ship in
-  * this environment): [[decodeStub]] produces a deterministic
+  * IMAGE decode is REAL: `javax.imageio` (PNG/BMP/GIF — ships in the JDK)
+  * → width/height + 16-bin luminance histogram + per-channel means
+  * ([[decodeImage]]). Audio/video decode is STUBBED (no codec libraries
+  * ship in this environment): [[decodeStub]] produces a deterministic
   * byte-histogram "feature vector" so the Spark-side plumbing — schema,
   * url-hash partitioning, batch shape, feature column types — is real and
-  * tested end-to-end. Swap [[decodeStub]] for a real decoder (JPEG →
-  * pixels, PCM frames, video frame-sampling) without touching the plan.
+  * tested end-to-end for every kind.
   */
 object Multimodal {
 
   final case class MediaRow(id: String, kind: String, media: Array[Byte], width: Int, height: Int)
   final case class MediaFeatures(id: String, kind: String, nBytes: Long, features: Array[Float])
+
+  /** REAL image decode (PNG/BMP/GIF via ImageIO): features =
+    * [width, height, meanR, meanG, meanB, 16-bin luminance histogram
+    * (L1-normalized)] — 21 floats. Returns None if the bytes are not a
+    * decodable image (caller falls back to [[decodeStub]]).
+    */
+  def decodeImage(media: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      val hist = new Array[Float](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          // ITU-R BT.601 integer luminance, binned to 16 levels
+          val lum = (299 * r + 587 * g + 114 * b) / 1000
+          hist(lum >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).max(1L).toFloat
+      Array(w.toFloat, h.toFloat, (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat) ++
+        hist.map(_ / n)
+    }
+  }
 
   /** STUB decode: 16-bin byte histogram, L1-normalized. Deterministic
     * pure function of the bytes — stands in for pixel/audio decoding.
@@ -47,9 +84,13 @@ object Multimodal {
       .select(col("id"), col("kind"), col("media"))
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init point for a real decoder
+        // per-partition init point for a real decoder; images use the REAL
+        // ImageIO path, other kinds (audio/video) the disclosed stub
         it.map { case (id, kind, bytes) =>
-          MediaFeatures(id, kind, bytes.length.toLong, decodeStub(bytes))
+          val feats =
+            if (kind == "image") decodeImage(bytes).getOrElse(decodeStub(bytes))
+            else decodeStub(bytes)
+          MediaFeatures(id, kind, bytes.length.toLong, feats)
         }
       }
   }

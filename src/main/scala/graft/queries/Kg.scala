@@ -197,7 +197,55 @@ object Kg {
           .agg(count(lit(1)).as("n_mentions"), countDistinct(col("surface")).as("n_distinct"))
           .orderBy(col("entityType"))
       },
-      None, // mention positions aren't relationally re-derivable in SQL
+      // Counts per type ARE relationally re-derivable: each mention the NER
+      // regex finds comes from a known slot of the page templates
+      // (Pages.customerPages / supplierPages; <head> is dropped by
+      // HtmlText.textOf, so only h1 + body mentions count). One UNION ALL
+      // branch per template slot. Positions are not derivable — only the
+      // aggregate is checked.
+      Some("""
+        WITH m AS (
+          -- customer base page: h1, 'lives in' subj, 'shops in' subj
+          SELECT c_name AS surface FROM customer
+          UNION ALL SELECT c_name FROM customer
+          UNION ALL SELECT c_name FROM customer
+          -- 'lives in <nation>' object
+          UNION ALL SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+          -- '<segment> segment' mention
+          UNION ALL SELECT c_mktsegment FROM customer
+          -- one 'placed order' sentence per order: subject + Order#k
+          UNION ALL SELECT c_name FROM orders JOIN customer ON o_custkey = c_custkey
+          UNION ALL SELECT 'Order#' || o_orderkey FROM orders
+          -- contradiction page (custkey % 7 = 0): h1, body subj, new nation
+          UNION ALL SELECT c_name FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL SELECT c_name FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL SELECT n_name FROM customer JOIN nation ON (c_nationkey + 1) % 25 = n_nationkey
+                    WHERE c_custkey % 7 = 0
+          -- supplier page: h1, 'is located in' subj
+          UNION ALL SELECT s_name FROM supplier
+          UNION ALL SELECT s_name FROM supplier
+          -- 'is located in <nation>' obj + '<nation> is part of' subj
+          UNION ALL SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          UNION ALL SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          -- 'part of <region>' obj
+          UNION ALL SELECT r_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+          -- one 'supplies' sentence per distinct line-1 (suppkey, partkey)
+          UNION ALL SELECT s_name
+                    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_linenumber = 1) li
+                    JOIN supplier ON s_suppkey = l_suppkey
+          UNION ALL SELECT 'Part#' || l_partkey
+                    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_linenumber = 1) li
+        )
+        SELECT CASE WHEN surface LIKE 'Customer#%' THEN 'Person'
+                    WHEN surface LIKE 'Supplier#%' THEN 'Organization'
+                    WHEN surface LIKE 'NATION!_%' ESCAPE '!'
+                      OR surface LIKE 'REGION!_%' ESCAPE '!' THEN 'Place'
+                    ELSE 'Entity' END AS "entityType",
+               count(*) AS n_mentions,
+               count(DISTINCT surface) AS n_distinct
+        FROM m GROUP BY 1 ORDER BY "entityType"
+      """),
     ),
   )
 }

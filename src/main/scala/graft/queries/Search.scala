@@ -32,6 +32,30 @@ object Search {
       """),
     ),
 
+    // ---- BM25 via the PRECOMPUTED inverted index (SearchIndexes /
+    // performance_optimizer.py:184-237): postings (term, id, tf, dl, df)
+    // probed by query term + injected corpus stats — must equal the
+    // on-the-fly q_bm25 score exactly (same oracle) ----
+    QueryDef(
+      "q_bm25_indexed",
+      (s, dir) => {
+        val docs = T.load(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+        val stats = Bm25.corpusStats(docs).collect()(0)
+        val nDocs = stats.getAs[Long]("n_docs")
+        val avgdl = stats.getAs[Long]("total_dl").toDouble / nDocs
+        Bm25
+          .scoreIndexed(Bm25.postings(docs), nDocs, avgdl, QueryTerms)
+          .withColumn("score", round(col("score"), 6))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT id, round(score, 6) AS score
+        FROM (${Bm25.oracleSql("documents", "doc_id", "text", QueryTerms)}) b
+        ORDER BY score DESC, id LIMIT 20
+      """),
+    ),
+
     // ---- cosine top-k semantic search (vector_search.py:229-324):
     // query = vec_id 0's embedding, brute-force scored via higher-order
     // functions, top 20 ----
@@ -67,17 +91,24 @@ object Search {
       "q_rrf",
       (s, dir) => {
         val d = T.load(s, dir, "documents")
-        val wA = Window.orderBy(col("n_chars").desc, col("doc_id"))
+        // top-30 via distributed TakeOrdered (orderBy + limit) FIRST; the
+        // unpartitioned row_number window then runs over ≤ 30 rows only —
+        // a global window over the full table would single-partition it.
+        // constant partition key: the window runs over the ≤30 already-
+        // limited rows in one task without WindowExec's global-move warning
+        val wA = Window.partitionBy(lit(0)).orderBy(col("n_chars").desc, col("doc_id"))
         val listA = d
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(30)
           .withColumn("rank", row_number().over(wA))
-          .filter(col("rank") <= 30)
           .select(col("doc_id").as("id"), col("rank"))
         val tf = d
           .withColumn("sp", size(filter(split(lower(col("text")), " "), t => t === lit("spark"))))
-        val wB = Window.orderBy(col("sp").desc, col("doc_id"))
+        val wB = Window.partitionBy(lit(0)).orderBy(col("sp").desc, col("doc_id"))
         val listB = tf
+          .orderBy(col("sp").desc, col("doc_id"))
+          .limit(30)
           .withColumn("rank", row_number().over(wB))
-          .filter(col("rank") <= 30)
           .select(col("doc_id").as("id"), col("rank"))
         Rerank
           .rrf(Seq(listA, listB))

@@ -212,6 +212,61 @@ object Temporal {
       """),
     ),
 
+    // ---- conflict resolution: MERGE strategy (temporal_manager.py:577-579,
+    // 1447-1465 `_merge_temporal_records`): conflicting records of a key
+    // collapse to ONE record spanning [min(valid_at), max(invalid_at)],
+    // carrying how many records were merged; keys with a single record have
+    // no conflict and are skipped (":559-560") ----
+    QueryDef(
+      "q_conflict_merge",
+      (s, dir) => {
+        T.load(s, dir, "events")
+          .filter(col("user_id") < lit(40L))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(
+            min(col("ts")).as("valid_at"),
+            max(col("ts")).as("invalid_at"),
+            count(lit(1)).as("merged_from"),
+            min(col("event_id")).as("primary_event"),
+          )
+          .filter(col("merged_from") > lit(1))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""
+        SELECT user_id, event_type,
+               min(ts) AS valid_at, max(ts) AS invalid_at,
+               count(*) AS merged_from, min(event_id) AS primary_event
+        FROM events WHERE user_id < 40
+        GROUP BY user_id, event_type HAVING count(*) > 1
+        ORDER BY user_id, event_type
+      """),
+    ),
+
+    // ---- age-based auto cleanup (auto_temporal_cleanup,
+    // temporal_manager.py:1227-1322): records older than the cutoff are
+    // archived (soft) / deleted (hard); emit per-type archive/keep counts
+    // at a fixed cutoff — the soft-strategy marking, aggregated ----
+    QueryDef(
+      "q_cleanup_age",
+      (s, dir) => {
+        val cutoff = lit("2024-03-01 00:00:00").cast("timestamp")
+        T.load(s, dir, "events")
+          .withColumn("archived", col("ts") < cutoff)
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("archived"), 1L).otherwise(0L)).as("n_archived"),
+            sum(when(!col("archived"), 1L).otherwise(0L)).as("n_kept"),
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               sum(CASE WHEN ts < TIMESTAMP '2024-03-01 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS n_archived,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-03-01 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        FROM events GROUP BY event_type ORDER BY event_type
+      """),
+    ),
+
     // ---- temporal gap detection (diff of consecutive created_at,
     // temporal_manager.py:1749-1784) ----
     QueryDef(

@@ -49,6 +49,52 @@ object Bm25 {
       .agg(sum(col("w")).as("score"))
   }
 
+  // ------------------------------------------------------------------
+  // Inverted-index form (SearchIndexes: stats precomputed at pipeline
+  // time; a query probes only its terms' posting lists)
+  // ------------------------------------------------------------------
+
+  /** Per-(doc, term) frequencies with doc length: (term, id, tf, dl). */
+  def termFreqs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("id"), split(lower(col("text")), " ").as("tokens"))
+      .withColumn("dl", size(col("tokens")))
+      .select(col("id"), col("dl"), explode(col("tokens")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Full inverted index (term, id, tf, dl, df) — df denormalized per row
+    * so scoring needs no query-time aggregation join.
+    */
+  def postings(docs: DataFrame): DataFrame = {
+    val tf = termFreqs(docs)
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
+    tf.join(df, Seq("term"))
+  }
+
+  /** The two corpus scalars BM25 needs: (n_docs, total_dl). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(split(lower(col("text")), " "))), lit(0L)).as("total_dl"),
+    )
+
+  /** Score from a probed posting set (same formula as [[score]], corpus
+    * stats injected instead of recomputed — identical results when the
+    * index matches the corpus).
+    */
+  def scoreIndexed(probed: DataFrame, nDocs: Long, avgdl: Double, queryTerms: Seq[String]): DataFrame =
+    probed
+      .filter(col("term").isin(queryTerms: _*))
+      .withColumn("idf", log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(
+        "w",
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))),
+      )
+      .groupBy(col("id"))
+      .agg(sum(col("w")).as("score"))
+
   /** The same formula as a DuckDB SQL oracle over table `tbl`. */
   def oracleSql(tbl: String, idCol: String, textCol: String, queryTerms: Seq[String]): String = {
     val termList = queryTerms.map(t => s"'$t'").mkString(", ")

@@ -25,6 +25,10 @@ final case class KgSearchConfig(
     simMinScore: Double = 0.6,
     bfsMaxDepth: Int = 3,
     mmrLambda: Double = 0.5,
+    // probe the edge_ann signature buckets instead of exact-scanning the
+    // corpus in the cosine lane (the 100 TB path: ~1/256 of the corpus per
+    // query; approximate — same-bucket candidates only)
+    annLsh: Boolean = false,
 )
 
 final case class SearchResults(
@@ -36,7 +40,22 @@ final case class SearchResults(
 
 final class KgSearch(store: SnapshotStore) {
 
+  import SearchFilters.Filters
+
   private val PrefetchFactor = 2
+
+  /** Scope predicate applied to every lane BEFORE ranking: group_ids
+    * partition filter (the reference filters every search by group_ids —
+    * search.py:87-108, huggingface_driver.py:535-554) AND the SearchFilters
+    * CNF DSL (search_filters.py:26-123). Both reach the parquet scan as
+    * pushed-down predicates.
+    */
+  private def scoped(df: DataFrame, groupIds: Seq[String], filters: Filters): DataFrame = {
+    val g =
+      if (groupIds.isEmpty || !df.columns.contains("group_id")) lit(true)
+      else col("group_id").isin(groupIds: _*)
+    df.filter(g && SearchFilters.toPredicate(filters))
+  }
 
   private def queryEmbedding(query: String): Column = {
     val v = Embedder.embed(query)
@@ -46,6 +65,29 @@ final class KgSearch(store: SnapshotStore) {
   private def queryTerms(query: String): Seq[String] =
     query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
 
+  /** BM25 for one lane: when the precomputed inverted index exists
+    * (SearchIndexes), probe ONLY the query terms' posting-list buckets and
+    * inject the stored corpus stats — zero corpus re-tokenization per
+    * query; scores are corpus-global and results post-filtered to the
+    * scoped frame (the reference's prebuilt-BM25Okapi semantics,
+    * hybrid_search.py:108-122). Falls back to on-the-fly scoring over the
+    * scoped frame when no index is committed.
+    */
+  private def bm25Lane(table: String, scoped: DataFrame, textCol: String, query: String): DataFrame = {
+    val terms = queryTerms(query)
+    if (store.exists(s"${table}_postings") && store.exists(s"${table}_bm25stats")) {
+      val spark = scoped.sparkSession
+      import spark.implicits._
+      val stats = store.load(s"${table}_bm25stats").collect()(0)
+      val nDocs = stats.getAs[Long]("n_docs")
+      val avgdl = if (nDocs == 0) 1.0 else stats.getAs[Long]("total_dl").toDouble / nDocs
+      val probed = store.loadForKeys(s"${table}_postings", terms.toDF("term"), Seq("term"))
+      Bm25
+        .scoreIndexed(probed, nDocs, avgdl, terms)
+        .join(scoped.select(col("uuid").as("id")), Seq("id"), "left_semi")
+    } else Bm25.score(scoped, "uuid", textCol, terms)
+  }
+
   /** Rank column helper: 1-based rank by score desc, id asc. Top-n is
     * taken with distributed TakeOrdered (orderBy + limit) FIRST; the
     * unpartitioned row_number window then runs over ≤ n rows only (a
@@ -53,7 +95,7 @@ final class KgSearch(store: SnapshotStore) {
     */
   private def ranked(df: DataFrame, idCol: String, scoreCol: String, n: Int): DataFrame = {
     val top = df.orderBy(col(scoreCol).desc, col(idCol)).limit(n)
-    val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+    val w = Window.partitionBy(lit(0)).orderBy(col(scoreCol).desc, col(idCol))
     top.withColumn("rank", row_number().over(w))
       .select(col(idCol).as("id"), col("rank"))
   }
@@ -67,18 +109,32 @@ final class KgSearch(store: SnapshotStore) {
       originNode: Option[String] = None,
       asOf: Option[Timestamp] = None,
       config: KgSearchConfig = KgSearchConfig(),
+      groupIds: Seq[String] = Nil,
+      filters: Filters = Filters(),
   ): DataFrame = {
     val prefetch = config.limit * PrefetchFactor
-    val all = store.load("edges")
+    val all = scoped(store.load("edges"), groupIds, filters)
     val edges = asOf.map(t => Invalidation.validAt(all, t)).getOrElse(all)
 
     val lanes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // bm25 lane
-    val bm = Bm25.score(edges, "uuid", "fact", queryTerms(query))
+    // bm25 lane (indexed probe when SearchIndexes are committed)
+    val bm = bm25Lane("edges", edges, "fact", query)
     lanes += ranked(bm, "id", "score", prefetch)
-    // cosine lane (min-score 0.6 as the reference's sim_min_score)
-    val cos = edges
-      .withColumn("score", Vectors.cosine(col("fact_embedding"), queryEmbedding(query)))
+    // cosine lane (min-score 0.6 as the reference's sim_min_score); with
+    // annLsh: probe only the query's signature bucket of edge_ann
+    val cosBase =
+      if (config.annLsh && store.exists("edge_ann")) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val qdf = Seq((0L, Embedder.embed(query).toSeq)).toDF("qid", "qv")
+        val qsig = graft.sim.Ann.signature(spark, qdf, "qid", "qv").collect()(0).getAs[Int]("sig")
+        store
+          .loadForKeys("edge_ann", Seq(qsig).toDF("sig"), Seq("sig"))
+          .join(edges.select(col("uuid")), Seq("uuid"), "left_semi")
+          .withColumn("score", Vectors.cosine(col("v"), queryEmbedding(query)))
+      } else
+        edges.withColumn("score", Vectors.cosine(col("fact_embedding"), queryEmbedding(query)))
+    val cos = cosBase
       .filter(col("score") >= config.simMinScore)
       .select(col("uuid"), col("score"))
     lanes += ranked(cos, "uuid", "score", prefetch)
@@ -97,7 +153,7 @@ final class KgSearch(store: SnapshotStore) {
     }
 
     val fused = Rerank.rrf(lanes.toSeq).withColumnRenamed("rrf_score", "score")
-    val top = applyReranker(fused, edges, config, query)
+    val top = applyReranker(fused, edges, config, query, originNode)
     top
       .join(edges, top("id") === edges("uuid"))
       .select(
@@ -108,10 +164,15 @@ final class KgSearch(store: SnapshotStore) {
   }
 
   /** Node lane: BM25 over names ∪ cosine over name embeddings. */
-  def searchNodes(query: String, config: KgSearchConfig = KgSearchConfig()): DataFrame = {
+  def searchNodes(
+      query: String,
+      config: KgSearchConfig = KgSearchConfig(),
+      groupIds: Seq[String] = Nil,
+      filters: Filters = Filters(),
+  ): DataFrame = {
     val prefetch = config.limit * PrefetchFactor
-    val nodes = store.load("nodes")
-    val bm = Bm25.score(nodes, "uuid", "name", queryTerms(query))
+    val nodes = scoped(store.load("nodes"), groupIds, filters)
+    val bm = bm25Lane("nodes", nodes, "name", query)
     val cos = nodes
       .withColumn("score", Vectors.cosine(col("name_embedding"), queryEmbedding(query)))
       .filter(col("score") >= config.simMinScore)
@@ -128,9 +189,13 @@ final class KgSearch(store: SnapshotStore) {
   }
 
   /** Episode lane: BM25 over episode content (search.py:418-464). */
-  def searchEpisodes(query: String, config: KgSearchConfig = KgSearchConfig()): DataFrame = {
-    val episodes = store.load("episodes")
-    val bm = Bm25.score(episodes, "uuid", "content", queryTerms(query))
+  def searchEpisodes(
+      query: String,
+      config: KgSearchConfig = KgSearchConfig(),
+      groupIds: Seq[String] = Nil,
+  ): DataFrame = {
+    val episodes = scoped(store.load("episodes"), groupIds, Filters())
+    val bm = bm25Lane("episodes", episodes, "content", query)
     val top = ranked(bm, "id", "score", config.limit)
     top
       .join(episodes, top("id") === episodes("uuid"))
@@ -139,11 +204,15 @@ final class KgSearch(store: SnapshotStore) {
   }
 
   /** Community lane (search.py:467-518); None if communities not built. */
-  def searchCommunities(query: String, config: KgSearchConfig = KgSearchConfig()): Option[DataFrame] =
+  def searchCommunities(
+      query: String,
+      config: KgSearchConfig = KgSearchConfig(),
+      groupIds: Seq[String] = Nil,
+  ): Option[DataFrame] =
     if (!store.exists("communities")) None
     else {
-      val c = store.load("communities")
-      val bm = Bm25.score(c, "uuid", "summary", queryTerms(query))
+      val c = scoped(store.load("communities"), groupIds, Filters())
+      val bm = bm25Lane("communities", c, "summary", query)
       val top = ranked(bm, "id", "score", config.limit)
       Some(
         top
@@ -159,15 +228,23 @@ final class KgSearch(store: SnapshotStore) {
       originNode: Option[String] = None,
       asOf: Option[Timestamp] = None,
       config: KgSearchConfig = KgSearchConfig(),
+      groupIds: Seq[String] = Nil,
+      filters: Filters = Filters(),
   ): SearchResults =
     SearchResults(
-      edges = searchEdges(query, originNode, asOf, config),
-      nodes = searchNodes(query, config),
-      episodes = searchEpisodes(query, config),
-      communities = searchCommunities(query, config),
+      edges = searchEdges(query, originNode, asOf, config, groupIds, filters),
+      nodes = searchNodes(query, config, groupIds, filters),
+      episodes = searchEpisodes(query, config, groupIds),
+      communities = searchCommunities(query, config, groupIds),
     )
 
-  private def applyReranker(fused: DataFrame, edges: DataFrame, config: KgSearchConfig, lastQuery: String): DataFrame =
+  private def applyReranker(
+      fused: DataFrame,
+      edges: DataFrame,
+      config: KgSearchConfig,
+      lastQuery: String,
+      originNode: Option[String] = None,
+  ): DataFrame =
     config.reranker match {
       case "episode_mentions" =>
         // reorder by number of supporting episodes (search_utils.py:1939-1969)
@@ -206,6 +283,31 @@ final class KgSearch(store: SnapshotStore) {
           .join(overlap, Seq("id"))
           .orderBy(col("score").desc, col("id"))
           .limit(config.limit)
-      case _ => fused.orderBy(col("score").desc, col("id")).limit(config.limit)
+      case "node_distance" =>
+        // reorder by BFS distance from the origin node (node_distance
+        // reranker, search_utils.py:1885-1936): score = 1/(1+dist) of the
+        // edge's source endpoint; unreachable edges keep dist = ∞ → 0
+        val origin = originNode.getOrElse(
+          sys.error("node_distance reranker requires an originNode (search_utils.py:1894)"),
+        )
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val adj = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+        val dists = GraphOps
+          .bfs(GraphOps.undirect(adj), Seq(origin).toDF("node"), config.bfsMaxDepth)
+          .withColumnRenamed("node", "src_node")
+        val scoredE = edges
+          .join(dists, edges("source_uuid") === dists("src_node"), "left")
+          .select(col("uuid").as("id"), (lit(1.0) / (lit(1.0) + coalesce(col("dist"), lit(1e9)))).as("score"))
+        fused
+          .drop("score")
+          .join(scoredE, Seq("id"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(config.limit)
+      case "rrf" => fused.orderBy(col("score").desc, col("id")).limit(config.limit)
+      case other =>
+        // fail fast: a typo silently falling through to RRF would report
+        // results under the wrong reranker
+        sys.error(s"unknown reranker: $other (rrf|mmr|node_distance|episode_mentions|cross_encoder)")
     }
 }

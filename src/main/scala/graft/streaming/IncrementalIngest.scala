@@ -8,23 +8,83 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Incremental / streaming ingest — the re-expression of the reference's
   * `IncrementalUpdater` micro-batch deltas (`graphiti_hf/processing/
-  * incremental_updater.py:94-388`) on Structured Streaming `foreachBatch`:
-  * each batch of new pages runs the same extraction algebra, then merges
-  * into the committed snapshots touching ONLY affected contention groups:
+  * incremental_updater.py:94-388`) on Structured Streaming `foreachBatch`,
+  * engineered so EVERY step costs ∝ batch size (+ the components the batch
+  * actually touches), never ∝ corpus size:
   *
-  *  - nodes_raw / episodes / raw_triples: key-merge append;
-  *  - uuid_map: re-linked over the (small) distinct-surface table — new
-  *    aliases can re-canonicalize old nodes, so existing edges are passed
-  *    through the updated pointer map (two broadcast joins);
-  *  - edges: contention groups (group_id, source_uuid, name) present in
-  *    the batch are re-deduped + re-invalidated over existing ∪ new;
-  *    untouched groups are carried over verbatim (anti-join). This is the
-  *    merge-on-read-shaped upsert: work ∝ batch size, not corpus size.
+  *  - episodes / raw_triples / nodes_raw: bucketed merge — only hash
+  *    buckets containing batch keys are rewritten (SnapshotStore
+  *    .mergeBucketed manifests);
+  *  - linking: the batch's blocking keys probe the persisted `node_blocks`
+  *    index (bucketed by key) for candidate nodes; connected components
+  *    re-run ONLY over (new pairs ∪ the existing components they touch),
+  *    folded into `uuid_map` (bucketed by canonical) + `uuid_map_by_uuid`
+  *    (bucketed by uuid — the probe-side copy);
+  *  - node stats (summary / created_at / mention_count are all
+  *    decomposable aggregates): batch partials combine with the stored
+  *    `node_stats` rows of affected canonicals only;
+  *  - edges: contention groups to rebuild = groups keyed by the batch ∪
+  *    groups found via the `edge_endpoints` index for endpoints whose
+  *    canonical changed; everything else is never read;
+  *  - remapping uses the (small) DELTA of the canonical map — entries that
+  *    changed this batch plus the batch's own surfaces — broadcast, never
+  *    the full map.
   *
   * Rollback = SnapshotStore.rollback to the pre-batch version (the
   * reference's delta rollback, `incremental_updater.py:913-954`).
   */
 object IncrementalIngest {
+
+  private val GroupKey = Seq("group_id", "source_uuid", "name")
+
+  /** One-time index bootstrap for stores created by the BULK pipeline
+    * before these indexes existed (KgPipeline now commits them itself).
+    * Must run BEFORE the batch's rows are merged, so batch contributions
+    * are not double-counted.
+    */
+  private[graft] def bootstrapIndexes(store: SnapshotStore, spark: SparkSession): Unit = {
+    if (store.exists("nodes_raw") && !store.exists("node_blocks"))
+      store.mergeBucketed(
+        "node_blocks",
+        Linking.blockingKeys(store.load("nodes_raw")),
+        Seq("key", "uuid"),
+        "bootstrap node_blocks",
+        bucketBy = Seq("key"),
+      )
+    if (store.exists("uuid_map") && !store.exists("uuid_map_by_uuid"))
+      store.mergeBucketed("uuid_map_by_uuid", store.load("uuid_map"), Seq("uuid"), "bootstrap uuid_map_by_uuid")
+    if (store.exists("raw_triples") && !store.exists("node_stats")) {
+      val m =
+        if (store.exists("uuid_map")) broadcast(store.load("uuid_map"))
+        else { import spark.implicits._; broadcast(Seq.empty[(String, String)].toDF("uuid", "canonical")) }
+      val stats = store
+        .load("raw_triples")
+        .select(col("group_id").as("g"), explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+        .withColumn("uuid", md5(concat(lit("en|"), col("g"), lit("|"), col("name"))))
+        .join(m, Seq("uuid"), "left")
+        .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
+        .groupBy(col("cuuid"))
+        .agg(
+          min(col("fact")).as("summary"),
+          min(col("warc_ts")).as("created_at"),
+          count(lit(1)).as("mention_count"),
+        )
+      store.mergeBucketed("node_stats", stats, Seq("cuuid"), "bootstrap node_stats")
+    }
+    if (store.exists("edges") && !store.exists("edge_endpoints")) {
+      val idx = store
+        .load("edges")
+        .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
+        .distinct()
+      store.mergeBucketed(
+        "edge_endpoints",
+        idx,
+        Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
+        "bootstrap edge_endpoints",
+        bucketBy = Seq("endpoint_uuid"),
+      )
+    }
+  }
 
   /** Apply one batch of new pages to the store, scoped to `groupId` (the
     * reference partitions every entity/episode by group_id —
@@ -34,31 +94,52 @@ object IncrementalIngest {
   def ingestBatch(store: SnapshotStore, newPages: DataFrame, batchId: Long, groupId: String = "default"): Unit = {
     if (newPages.isEmpty) return
     val spark = newPages.sparkSession
+    import spark.implicits._
+    val gid = groupId
+
+    bootstrapIndexes(store, spark)
 
     val withText = newPages.withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
 
     // episodes: append new urls (entity_edges back-filled after mergeEdges)
-    val episodes = withText.select(
-      md5(concat(lit(s"ep|$groupId|"), col("url"))).as("uuid"),
+    // (pre-merge probe for the search-index refresh: the batch may replace
+    // existing episode rows)
+    val episodes0 = withText.select(
+      md5(concat(lit(s"ep|$gid|"), col("url"))).as("uuid"),
       col("url").as("name"),
       col("text").as("content"),
       lit("text").as("source"),
       lit("web crawl").as("source_description"),
-      lit(groupId).as("group_id"),
+      lit(gid).as("group_id"),
       col("warc_ts").as("created_at"),
       col("warc_ts").as("valid_at"),
       array().cast("array<string>").as("entity_edges"),
     )
-    store.merge("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes")
+    val episodes = episodes0.localCheckpoint()
+    val oldEpisodeDocs =
+      if (store.exists("episodes") && store.exists("episodes_postings"))
+        store
+          .loadForKeys("episodes", episodes.select(col("uuid")), Seq("uuid"))
+          .select(col("uuid").as("id"), col("content").as("text"))
+      else episodes.select(col("uuid").as("id"), col("content").as("text")).limit(0)
+    store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes")
+    graft.search.SearchIndexes.refreshText(
+      store, "episodes", oldEpisodeDocs,
+      episodes.select(col("uuid").as("id"), col("content").as("text")),
+    )
 
-    // raw triples for the new pages (single-pass, shuffle-free)
-    val triples = Extract.triplesTs(spark, withText).withColumn("group_id", lit(groupId))
-    store.merge("raw_triples", triples, Seq("group_id", "url", "subj", "pred", "obj"), s"incremental batch=$batchId triples")
+    // raw triples for the new pages (single extraction pass, materialized
+    // once — reused by surfaces / stats / edges below)
+    val triples = Extract
+      .triplesTs(spark, withText)
+      .withColumn("group_id", lit(gid))
+      .localCheckpoint()
+    store.mergeBucketed(
+      "raw_triples", triples, Seq("group_id", "url", "subj", "pred", "obj"),
+      s"incremental batch=$batchId triples",
+    )
 
-    // new surfaces → nodes_raw merge
-    val spark2 = spark
-    import spark2.implicits._
-    val gid = groupId
+    // new surfaces → nodes_raw merge (batch-sized)
     val surfaces = triples
       .select(col("subj").as("name"))
       .unionByName(triples.select(col("obj").as("name")))
@@ -66,21 +147,71 @@ object IncrementalIngest {
       .as[String]
       .mapPartitions(it => it.map(n => (graft.kg.Ids.entity(gid, n), n, Extract.entityTypeOf(n), Embedder.embed(n).toSeq, gid)))
       .toDF("uuid", "name", "label", "name_embedding", "group_id")
-    store.merge("nodes_raw", surfaces, Seq("uuid"), s"incremental batch=$batchId nodes_raw")
+      .localCheckpoint()
+    store.mergeBucketed("nodes_raw", surfaces, Seq("uuid"), s"incremental batch=$batchId nodes_raw")
 
-    // re-link over the merged surface table (distinct surfaces ≪ corpus)
-    val uuidMap = Linking.canonicalMap(Linking.duplicatePairs(store.load("nodes_raw")))
-    store.commit(uuidMap, "uuid_map", s"incremental batch=$batchId uuid_map")
+    // ---- incremental linking: candidates = nodes sharing a blocking key
+    // with the batch (node_blocks index probe); components = CC over
+    // (new pairs ∪ the existing components they touch) ----
+    val newBlocks = Linking.blockingKeys(surfaces)
+    store.mergeBucketed("node_blocks", newBlocks, Seq("key", "uuid"), s"incremental batch=$batchId blocks", bucketBy = Seq("key"))
+    val touchedKeys = newBlocks.select(col("key")).distinct()
+    val candUuids = store
+      .loadForKeys("node_blocks", touchedKeys, Seq("key"))
+      .select(col("uuid"))
+      .distinct()
+    val candNodes = store.loadForKeys("nodes_raw", candUuids, Seq("uuid"))
+    val pairs = Linking.duplicatePairs(candNodes).localCheckpoint()
 
-    // canonical nodes — same full schema as the bulk pipeline's stage 5
-    // (summary/created_at/mention_count from the merged raw_triples)
-    // raw_triples spans ALL groups ingested so far: reconstruct each
-    // mention's uuid with ITS OWN group prefix (not this batch's)
-    val allTriples = store.load("raw_triples")
-    val nodeFacts = allTriples
-      .select(col("group_id").as("g"), explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
-      .withColumn("uuid", md5(concat(lit("en|"), col("g"), lit("|"), col("name"))))
-      .join(broadcast(uuidMap), Seq("uuid"), "left")
+    val pairNodes = pairs
+      .select(col("u1").as("uuid"))
+      .unionByName(pairs.select(col("u2").as("uuid")))
+      .distinct()
+    val hasMap = store.exists("uuid_map")
+    // existing components touched by the new pairs (probe by member uuid,
+    // then fetch whole components by canonical); the by_uuid probe copy may
+    // not exist yet if the bulk map was empty — fall back to the plain map
+    val affCanon =
+      (if (store.exists("uuid_map_by_uuid"))
+         store.loadForKeys("uuid_map_by_uuid", pairNodes, Seq("uuid"))
+       else if (hasMap)
+         store.load("uuid_map").join(broadcast(pairNodes), Seq("uuid"), "left_semi")
+       else Seq.empty[(String, String)].toDF("uuid", "canonical"))
+        .select(col("canonical"))
+        .distinct()
+        .localCheckpoint()
+    val oldMapAff =
+      if (hasMap) store.loadForKeys("uuid_map", affCanon, Seq("canonical")).select(col("uuid"), col("canonical"))
+      else Seq.empty[(String, String)].toDF("uuid", "canonical")
+    val cc = graft.graph.GraphOps
+      .connectedComponents(
+        pairs
+          .select(col("u1").as("src"), col("u2").as("dst"))
+          .unionByName(oldMapAff.select(col("uuid").as("src"), col("canonical").as("dst"))),
+      )
+      .select(col("node").as("uuid"), col("component").as("canonical"))
+      .localCheckpoint()
+    store.mergeBucketed("uuid_map", cc, Seq("canonical"), s"incremental batch=$batchId uuid_map", deleteKeys = Some(affCanon))
+    store.mergeBucketed("uuid_map_by_uuid", cc, Seq("uuid"), s"incremental batch=$batchId uuid_map_by_uuid")
+
+    // the remap DELTA: entries whose canonical changed this batch, plus the
+    // batch's own surface entries — small and broadcastable (the full map
+    // is never loaded)
+    val delta = cc
+      .join(oldMapAff.withColumnRenamed("canonical", "old_c"), Seq("uuid"), "left")
+      .withColumn("old_c", coalesce(col("old_c"), col("uuid")))
+      .filter(col("canonical") =!= col("old_c"))
+      .select(col("uuid"), col("canonical"))
+      .localCheckpoint()
+    val batchEntries = cc.join(surfaces.select(col("uuid")), Seq("uuid"), "left_semi")
+    val remapMap = delta.unionByName(batchEntries).distinct().localCheckpoint()
+
+    // ---- canonical nodes: decomposable stats (min/min/sum) combine batch
+    // partials with the stored rows of affected canonicals only ----
+    val partial = triples
+      .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+      .withColumn("uuid", md5(concat(lit(s"en|$gid|"), col("name"))))
+      .join(broadcast(remapMap), Seq("uuid"), "left")
       .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
       .groupBy(col("cuuid"))
       .agg(
@@ -88,12 +219,36 @@ object IncrementalIngest {
         min(col("warc_ts")).as("created_at"),
         count(lit(1)).as("mention_count"),
       )
-    val canon = store
-      .load("nodes_raw")
-      .join(broadcast(uuidMap), Seq("uuid"), "left")
-      .withColumn("canonical", coalesce(col("canonical"), col("uuid")))
-      .filter(col("uuid") === col("canonical"))
-      .join(nodeFacts, col("uuid") === col("cuuid"), "left")
+    val statKeys = partial
+      .select(col("cuuid"))
+      .unionByName(affCanon.select(col("canonical").as("cuuid")))
+      .distinct()
+      .localCheckpoint()
+    val existingStats =
+      if (store.exists("node_stats"))
+        store
+          .loadForKeys("node_stats", statKeys, Seq("cuuid"))
+          // re-key rows whose canonical moved (component merge)
+          .join(broadcast(delta.withColumnRenamed("uuid", "cuuid").withColumnRenamed("canonical", "new_c")), Seq("cuuid"), "left")
+          .withColumn("cuuid", coalesce(col("new_c"), col("cuuid")))
+          .drop("new_c")
+      else partial.limit(0)
+    val combined = existingStats
+      .unionByName(partial)
+      .groupBy(col("cuuid"))
+      .agg(
+        min(col("summary")).as("summary"),
+        min(col("created_at")).as("created_at"),
+        sum(col("mention_count")).as("mention_count"),
+      )
+      .localCheckpoint()
+    store.mergeBucketed("node_stats", combined, Seq("cuuid"), s"incremental batch=$batchId node_stats", deleteKeys = Some(statKeys))
+
+    // rebuild node rows ONLY for canonicals whose stats or membership
+    // changed; members that stopped being canonical are deleted
+    val rebuiltNodes = store
+      .loadForKeys("nodes_raw", combined.select(col("cuuid").as("uuid")), Seq("uuid"))
+      .join(combined, col("uuid") === col("cuuid"), "inner")
       .select(
         col("uuid"),
         col("name"),
@@ -107,80 +262,107 @@ object IncrementalIngest {
           lit("mention_count"), coalesce(col("mention_count"), lit(0L)).cast("string"),
         ).as("attributes"),
       )
-    store.commit(canon, "nodes", s"incremental batch=$batchId nodes")
-
-    // edge merge: remap everything through the UPDATED map, then rebuild
-    // only affected contention groups
-    val newRaw = Linking.remapPointers(
-      triples.select(
-        md5(concat(lit(s"en|$groupId|"), col("subj"))).as("source_uuid"),
-        col("pred").as("name"),
-        md5(concat(lit(s"en|$groupId|"), col("obj"))).as("target_uuid"),
-        col("fact"),
-        lit(groupId).as("group_id"),
-        col("warc_ts").as("valid_at"),
-        col("warc_ts").as("created_at"),
-        array(md5(concat(lit(s"ep|$groupId|"), col("url")))).as("episodes"),
-      ),
-      uuidMap,
-    )
-    // episodic MENTIONS edges: remap any stale canonicals, then merge the
-    // batch's mentions (same shape as bulk stage 7)
-    val staleRemapped =
-      if (store.exists("episodic_edges"))
+    val nodeDelKeys = cc.select(col("uuid"))
+    val oldNodeDocs =
+      if (store.exists("nodes") && store.exists("nodes_postings"))
         store
-          .load("episodic_edges")
-          .join(broadcast(uuidMap), col("entity_uuid") === col("uuid"), "left")
-          .withColumn("entity_uuid", coalesce(col("canonical"), col("entity_uuid")))
-          .drop("uuid", "canonical")
-          .dropDuplicates("episode_uuid", "entity_uuid")
-      else null
-    if (staleRemapped != null)
-      store.commit(staleRemapped, "episodic_edges", s"incremental batch=$batchId remap mentions")
+          .loadForKeys("nodes", nodeDelKeys.unionByName(combined.select(col("cuuid").as("uuid"))).distinct(), Seq("uuid"))
+          .select(col("uuid").as("id"), col("name").as("text"))
+          .localCheckpoint()
+      else rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")).limit(0)
+    store.mergeBucketed(
+      "nodes", rebuiltNodes, Seq("uuid"), s"incremental batch=$batchId nodes",
+      deleteKeys = Some(nodeDelKeys),
+    )
+    graft.search.SearchIndexes.refreshText(
+      store, "nodes", oldNodeDocs,
+      rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")),
+    )
+
+    // ---- episodic MENTIONS edges: remap only rows whose entity's
+    // canonical changed (entity_uuid-bucketed probe), then merge the
+    // batch's mentions (same shape as bulk stage 7) ----
+    if (store.exists("episodic_edges") && !delta.isEmpty) {
+      val stale = store
+        .loadForKeys("episodic_edges", delta.select(col("uuid").as("entity_uuid")), Seq("entity_uuid"))
+        .localCheckpoint()
+      val remapped = stale
+        .join(broadcast(delta), stale("entity_uuid") === delta("uuid"), "inner")
+        .withColumn("entity_uuid", col("canonical"))
+        .drop("uuid", "canonical")
+        .dropDuplicates("episode_uuid", "entity_uuid")
+      store.mergeBucketed(
+        "episodic_edges", remapped, Seq("episode_uuid", "entity_uuid"),
+        s"incremental batch=$batchId remap mentions",
+        deleteKeys = Some(stale.select(col("episode_uuid"), col("entity_uuid"))),
+        bucketBy = Seq("entity_uuid"),
+      )
+    }
     val mentionRows = triples
       .select(col("url"), explode(array(col("subj"), col("obj"))).as("name"))
       .distinct()
-      .withColumn("entity_uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
-      .join(broadcast(uuidMap), col("entity_uuid") === col("uuid"), "left")
+      .withColumn("entity_uuid", md5(concat(lit(s"en|$gid|"), col("name"))))
+      .join(broadcast(remapMap), col("entity_uuid") === col("uuid"), "left")
       .withColumn("entity_uuid", coalesce(col("canonical"), col("entity_uuid")))
       .select(
-        md5(concat(lit(s"ep|$groupId|"), col("url"))).as("episode_uuid"),
+        md5(concat(lit(s"ep|$gid|"), col("url"))).as("episode_uuid"),
         col("entity_uuid"),
       )
       .distinct()
       .withColumn("name", lit("MENTIONS"))
-      .withColumn("group_id", lit(groupId))
-    store.merge("episodic_edges", mentionRows, Seq("episode_uuid", "entity_uuid"), s"incremental batch=$batchId mentions")
+      .withColumn("group_id", lit(gid))
+    store.mergeBucketed(
+      "episodic_edges", mentionRows, Seq("episode_uuid", "entity_uuid"),
+      s"incremental batch=$batchId mentions",
+      bucketBy = Seq("entity_uuid"),
+    )
 
-    mergeEdges(store, newRaw, batchId)
+    // ---- edges: rebuild only affected contention groups ----
+    val newRaw = Linking.remapPointers(
+      triples.select(
+        md5(concat(lit(s"en|$gid|"), col("subj"))).as("source_uuid"),
+        col("pred").as("name"),
+        md5(concat(lit(s"en|$gid|"), col("obj"))).as("target_uuid"),
+        col("fact"),
+        lit(gid).as("group_id"),
+        col("warc_ts").as("valid_at"),
+        col("warc_ts").as("created_at"),
+        array(md5(concat(lit(s"ep|$gid|"), col("url")))).as("episodes"),
+      ),
+      remapMap,
+    )
+    val rebuilt = mergeEdges(store, newRaw, batchId, delta)
 
-    // back-fill entity_edges for this batch's episodes (reverse mapping of
-    // edges.episodes, restricted to the batch's episode uuids)
+    // back-fill entity_edges for this batch's episodes from the REBUILT
+    // groups only (every edge citing a batch episode is in a rebuilt group)
     val batchEpUuids = episodes.select(col("uuid"))
-    val byEpisode = store
-      .load("edges")
+    val byEpisode = rebuilt
       .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
       .join(batchEpUuids, Seq("uuid"), "left_semi")
       .groupBy(col("uuid"))
       .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
     val epUpdated = store
-      .load("episodes")
-      .join(batchEpUuids, Seq("uuid"), "left_semi")
+      .loadForKeys("episodes", batchEpUuids, Seq("uuid"))
       .drop("entity_edges")
       .join(byEpisode, Seq("uuid"), "left")
       .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
-    store.merge("episodes", epUpdated, Seq("uuid"), s"incremental batch=$batchId entity_edges")
+    store.mergeBucketed("episodes", epUpdated, Seq("uuid"), s"incremental batch=$batchId entity_edges")
   }
 
   /** Merge raw fact rows (already canonical-uuid'd) into the edges
-    * snapshot, rebuilding only affected contention groups. Public so
+    * snapshot, rebuilding only affected contention groups:
+    * groups keyed by the batch ∪ groups holding an endpoint whose
+    * canonical changed (edge_endpoints index probe over the delta and its
+    * targets — a component merge can move rows INTO a group whose own
+    * endpoints never changed). Returns the rebuilt rows. Public so
     * `add_triplet`-style manual inserts run the exact same resolution
     * algebra as extraction output (graphiti.py:1021-1085).
     */
-  def mergeEdges(store: SnapshotStore, newRaw: DataFrame, batchId: Long): Unit = {
-    import newRaw.sparkSession.implicits._
-    val uuidMap =
-      if (store.exists("uuid_map")) store.load("uuid_map")
+  def mergeEdges(store: SnapshotStore, newRaw: DataFrame, batchId: Long, remapDelta: DataFrame = null): DataFrame = {
+    val spark = newRaw.sparkSession
+    import spark.implicits._
+    val delta =
+      if (remapDelta != null) remapDelta
       else Seq.empty[(String, String)].toDF("uuid", "canonical")
     val embedUdf = udf((s: String) => Embedder.embed(s).toSeq)
     // manual_invalid_at rides along so explicit invalidate_edges() calls
@@ -191,55 +373,79 @@ object IncrementalIngest {
       if (df.columns.contains("manual_invalid_at")) df
       else df.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
     val newRawM = withManual(newRaw)
-    // remap existing edges through the UPDATED map; a later-arriving alias
-    // can re-canonicalize endpoints of edges the batch never mentions, so
-    // contention groups to rebuild = groups touched by the batch ∪ groups
-    // whose endpoints the remap changed (merging two groups requires a
-    // re-dedup + re-invalidate over their union)
-    val existingRemapped =
-      if (store.exists("edges"))
-        Linking
-          .remapPointers(
-            withManual(store.load("edges"))
-              .withColumn("orig_src", col("source_uuid"))
-              .withColumn("orig_dst", col("target_uuid")),
-            uuidMap,
-          )
-          .withColumn("changed", col("source_uuid") =!= col("orig_src") || col("target_uuid") =!= col("orig_dst"))
-      else null
-    val batchKeys = newRaw.select(col("group_id"), col("source_uuid"), col("name")).distinct()
-    val affectedKeys =
-      if (existingRemapped == null) batchKeys
-      else
-        batchKeys
-          .unionByName(
-            existingRemapped.filter(col("changed")).select(col("group_id"), col("source_uuid"), col("name")).distinct(),
-          )
+
+    val batchKeys = newRaw.select(GroupKey.map(col): _*).distinct()
+    // groups whose rows the remap touches: probe the endpoint index with
+    // the changed uuids AND their new canonicals (the receiving group's
+    // own endpoints are unchanged, but its row set must be re-deduped
+    // against the rows moving in)
+    val remapKeys =
+      if (store.exists("edge_endpoints")) {
+        val probe = delta
+          .select(col("uuid").as("endpoint_uuid"))
+          .unionByName(delta.select(col("canonical").as("endpoint_uuid")))
           .distinct()
+        store
+          .loadForKeys("edge_endpoints", probe, Seq("endpoint_uuid"))
+          .select(GroupKey.map(col): _*)
+          .distinct()
+      } else batchKeys.limit(0)
+    val affectedKeys = batchKeys.unionByName(remapKeys).distinct().localCheckpoint()
+
     val affectedExisting =
-      if (existingRemapped == null) newRawM.limit(0).select(rebuildCols.map(col): _*)
-      else
-        existingRemapped
-          .join(affectedKeys, Seq("group_id", "source_uuid", "name"), "left_semi")
-          .select(rebuildCols.map(col): _*)
-    val untouched =
-      if (existingRemapped == null) null
-      else
-        existingRemapped
-          .join(affectedKeys, Seq("group_id", "source_uuid", "name"), "left_anti")
-          .drop("orig_src", "orig_dst", "changed")
+      if (store.exists("edges"))
+        Linking.remapPointers(
+          withManual(store.loadForKeys("edges", affectedKeys, GroupKey)),
+          delta,
+        )
+      else null
     // existing edges re-enter at fact granularity: the stored episodes
     // array already carries all supporting episodes, so dedupe+invalidate
     // over (affected existing ∪ new) is idempotent
+    val toRebuild =
+      if (affectedExisting == null) newRawM.select(rebuildCols.map(col): _*)
+      else
+        affectedExisting
+          .select(rebuildCols.map(col): _*)
+          .unionByName(newRawM.select(rebuildCols.map(col): _*))
     val rebuilt = Invalidation
-      .invalidate(Invalidation.dedupeFacts(affectedExisting.unionByName(newRawM.select(rebuildCols.map(col): _*))))
+      .invalidate(Invalidation.dedupeFacts(toRebuild))
       .withColumn("fact_embedding", embedUdf(col("fact")))
       .withColumn(
         "uuid",
         md5(concat_ws("|", lit("ed"), col("group_id"), col("source_uuid"), col("name"), col("target_uuid"), col("valid_at").cast("string"))),
       )
-    val mergedEdges = if (untouched == null) rebuilt else untouched.unionByName(rebuilt)
-    store.commit(mergedEdges, "edges", s"incremental batch=$batchId edges")
+      .localCheckpoint()
+    store.mergeBucketed(
+      "edges", rebuilt, GroupKey, s"incremental batch=$batchId edges",
+      deleteKeys = Some(affectedKeys),
+    )
+    // search-index refresh (no-ops unless SearchIndexes were built):
+    // replaced facts leave the postings/ANN buckets, rebuilt facts enter
+    val oldRows =
+      if (affectedExisting == null) rebuilt.limit(0)
+      else affectedExisting
+    graft.search.SearchIndexes.refreshText(
+      store, "edges",
+      oldRows.select(col("uuid").as("id"), col("fact").as("text")),
+      rebuilt.select(col("uuid").as("id"), col("fact").as("text")),
+    )
+    graft.search.SearchIndexes.refreshAnn(
+      store,
+      oldRows.select(col("uuid"), col("fact_embedding")),
+      rebuilt.select(col("uuid"), col("fact_embedding")),
+    )
+    // endpoint index upkeep: append rebuilt groups' endpoint rows (stale
+    // rows of moved endpoints only cause benign extra-probe hits)
+    val idx = rebuilt
+      .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
+      .distinct()
+    store.mergeBucketed(
+      "edge_endpoints", idx, Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
+      s"incremental batch=$batchId endpoints",
+      bucketBy = Seq("endpoint_uuid"),
+    )
+    rebuilt
   }
 
   /** Structured Streaming wrapper: watch a directory of pages parquet,

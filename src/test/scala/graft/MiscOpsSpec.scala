@@ -88,4 +88,32 @@ class MiscOpsSpec extends AnyFunSuite {
     // sample stub halves the byte count
     assert(Multimodal.sampleStub(feats("m2").features.map(_ => 1.toByte), 2).length == 8)
   }
+
+  test("multimodal: REAL png decode via javax.imageio (width/height/channel means/lum histogram)") {
+    // 4×2 image: left half pure red, right half pure blue — known stats
+    val im = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      im.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val png = bos.toByteArray
+
+    val f = Multimodal.decodeImage(png).get
+    assert(f(0) == 4f && f(1) == 2f) // width, height
+    assert(f(2) == 127.5f && f(3) == 0f && f(4) == 127.5f) // mean R/G/B
+    // luminance: red = 299*255/1000 = 76 → bin 4; blue = 114*255/1000 = 29 → bin 1
+    assert(f(5 + 4) == 0.5f && f(5 + 1) == 0.5f)
+    assert(math.abs(f.drop(5).sum - 1.0f) < 1e-6)
+
+    // the image kind flows through extractFeatures' real-decode branch
+    val rows = Multimodal
+      .extractFeatures(spark, Seq(("p1", "image", png)).toDF("id", "kind", "media"))
+      .collect()
+    assert(rows.head.features.length == 21 && rows.head.features(0) == 4f)
+    // non-image bytes under kind=image fall back to the stub (16 bins)
+    val fallback = Multimodal
+      .extractFeatures(spark, Seq(("p2", "image", Array.fill[Byte](32)(7))).toDF("id", "kind", "media"))
+      .collect()
+    assert(fallback.head.features.length == 16)
+  }
 }

@@ -37,6 +37,16 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connectedComponents: 1000-node path (worst-case diameter) converges in O(log n) supersteps") {
+    val path = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, iters) = GraphOps.connectedComponentsIter(path, maxIter = 50)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000 && got.forall(_._2 == 0L), "single component rooted at 0")
+    // pointer doubling: reach squares per superstep → ≤ ~log2(1000)+slack,
+    // vs ~999 supersteps for plain min-propagation
+    assert(iters <= 13, s"expected O(log n) supersteps, took $iters")
+  }
+
   test("bfs: min distance with early termination") {
     val u = GraphOps.undirect(edges)
     val got = GraphOps

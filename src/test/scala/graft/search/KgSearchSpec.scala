@@ -91,6 +91,58 @@ class KgSearchSpec extends AnyFunSuite {
     assert(r.communities.isDefined)
   }
 
+  test("group_ids scope every lane: matching group unchanged, foreign group empty") {
+    val ks = new KgSearch(store)
+    val unscoped = ks.searchEdges("lives in").collect().map(_.getAs[String]("uuid")).toSeq
+    val same = ks.searchEdges("lives in", groupIds = Seq("default")).collect().map(_.getAs[String]("uuid")).toSeq
+    assert(same == unscoped, "scoping to the only group must not change results")
+    assert(ks.searchEdges("lives in", groupIds = Seq("tenantB")).collect().isEmpty)
+    assert(ks.searchNodes("NATION_2", groupIds = Seq("tenantB")).collect().isEmpty)
+    assert(ks.searchEpisodes("works at", groupIds = Seq("tenantB")).collect().isEmpty)
+  }
+
+  test("SearchFilters DSL scopes the edge lane (valid_at CNF)") {
+    import SearchFilters._
+    val ks = new KgSearch(store)
+    val all = ks.searchEdges("lives in").collect()
+    assert(all.nonEmpty)
+    // valid_at > max ts in the fixture → nothing survives the filter
+    val none = ks.searchEdges(
+      "lives in",
+      filters = Filters(validAt = Seq(Seq(DateFilter("valid_at", Gt, Some(Fixtures.ts(999999999L)))))),
+    ).collect()
+    assert(none.isEmpty)
+    // a vacuous filter leaves results unchanged
+    val sameF = ks.searchEdges(
+      "lives in",
+      filters = Filters(validAt = Seq(Seq(DateFilter("valid_at", IsNotNull)))),
+    ).collect().map(_.getAs[String]("uuid")).toSeq
+    assert(sameF == all.map(_.getAs[String]("uuid")).toSeq)
+  }
+
+  test("node_distance reranker orders by BFS proximity to the origin") {
+    val origin = Ids.entity("default", "Supplier#0")
+    val ks = new KgSearch(store)
+    val hits = ks
+      .searchEdges(
+        "lives in",
+        originNode = Some(origin),
+        config = KgSearchConfig(limit = 5, reranker = "node_distance"),
+      )
+      .collect()
+    assert(hits.nonEmpty)
+    val scores = hits.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse, "results must be ordered by proximity score desc")
+  }
+
+  test("unknown reranker fails fast instead of silently falling back to rrf") {
+    val ks = new KgSearch(store)
+    val ex = intercept[RuntimeException] {
+      ks.searchEdges("lives in", config = KgSearchConfig(reranker = "crossencoder-typo")).collect()
+    }
+    assert(ex.getMessage.contains("unknown reranker"))
+  }
+
   test("incremental community placement follows neighbor plurality") {
     val anyNode = store.load("nodes").limit(1).collect()(0).getString(0)
     // placing an existing member should land it in some community

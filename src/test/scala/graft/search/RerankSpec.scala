@@ -39,4 +39,24 @@ class RerankSpec extends AnyFunSuite {
     val cands = Seq((5L, 0.5, Array(1.0, 0.0)), (2L, 0.5, Array(0.0, 1.0)))
     assert(Rerank.mmr(cands, k = 1).map(_._1) == Seq(2L))
   }
+
+  test("mmr golden selection: exact greedy order and scores on a fixed candidate set") {
+    // hand-computed greedy λ=0.5 walk (search_utils.py:1972-2010 is fully
+    // deterministic — this is q_mmr's correctness oracle, since the greedy
+    // argmax recursion is not expressible as one SQL query):
+    //  r1: all maxSim=0 → argmax 0.5·rel → id1 (0.5)
+    //  r2: id2 = .45−.5·1 = −.05; id3 = .4−0 = .4; id4 = .35−.5·.6 = .05 → id3 (0.4)
+    //  r3: id2 = −.05; id4 = .35−.5·max(.6,.8) = −.05 → tie → smaller id2 (−.05)
+    //  r4: id4 = .35−.5·max(.6,.8,.6) = −.05
+    val cands = Seq(
+      (1L, 1.0, Array(1.0, 0.0)),
+      (2L, 0.9, Array(1.0, 0.0)),
+      (3L, 0.8, Array(0.0, 1.0)),
+      (4L, 0.7, Array(0.6, 0.8)),
+    )
+    val got = Rerank.mmr(cands, k = 4, lambda = 0.5)
+    assert(got.map(_._1) == Seq(1L, 3L, 2L, 4L), s"pick order: $got")
+    val exp = Seq(0.5, 0.4, -0.05, -0.05)
+    got.map(_._2).zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12, s"$got") }
+  }
 }
