@@ -37,7 +37,10 @@ object Bench {
   /** Run the full pipeline into a temp store; returns (seconds, pages,
     * triples).
     */
-  def runPipeline(spark: SparkSession, sfDir: String, scale: Int): (Double, Long, Long) = {
+  def runPipeline(spark: SparkSession, sfDir: String, scale: Int): (Double, Long, Long) =
+    runPipelineStore(spark, sfDir, scale) match { case (s, p, t, _) => (s, p, t) }
+
+  def runPipelineStore(spark: SparkSession, sfDir: String, scale: Int): (Double, Long, Long, io.SnapshotStore) = {
     // snapshot store on tmpfs: on a real cluster snapshot writes scale out
     // with executors/disks; a single local disk would otherwise cap the
     // two-parallelism scaling measurement at its sequential bandwidth
@@ -54,7 +57,33 @@ object Bench {
     new kg.KgPipeline(store).run(pages, s"bench-$sfDir-x$scale")
     val sec = (System.nanoTime() - t0) / 1e9
     val nTriples = store.load("raw_triples").count()
-    (sec, nPages, nTriples)
+    (sec, nPages, nTriples, store)
+  }
+
+  /** A small batch of NEW pages (fresh urls + fresh entity surfaces), used
+    * to measure steady-state incremental ingest cost.
+    */
+  private def incBatch(spark: SparkSession, sfDir: String, tag: String, n: Int): DataFrame =
+    kg.Pages
+      .corpus(spark, sfDir)
+      .limit(n)
+      .withColumn(
+        "html",
+        regexp_replace(col("html").cast("string"), lit("(Customer|Supplier)#"), lit(s"$$1INC$tag#")).cast("binary"),
+      )
+      .withColumn("url", concat(col("url"), lit(s"?inc=$tag")))
+      .localCheckpoint()
+
+  /** Incremental flat-cost evidence (north-rule work-∝-batch): time the
+    * SAME fixed-size micro-batch against a store holding the big corpus vs
+    * a store holding 1×. Batch #1 on each store is the one-time
+    * legacy→bucketed upgrade and is excluded; batch #2 is steady state.
+    */
+  def steadyBatchSec(spark: SparkSession, sfDir: String, store: io.SnapshotStore, tag: String): Double = {
+    streaming.IncrementalIngest.ingestBatch(store, incBatch(spark, sfDir, s"A$tag", 200), 100L)
+    val t0 = System.nanoTime()
+    streaming.IncrementalIngest.ingestBatch(store, incBatch(spark, sfDir, s"B$tag", 200), 101L)
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,8 +107,17 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 
-    val (pipeSec, nPages, nTriples) = runPipeline(spark, sfDir, scale)
+    val (pipeSec, nPages, nTriples, bigStore) = runPipelineStore(spark, sfDir, scale)
     results("kg_pipeline_e2e") = pipeSec
+
+    // incremental flat-cost: same 200-page micro-batch against the 1× and
+    // the scale× corpus — steady-state seconds should be ~equal (work ∝
+    // batch, not corpus)
+    val incBig = steadyBatchSec(spark, sfDir, bigStore, "big")
+    val (_, _, _, smallStore) = runPipelineStore(spark, sfDir, 1)
+    val incSmall = steadyBatchSec(spark, sfDir, smallStore, "small")
+    results("inc_batch_small_corpus") = incSmall
+    results("inc_batch_big_corpus") = incBig
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
@@ -88,7 +126,9 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""pipeline":{"pages":$nPages,"triples":$nTriples,"seconds":$pipeSec,""" +
-        s""""pages_per_sec":$pagesPerSec,"triples_per_sec":$triplesPerSec,"scale":$scale}}""",
+        s""""pages_per_sec":$pagesPerSec,"triples_per_sec":$triplesPerSec,"scale":$scale},""" +
+        s""""incremental":{"batch_pages":200,"small_corpus_sec":$incSmall,"big_corpus_sec":$incBig,""" +
+        s""""big_over_small":${incBig / incSmall},"corpus_ratio":$scale}}""",
     )
     spark.stop()
   }

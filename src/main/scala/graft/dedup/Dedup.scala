@@ -48,16 +48,30 @@ object Dedup {
       array_min(transform(shingleCol, s => hash60(concat(lit(s"$k:"), s))))
     }: _*)
 
-  /** All-pairs n-gram Jaccard dedup (the small-scale / verification path):
-    * docs (id, text) → pairs (i, j, jac) with jac ≥ threshold, i < j.
-    * O(n²) — only for candidate verification or tiny corpora.
+  /** All-pairs n-gram Jaccard dedup (the verification path): docs
+    * (id, text) → pairs (i, j, jac) with jac ≥ threshold > 0, i < j.
+    *
+    * Formulated as an equi-join on the exploded shingles — |A∩B| comes
+    * from a groupBy over shared shingles and |A∪B| = |A|+|B|−|A∩B| — so
+    * pairs with ZERO overlap (jac = 0, excluded by any threshold > 0) are
+    * never materialized and no shingle array is ever copied into a pair
+    * row. Same output as the naive theta join at a fraction of the cost;
+    * still quadratic in the worst case (every doc sharing one shingle),
+    * which is why the LSH variant remains the 100 TB path.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0, "zero-overlap pairs are not materialized; threshold must be > 0")
     val sh = docs.select(col(idCol).as("id"), shingles3(col(textCol)).as("sh"))
-    val a = sh.select(col("id").as("i"), col("sh").as("sha"))
-    val b = sh.select(col("id").as("j"), col("sh").as("shb"))
-    a.join(b, col("i") < col("j"))
-      .withColumn("jac", jaccard(col("sha"), col("shb")))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    ex.select(col("id").as("i"), col("s"))
+      .join(ex.select(col("id").as("j"), col("s")), Seq("s"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("n").as("nj")), Seq("j"))
+      .withColumn("jac", col("c").cast("double") / (col("ni") + col("nj") - col("c")).cast("double"))
       .filter(col("jac") >= lit(threshold))
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
   }

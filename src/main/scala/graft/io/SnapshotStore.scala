@@ -77,6 +77,30 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     next
   }
 
+  /** Write `df` as a new snapshot version WITHOUT moving the live
+    * pointer — branch commits and staged transaction writes (Branches).
+    * Returns the version; readers of `load` never see it until
+    * [[publishVersion]].
+    */
+  def writeUnpublished(df: DataFrame, table: String, message: String): Int = {
+    val next = versions(table).lastOption.getOrElse(-1) + 1
+    val dir = tableDir(table).resolve(s"v=$next")
+    df.write.mode("overwrite").parquet(dir.toString)
+    val partCounts = partitionRowCounts(dir)
+    val commitJson =
+      s"""{"version":$next,"message":${jstr(message)},"fingerprint":"",
+         |"rows":${partCounts.map(_._2).sum},"unpublished":true,
+         |"committed_at":${System.currentTimeMillis()}}""".stripMargin
+    Files.write(dir.resolve("_commit.json"), commitJson.getBytes(StandardCharsets.UTF_8))
+    next
+  }
+
+  /** Flip the live pointer to an already-written version. */
+  def publishVersion(table: String, version: Int): Unit = {
+    require(versions(table).contains(version), s"unknown version $version of $table")
+    publish(table, version)
+  }
+
   /** Row count per written part file, from parquet footers (no data read). */
   private def partitionRowCounts(dir: Path): Seq[(String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
