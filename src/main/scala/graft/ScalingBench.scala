@@ -41,13 +41,16 @@ object ScalingBench {
     val high = sys.env.getOrElse("SPARK_GRAFT_HIGH", "4").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
 
+    // core pipeline (pages → canonical bitemporal graph), same job
+    // boundaries as the headline triples/sec metric; the index-build
+    // stages are plain shuffles/writes that scale the same way
     def measure(cores: Int): (Double, Long, Long) = {
       val spark = sessionFor(cores)
-      Bench.runPipeline(spark, sfDir, 1) // JIT/codegen warm-up
+      Bench.runPipelineStore(spark, sfDir, 1, buildIndexes = false) // JIT/codegen warm-up
       var best = (Double.MaxValue, 0L, 0L)
       for (_ <- 1 to reps) {
-        val r = Bench.runPipeline(spark, sfDir, scale)
-        if (r._1 < best._1) best = r
+        val r = Bench.runPipelineStore(spark, sfDir, scale, buildIndexes = false)
+        if (r._1 < best._1) best = (r._1, r._2, r._3)
       }
       spark.stop()
       best

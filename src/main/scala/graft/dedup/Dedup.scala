@@ -86,7 +86,13 @@ object Dedup {
     * shingles) are bounded by the band key's 120-bit selectivity and can
     * be salted if a hot bucket appears.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxBucketSize: Int = Int.MaxValue,
+  ): DataFrame = {
     val numHashes = 16
     val bandWidth = 2
     val sig = docs
@@ -105,8 +111,20 @@ object Dedup {
         }: _*),
       ).as(Seq("band", "key")),
     )
-    val a = banded.select(col("band"), col("key"), col("id").as("i"), col("sh").as("sha"))
-    val b = banded.select(col("band"), col("key"), col("id").as("j"), col("sh").as("shb"))
+    // hot-bucket guard (web boilerplate: a shingle band shared by k docs
+    // yields k² candidate rows): buckets above maxBucketSize are DROPPED —
+    // at default ∞ this is a no-op; the 100 TB path sets a cap and accepts
+    // the documented recall trade (a near-dup pair this hot almost surely
+    // also collides in one of the other 7 bands)
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("band"), col("key"))
+        banded.withColumn("__n", count(lit(1)).over(w)).filter(col("__n") <= maxBucketSize).drop("__n")
+      }
+    val a = guarded.select(col("band"), col("key"), col("id").as("i"), col("sh").as("sha"))
+    val b = guarded.select(col("band"), col("key"), col("id").as("j"), col("sh").as("shb"))
     a.join(b, Seq("band", "key"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"), col("sha"), col("shb"))
@@ -117,21 +135,41 @@ object Dedup {
   }
 
   /** SimHash fingerprint (60-bit): per token-occurrence hash, ±1 vote per
-    * bit, bit set iff the vote sum is positive. Explode formulation
-    * (tokens × bits) — at extreme scale swap for a mapPartitions
-    * bit-twiddling variant; semantics identical.
+    * bit, bit set iff the vote sum is positive. Single mapPartitions pass
+    * with integer bit-twiddling — the former explode formulation
+    * multiplied every token row ×60 bits through two shuffles; votes are
+    * integers, so this is EXACTLY the same fingerprint (order-independent
+    * sums), shuffle-free.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("id"), explode(split(lower(col(textCol)), " ")).as("tok"))
-      .withColumn("h", hash60(col("tok")))
-    toks
-      .select(col("id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .withColumn("vote", when(expr("(shiftright(h, bit) & 1) = 1"), lit(1)).otherwise(lit(-1)))
-      .groupBy(col("id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("bitval", when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(lit(0L)))
-      .groupBy(col("id"))
-      .agg(sum(col("bitval")).as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"), split(lower(col(textCol)), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        // one digest per partition (JCA getInstance per row serializes
+        // executor threads on the provider lock)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toks) =>
+          val votes = new Array[Int](60)
+          toks.foreach { t =>
+            md.reset()
+            val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            // hash60: first 15 hex chars as a 60-bit integer
+            val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+            var b = 0
+            while (b < 60) {
+              if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+          (id, sig)
+        }
+      }
+      .toDF("id", "simhash")
   }
 }

@@ -293,7 +293,15 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
 
     val next = versions(table).lastOption.getOrElse(-1) + 1
     val dir = tableDir(table).resolve(s"v=$next")
-    merged.write.mode("overwrite").partitionBy("__bucket").parquet(dir.toString)
+    // one task (→ one file) per bucket: without this, every task writes
+    // every bucket dir (tasks × buckets files) and the driver's footer
+    // metadata pass dominates the merge
+    merged
+      .repartition(numBuckets, col("__bucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("__bucket")
+      .parquet(dir.toString)
     // an all-empty result writes no bucket dirs; fall back to a PLAIN empty
     // snapshot (schema-preserving — a manifest with zero buckets would lose
     // the schema on load)

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * snapshot is a partitioned table and the same code runs per
   * url-hash-bucket; nothing below collects rows to the driver.
   */
-final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
+final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildIndexes: Boolean = true) {
 
   private def fp(stage: String, parts: Seq[Any]): String =
     graft.kg.Ids.entity("fp", stage + "|" + parts.mkString("|"))
@@ -81,11 +81,22 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
     val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId))
     timed("nodes_raw") { if (!store.hasFingerprint("nodes_raw", nodesRawFp)) {
       val t = store.load("raw_triples")
-      val surfaces = t
-        .select(explode(array(col("subj"), col("obj"))).as("name"))
-        .distinct()
+      // ONE pass over the exploded mentions yields both the distinct
+      // surfaces AND their per-surface stats (all decomposable: min/min/
+      // count) — stage 5 re-aggregates the 1.2M surface rows by canonical
+      // instead of re-scanning the 4.3M mention rows
+      val surfStats = t
+        .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+        .groupBy(col("name"))
+        .agg(
+          min(col("fact")).as("summary"),
+          min(col("warc_ts")).as("created_at"),
+          count(lit(1)).as("mention_count"),
+        )
+        .localCheckpoint()
       val gid = groupId
-      val nodesRaw = surfaces
+      val nodesRaw = surfStats
+        .select(col("name"))
         .as[String]
         .mapPartitions { it =>
           it.map { name =>
@@ -94,6 +105,12 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
         }
         .toDF("uuid", "name", "label", "name_embedding", "group_id")
       store.commit(nodesRaw, "nodes_raw", "raw entity nodes", nodesRawFp)
+      store.commit(
+        surfStats.withColumn("uuid", md5(concat(lit(s"en|$gid|"), col("name")))),
+        "surface_stats",
+        "per-surface mention stats",
+        nodesRawFp,
+      )
     } }
 
     // ---- stage 4: linking + canonical map (LSH blocking → score →
@@ -116,18 +133,32 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
     timed("nodes") { if (!store.hasFingerprint("nodes", nodesFp)) {
       val raw = store.load("nodes_raw")
       val m = broadcast(store.load("uuid_map"))
-      // per-canonical-node facts: one shuffle on the canonical uuid
-      val t = store.load("raw_triples")
-      val nodeFacts = t
-        .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
-        .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
+      // per-canonical-node facts: fold the PER-SURFACE stats (stage 3, one
+      // pass) by canonical — min/min/sum are decomposable, so this equals
+      // aggregating the raw mention rows directly
+      // (fallback derivation for stores whose stage 3 predates
+      // surface_stats — same decomposable aggregates from raw mentions)
+      val surfStats =
+        if (store.exists("surface_stats")) store.load("surface_stats")
+        else
+          store
+            .load("raw_triples")
+            .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+            .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
+            .groupBy(col("uuid"))
+            .agg(
+              min(col("fact")).as("summary"),
+              min(col("warc_ts")).as("created_at"),
+              count(lit(1)).as("mention_count"),
+            )
+      val nodeFacts = surfStats
         .join(m, Seq("uuid"), "left")
         .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
         .groupBy(col("cuuid"))
         .agg(
-          min(col("fact")).as("summary"),
-          min(col("warc_ts")).as("created_at"),
-          count(lit(1)).as("mention_count"),
+          min(col("summary")).as("summary"),
+          min(col("created_at")).as("created_at"),
+          sum(col("mention_count")).as("mention_count"),
         )
         .localCheckpoint()
       // node_stats doubles as the incremental-ingest stats index (all three
@@ -236,21 +267,23 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default") {
     // uuid_map_by_uuid / node_stats / edge_endpoints), bucketed — so the
     // FIRST micro-batch after a bulk load probes instead of re-scanning
     // the corpus (IncrementalIngest; cheap byproducts of stages 3-6) ----
-    timed("indexes") {
-      graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark)
-    }
+    if (buildIndexes) {
+      timed("indexes") {
+        graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark)
+      }
 
-    // ---- stage 8.6: query-time search indexes (BM25 inverted index +
-    // corpus stats per text surface, ANN signature buckets) — committed at
-    // pipeline time so a query probes posting/signature buckets instead of
-    // scanning the corpus (prebuilt indices, performance_optimizer.py:
-    // 184-237, vector_search.py:36-189). Fingerprinted for resume.
-    val sidxFp = fp("search_indexes", Seq(inputFingerprint, groupId))
-    timed("search_indexes") { if (!store.hasFingerprint("edges_bm25stats", sidxFp)) {
-      graft.search.SearchIndexes.build(store)
-      // stamp resume fingerprint on the (tiny) stats table commit
-      store.commit(store.load("edges_bm25stats"), "edges_bm25stats", "search indexes built", sidxFp)
-    } }
+      // ---- stage 8.6: query-time search indexes (BM25 inverted index +
+      // corpus stats per text surface, ANN signature buckets) — committed
+      // at pipeline time so a query probes posting/signature buckets
+      // instead of scanning the corpus (prebuilt indices,
+      // performance_optimizer.py:184-237, vector_search.py:36-189).
+      val sidxFp = fp("search_indexes", Seq(inputFingerprint, groupId))
+      timed("search_indexes") { if (!store.hasFingerprint("edges_bm25stats", sidxFp)) {
+        graft.search.SearchIndexes.build(store)
+        // stamp resume fingerprint on the (tiny) stats table commit
+        store.commit(store.load("edges_bm25stats"), "edges_bm25stats", "search indexes built", sidxFp)
+      } }
+    }
 
     // ---- stage 9: back-fill episodes.entity_edges — the reference keeps
     // the edge uuids created from each episode on the episode row

@@ -1,6 +1,5 @@
 package graft.sim
 
-import graft.dedup.Dedup.hash60
 import graft.search.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -36,28 +35,38 @@ object Ann {
       .select(col("qid"), col("rk"), col("id"), col("score"))
   }
 
-  /** 8-bit signature of a vector under deterministic hyperplanes:
-    * plane p coefficient for dim i = +1 if hash60("p:i") is odd else −1;
-    * bit p = 1 iff Σᵢ coef·vᵢ > 0.
+  /** Scala twin of `Dedup.hash60` parity: hash60(s) is the first 15 hex
+    * chars of md5(s) as an integer, so its parity is the parity of the
+    * 15th hex digit. Used to derive the plane coefficients driver-side.
     */
-  def signature(spark: SparkSession, vecs: DataFrame, idCol: String, vecCol: String, nPlanes: Int = 8): DataFrame = {
-    val planes = spark
-      .range(nPlanes)
-      .select(col("id").cast("int").as("p"))
-      .crossJoin(spark.range(64).select(col("id").cast("int").as("i")))
-      .withColumn(
-        "coef",
-        when(hash60(concat(col("p"), lit(":"), col("i"))) % 2 === 1, lit(1.0)).otherwise(lit(-1.0)),
-      )
-    vecs
-      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "x")))
-      .join(broadcast(planes), Seq("i"))
-      .groupBy(col("id"), col("p"))
-      .agg(sum(col("coef") * col("x").cast("double")).as("dot"))
-      .withColumn("bit", when(col("dot") > 0, expr("shiftleft(1, p)")).otherwise(lit(0)))
-      .groupBy(col("id"))
-      .agg(sum(col("bit")).cast("int").as("sig"))
+  private def hash60Odd(s: String): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(14, 15), 16) % 2 == 1
   }
+
+  /** Plane p coefficient for dim i: +1 if hash60("p:i") is odd else −1 —
+    * identical values to the former DataFrame derivation (same md5 parity).
+    */
+  private def planeCoefs(nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, 64)((p, i) => if (hash60Odd(s"$p:$i")) 1.0 else -1.0)
+
+  /** Column form of the signature: bit p = 1 iff Σᵢ coef(p,i)·vᵢ > 0.
+    * Pure codegen expression (8 zip-aggregates against literal coefficient
+    * arrays) — no explode / join / shuffle per signature.
+    */
+  def signatureCol(vec: org.apache.spark.sql.Column, nPlanes: Int = 8): org.apache.spark.sql.Column =
+    planeCoefs(nPlanes).zipWithIndex.map { case (coefs, p) =>
+      val coefArr = array(coefs.map(lit): _*)
+      when(
+        aggregate(zip_with(vec, coefArr, (x, c) => x.cast("double") * c), lit(0.0), (acc, v) => acc + v) > 0,
+        lit(1 << p),
+      ).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  /** 8-bit signature of a vector under deterministic hyperplanes. */
+  def signature(spark: SparkSession, vecs: DataFrame, idCol: String, vecCol: String, nPlanes: Int = 8): DataFrame =
+    vecs.select(col(idCol).as("id"), signatureCol(col(vecCol), nPlanes).as("sig"))
 
   /** LSH-bucketed top-k: score only same-signature candidates. */
   def lshBucketTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

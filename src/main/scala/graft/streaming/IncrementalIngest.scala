@@ -37,6 +37,14 @@ object IncrementalIngest {
 
   private val GroupKey = Seq("group_id", "source_uuid", "name")
 
+  private val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
+  private def timed[T](stage: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    if (verbose) println(f"[inc] $stage%-24s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   /** One-time index bootstrap for stores created by the BULK pipeline
     * before these indexes existed (KgPipeline now commits them itself).
     * Must run BEFORE the batch's rows are merged, so batch contributions
@@ -97,7 +105,7 @@ object IncrementalIngest {
     import spark.implicits._
     val gid = groupId
 
-    bootstrapIndexes(store, spark)
+    timed("bootstrap")(bootstrapIndexes(store, spark))
 
     val withText = newPages.withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
 
@@ -122,11 +130,11 @@ object IncrementalIngest {
           .loadForKeys("episodes", episodes.select(col("uuid")), Seq("uuid"))
           .select(col("uuid").as("id"), col("content").as("text"))
       else episodes.select(col("uuid").as("id"), col("content").as("text")).limit(0)
-    store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes")
-    graft.search.SearchIndexes.refreshText(
+    timed("episodes merge")(store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes"))
+    timed("episodes idx refresh")(graft.search.SearchIndexes.refreshText(
       store, "episodes", oldEpisodeDocs,
       episodes.select(col("uuid").as("id"), col("content").as("text")),
-    )
+    ))
 
     // raw triples for the new pages (single extraction pass, materialized
     // once — reused by surfaces / stats / edges below)
@@ -148,20 +156,20 @@ object IncrementalIngest {
       .mapPartitions(it => it.map(n => (graft.kg.Ids.entity(gid, n), n, Extract.entityTypeOf(n), Embedder.embed(n).toSeq, gid)))
       .toDF("uuid", "name", "label", "name_embedding", "group_id")
       .localCheckpoint()
-    store.mergeBucketed("nodes_raw", surfaces, Seq("uuid"), s"incremental batch=$batchId nodes_raw")
+    timed("nodes_raw merge")(store.mergeBucketed("nodes_raw", surfaces, Seq("uuid"), s"incremental batch=$batchId nodes_raw"))
 
     // ---- incremental linking: candidates = nodes sharing a blocking key
     // with the batch (node_blocks index probe); components = CC over
     // (new pairs ∪ the existing components they touch) ----
     val newBlocks = Linking.blockingKeys(surfaces)
-    store.mergeBucketed("node_blocks", newBlocks, Seq("key", "uuid"), s"incremental batch=$batchId blocks", bucketBy = Seq("key"))
+    timed("node_blocks merge")(store.mergeBucketed("node_blocks", newBlocks, Seq("key", "uuid"), s"incremental batch=$batchId blocks", bucketBy = Seq("key")))
     val touchedKeys = newBlocks.select(col("key")).distinct()
     val candUuids = store
       .loadForKeys("node_blocks", touchedKeys, Seq("key"))
       .select(col("uuid"))
       .distinct()
     val candNodes = store.loadForKeys("nodes_raw", candUuids, Seq("uuid"))
-    val pairs = Linking.duplicatePairs(candNodes).localCheckpoint()
+    val pairs = timed("linking pairs")(Linking.duplicatePairs(candNodes).localCheckpoint())
 
     val pairNodes = pairs
       .select(col("u1").as("uuid"))
@@ -191,8 +199,10 @@ object IncrementalIngest {
       )
       .select(col("node").as("uuid"), col("component").as("canonical"))
       .localCheckpoint()
-    store.mergeBucketed("uuid_map", cc, Seq("canonical"), s"incremental batch=$batchId uuid_map", deleteKeys = Some(affCanon))
-    store.mergeBucketed("uuid_map_by_uuid", cc, Seq("uuid"), s"incremental batch=$batchId uuid_map_by_uuid")
+    timed("uuid_map merges") {
+      store.mergeBucketed("uuid_map", cc, Seq("canonical"), s"incremental batch=$batchId uuid_map", deleteKeys = Some(affCanon))
+      store.mergeBucketed("uuid_map_by_uuid", cc, Seq("uuid"), s"incremental batch=$batchId uuid_map_by_uuid")
+    }
 
     // the remap DELTA: entries whose canonical changed this batch, plus the
     // batch's own surface entries — small and broadcastable (the full map
@@ -242,7 +252,7 @@ object IncrementalIngest {
         sum(col("mention_count")).as("mention_count"),
       )
       .localCheckpoint()
-    store.mergeBucketed("node_stats", combined, Seq("cuuid"), s"incremental batch=$batchId node_stats", deleteKeys = Some(statKeys))
+    timed("node_stats merge")(store.mergeBucketed("node_stats", combined, Seq("cuuid"), s"incremental batch=$batchId node_stats", deleteKeys = Some(statKeys)))
 
     // rebuild node rows ONLY for canonicals whose stats or membership
     // changed; members that stopped being canonical are deleted
@@ -274,10 +284,10 @@ object IncrementalIngest {
       "nodes", rebuiltNodes, Seq("uuid"), s"incremental batch=$batchId nodes",
       deleteKeys = Some(nodeDelKeys),
     )
-    graft.search.SearchIndexes.refreshText(
+    timed("nodes idx refresh")(graft.search.SearchIndexes.refreshText(
       store, "nodes", oldNodeDocs,
       rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")),
-    )
+    ))
 
     // ---- episodic MENTIONS edges: remap only rows whose entity's
     // canonical changed (entity_uuid-bucketed probe), then merge the
@@ -331,7 +341,7 @@ object IncrementalIngest {
       ),
       remapMap,
     )
-    val rebuilt = mergeEdges(store, newRaw, batchId, delta)
+    val rebuilt = timed("mergeEdges total")(mergeEdges(store, newRaw, batchId, delta))
 
     // back-fill entity_edges for this batch's episodes from the REBUILT
     // groups only (every edge citing a batch episode is in a rebuilt group)
@@ -346,7 +356,7 @@ object IncrementalIngest {
       .drop("entity_edges")
       .join(byEpisode, Seq("uuid"), "left")
       .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
-    store.mergeBucketed("episodes", epUpdated, Seq("uuid"), s"incremental batch=$batchId entity_edges")
+    timed("entity_edges backfill")(store.mergeBucketed("episodes", epUpdated, Seq("uuid"), s"incremental batch=$batchId entity_edges"))
   }
 
   /** Merge raw fact rows (already canonical-uuid'd) into the edges
