@@ -23,14 +23,31 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pin the heap (Xms = Xmx) and pre-touch: G1 commit/uncommit churn under
+// 32 allocation-heavy threads showed up as 60-80%% kernel time (page
+// faults) in local benchmarks; a pre-touched fixed heap removes it.
+// Default size = min(16g, half of host RAM) so `sbt test` still starts on
+// small hosts; SPARK_DRIVER_MEM overrides.
+val driverMem: String = sys.env.getOrElse(
+  "SPARK_DRIVER_MEM", {
+    val memTotalKb =
+      scala.util
+        .Try {
+          val src = scala.io.Source.fromFile("/proc/meminfo")
+          try src.getLines().find(_.startsWith("MemTotal")).map(_.replaceAll("[^0-9]", "").toLong)
+          finally src.close()
+        }
+        .toOption
+        .flatten
+        .getOrElse(32L * 1024 * 1024)
+    s"${math.max(2L, math.min(16L, memTotalKb / (2L * 1024 * 1024)))}g"
+  },
+)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Pin the heap (Xms = Xmx) and pre-touch: G1 commit/uncommit churn under
-  // 32 allocation-heavy threads showed up as 60-80%% kernel time (page
-  // faults) in local benchmarks; a pre-touched fixed heap removes it.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx$driverMem",
+  s"-Xms$driverMem",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseParallelGC",
 )

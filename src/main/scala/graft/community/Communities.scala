@@ -18,25 +18,39 @@ import org.apache.spark.sql.functions._
 object Communities {
 
   /** Build communities from the store's edges/nodes; commits
-    * `communities` and `community_edges` snapshots.
+    * `communities` and `community_edges` snapshots. `algorithm` mirrors
+    * the reference's CommunityDetector choice (`community_detector.py:
+    * 119-183`): "louvain" (modularity, [[Louvain]]) or "label_prop"
+    * (default — the reference's own fallback); unknown names fail fast.
     */
-  def build(store: SnapshotStore, maxIter: Int = 10): Unit = {
+  def build(store: SnapshotStore, maxIter: Int = 10, algorithm: String = "label_prop"): Unit = {
     val edges = store.load("edges")
     val nodes = store.load("nodes")
 
-    // string-uuid graph → label propagation (GraphOps is id-type generic)
+    // string-uuid graph (GraphOps/Louvain are id-type generic)
     val adj = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
-    val labels = GraphOps.labelPropagation(adj, maxIter)
+    val labels = algorithm match {
+      case "label_prop" => GraphOps.labelPropagation(adj, maxIter)
+      case "louvain" => Louvain.cluster(adj).select(col("node"), col("community").as("label"))
+      case other => sys.error(s"unknown community algorithm: $other (label_prop|louvain)")
+    }
 
-    // HAS_MEMBER edges: community label → entity member
-    val members = labels.select(col("label").as("community_key"), col("node").as("entity_uuid"))
+    // HAS_MEMBER edges: community label → entity member. group_id is
+    // carried from the member nodes — edges never cross groups (entity
+    // uuids are group-scoped), so every component lives in exactly one
+    // group and the reference's per-group community partitioning
+    // (community_operations.py:49-57) holds by construction.
+    val members = labels
+      .select(col("label").as("community_key"), col("node").as("entity_uuid"))
+      .join(
+        nodes.select(col("uuid").as("entity_uuid"), col("name"), col("group_id")),
+        Seq("entity_uuid"),
+      )
 
-    // deterministic community node: uuid from the label; name/summary from
-    // the first (lexicographic) member names
-    val named = members
-      .join(nodes.select(col("uuid").as("entity_uuid"), col("name")), Seq("entity_uuid"))
+    // deterministic community node: uuid from (group, label); name/summary
+    // from the first (lexicographic) member names
     val w = Window.partitionBy(col("community_key")).orderBy(col("name"))
-    val summaries = named
+    val summaries = members
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .groupBy(col("community_key"))
@@ -44,22 +58,25 @@ object Communities {
         concat_ws(", ", collect_list(col("name"))).as("top_members"),
         count(lit(1)).as("sample_n"),
       )
-    val sizes = members.groupBy(col("community_key")).agg(count(lit(1)).as("n_members"))
+    val sizes = members
+      .groupBy(col("community_key"))
+      .agg(count(lit(1)).as("n_members"), min(col("group_id")).as("group_id"))
     val communities = sizes
       .join(summaries, Seq("community_key"))
       .select(
-        md5(concat(lit("co|default|"), col("community_key"))).as("uuid"),
+        md5(concat(lit("co|"), col("group_id"), lit("|"), col("community_key"))).as("uuid"),
         concat(lit("community:"), col("top_members")).as("name"),
-        lit("default").as("group_id"),
+        col("group_id"),
         col("top_members").as("summary"),
         col("n_members"),
       )
     store.commit(communities, "communities", "label-propagation communities")
     store.commit(
       members.select(
-        md5(concat(lit("co|default|"), col("community_key"))).as("community_uuid"),
+        md5(concat(lit("co|"), col("group_id"), lit("|"), col("community_key"))).as("community_uuid"),
         col("entity_uuid"),
         lit("HAS_MEMBER").as("name"),
+        col("group_id"),
       ),
       "community_edges",
       "community HAS_MEMBER entity",

@@ -121,6 +121,51 @@ object GraphOps {
     (labels.withColumnRenamed("label", "component"), iter)
   }
 
+  /** True depth-first traversal from each start node — lexicographic
+    * preorder (neighbors explored smallest-uuid first), depth-bounded,
+    * cycle-safe. The reference's DFS is an in-memory stack loop over the
+    * whole pandas edge frame (`graph_traversal.py:288-394`); here the
+    * adjacency is broadcast ONCE and every start node traverses in
+    * parallel — the distribution axis that matters for batch traversals.
+    * Like the reference (which gates centrality to ≤1000 nodes,
+    * performance_optimizer.py:384-389), intended for subgraphs that fit a
+    * broadcast; extract the subgraph first for larger graphs.
+    * Returns (start, node, visit_order, depth).
+    */
+  def dfs(edges: DataFrame, sources: Seq[Long], maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj: Map[Long, Array[Long]] = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).distinct.sorted }
+    val b = spark.sparkContext.broadcast(adj)
+    sources
+      .toDF("start")
+      .as[Long]
+      .flatMap { start =>
+        val a = b.value
+        val seen = scala.collection.mutable.LinkedHashMap.empty[Long, (Int, Int)]
+        val stack = scala.collection.mutable.Stack[(Long, Int)]((start, 0))
+        var order = 0
+        while (stack.nonEmpty) {
+          val (n, d) = stack.pop()
+          if (!seen.contains(n)) {
+            seen(n) = (order, d)
+            order += 1
+            if (d < maxDepth)
+              a.getOrElse(n, Array.empty[Long]).reverseIterator.foreach { m =>
+                if (!seen.contains(m)) stack.push((m, d + 1))
+              }
+          }
+        }
+        seen.toSeq.map { case (n, (o, d)) => (start, n, o, d) }
+      }
+      .toDF("start", "node", "visit_order", "depth")
+  }
+
   /** All simple paths (as node arrays) from the source set to any target
     * node within maxDepth — `find_paths` (`graph_traversal.py:396-429`):
     * BFS with a path-array column, filtered by last element ∈ targets.

@@ -81,22 +81,14 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId))
     timed("nodes_raw") { if (!store.hasFingerprint("nodes_raw", nodesRawFp)) {
       val t = store.load("raw_triples")
-      // ONE pass over the exploded mentions yields both the distinct
-      // surfaces AND their per-surface stats (all decomposable: min/min/
-      // count) — stage 5 re-aggregates the 1.2M surface rows by canonical
-      // instead of re-scanning the 4.3M mention rows
-      val surfStats = t
-        .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
-        .groupBy(col("name"))
-        .agg(
-          min(col("fact")).as("summary"),
-          min(col("warc_ts")).as("created_at"),
-          count(lit(1)).as("mention_count"),
-        )
-        .localCheckpoint()
+      // distinct surfaces only — a names-only shuffle; the per-surface
+      // stats aggregation stays in stage 5 where the (wider) fact strings
+      // are shuffled exactly once
+      val surfaces = t
+        .select(explode(array(col("subj"), col("obj"))).as("name"))
+        .distinct()
       val gid = groupId
-      val nodesRaw = surfStats
-        .select(col("name"))
+      val nodesRaw = surfaces
         .as[String]
         .mapPartitions { it =>
           it.map { name =>
@@ -105,12 +97,6 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
         }
         .toDF("uuid", "name", "label", "name_embedding", "group_id")
       store.commit(nodesRaw, "nodes_raw", "raw entity nodes", nodesRawFp)
-      store.commit(
-        surfStats.withColumn("uuid", md5(concat(lit(s"en|$gid|"), col("name")))),
-        "surface_stats",
-        "per-surface mention stats",
-        nodesRawFp,
-      )
     } }
 
     // ---- stage 4: linking + canonical map (LSH blocking → score →
@@ -136,29 +122,17 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       // per-canonical-node facts: fold the PER-SURFACE stats (stage 3, one
       // pass) by canonical — min/min/sum are decomposable, so this equals
       // aggregating the raw mention rows directly
-      // (fallback derivation for stores whose stage 3 predates
-      // surface_stats — same decomposable aggregates from raw mentions)
-      val surfStats =
-        if (store.exists("surface_stats")) store.load("surface_stats")
-        else
-          store
-            .load("raw_triples")
-            .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
-            .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
-            .groupBy(col("uuid"))
-            .agg(
-              min(col("fact")).as("summary"),
-              min(col("warc_ts")).as("created_at"),
-              count(lit(1)).as("mention_count"),
-            )
-      val nodeFacts = surfStats
+      val nodeFacts = store
+        .load("raw_triples")
+        .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+        .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
         .join(m, Seq("uuid"), "left")
         .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
         .groupBy(col("cuuid"))
         .agg(
-          min(col("summary")).as("summary"),
-          min(col("created_at")).as("created_at"),
-          sum(col("mention_count")).as("mention_count"),
+          min(col("fact")).as("summary"),
+          min(col("warc_ts")).as("created_at"),
+          count(lit(1)).as("mention_count"),
         )
         .localCheckpoint()
       // node_stats doubles as the incremental-ingest stats index (all three

@@ -94,9 +94,10 @@ object Search {
         // top-30 via distributed TakeOrdered (orderBy + limit) FIRST; the
         // unpartitioned row_number window then runs over ≤ 30 rows only —
         // a global window over the full table would single-partition it.
-        // constant partition key: the window runs over the ≤30 already-
-        // limited rows in one task without WindowExec's global-move warning
-        val wA = Window.partitionBy(lit(0)).orderBy(col("n_chars").desc, col("doc_id"))
+        // constant-but-non-foldable partition key (lit(0) folds to an
+        // empty spec): the window runs over the ≤30 already-limited rows
+        // in one task without WindowExec's global-move warning
+        val wA = Window.partitionBy(pmod(xxhash64(col("doc_id")), lit(1))).orderBy(col("n_chars").desc, col("doc_id"))
         val listA = d
           .orderBy(col("n_chars").desc, col("doc_id"))
           .limit(30)
@@ -104,7 +105,7 @@ object Search {
           .select(col("doc_id").as("id"), col("rank"))
         val tf = d
           .withColumn("sp", size(filter(split(lower(col("text")), " "), t => t === lit("spark"))))
-        val wB = Window.partitionBy(lit(0)).orderBy(col("sp").desc, col("doc_id"))
+        val wB = Window.partitionBy(pmod(xxhash64(col("doc_id")), lit(1))).orderBy(col("sp").desc, col("doc_id"))
         val listB = tf
           .orderBy(col("sp").desc, col("doc_id"))
           .limit(30)

@@ -95,7 +95,11 @@ final class KgSearch(store: SnapshotStore) {
     */
   private def ranked(df: DataFrame, idCol: String, scoreCol: String, n: Int): DataFrame = {
     val top = df.orderBy(col(scoreCol).desc, col(idCol)).limit(n)
-    val w = Window.partitionBy(lit(0)).orderBy(col(scoreCol).desc, col(idCol))
+    // constant-but-non-foldable partition key: lit(0) would be folded out
+    // of the partition spec, leaving WindowExec's "moving all data to a
+    // single partition" path (fine over ≤ n rows, but the warning hides
+    // real global windows elsewhere)
+    val w = Window.partitionBy(pmod(xxhash64(col(idCol)), lit(1))).orderBy(col(scoreCol).desc, col(idCol))
     top.withColumn("rank", row_number().over(w))
       .select(col(idCol).as("id"), col("rank"))
   }

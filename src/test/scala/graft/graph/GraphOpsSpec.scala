@@ -47,6 +47,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(iters <= 13, s"expected O(log n) supersteps, took $iters")
   }
 
+  test("dfs: lexicographic preorder, depth bound, cycle safety") {
+    //    1 → 2 → 4
+    //    1 → 3 → 4 ;  4 → 1 (cycle)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = GraphOps
+      .dfs(es, Seq(1L), maxDepth = 5)
+      .orderBy(col("visit_order"))
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    // preorder: 1, then smallest neighbor 2 first, deep before wide
+    assert(got.toSeq == Seq((1L, 0, 0), (2L, 1, 1), (4L, 2, 2), (3L, 3, 1)))
+    // depth bound cuts the walk
+    val shallow = GraphOps.dfs(es, Seq(1L), maxDepth = 1).collect().map(_.getLong(1)).toSet
+    assert(shallow == Set(1L, 2L, 3L))
+    // visited set at depth d == BFS reachable set at depth d
+    val bfsSet = GraphOps.bfs(es, Seq(1L).toDF("node"), 2).collect().map(_.getLong(0)).toSet
+    val dfsSet = GraphOps.dfs(es, Seq(1L), 2).collect().map(_.getLong(1)).toSet
+    assert(bfsSet.subsetOf(dfsSet), s"dfs $dfsSet must cover bfs $bfsSet")
+  }
+
   test("bfs: min distance with early termination") {
     val u = GraphOps.undirect(edges)
     val got = GraphOps
