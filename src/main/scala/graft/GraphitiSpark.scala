@@ -285,4 +285,46 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
 
   /** Graph state as of t (get_historical_state). */
   def historicalEdges(t: Timestamp): DataFrame = Invalidation.validAt(store.load("edges"), t)
+
+  /** Edges whose valid_at ∈ [from, to), probing the month-bucket temporal
+    * index when built (performance_optimizer.py:424-511) — work ∝
+    * matching months, not corpus.
+    */
+  def edgesValidInRange(from: Timestamp, to: Timestamp): DataFrame =
+    graft.search.SearchIndexes.edgesValidInRange(store, from, to)
+
+  /** Export graph tables to json / csv / parquet under outDir — the
+    * export surface of `export_communities` (huggingface_driver.py:
+    * 2604-2641: format + include_embeddings + group_ids), generalized to
+    * every table like the reference's dataset push. Embedding (array)
+    * columns are dropped unless requested — and always for csv, which
+    * cannot carry arrays; struct/map columns are JSON-encoded for csv.
+    * Distributed writers — no driver-side collect.
+    */
+  def exportGraph(
+      outDir: String,
+      format: String = "parquet",
+      includeEmbeddings: Boolean = false,
+      groupIds: Seq[String] = Nil,
+      tables: Seq[String] = Seq("nodes", "edges", "episodes", "communities"),
+  ): Unit = {
+    require(Seq("json", "csv", "parquet").contains(format), s"unknown export format $format")
+    tables.filter(store.exists).foreach { t =>
+      var df = store.load(t)
+      if (groupIds.nonEmpty && df.columns.contains("group_id"))
+        df = df.filter(col("group_id").isin(groupIds: _*))
+      val embCols = df.columns.filter(_.endsWith("_embedding"))
+      if (!includeEmbeddings || format == "csv") df = df.drop(embCols: _*)
+      if (format == "csv")
+        df.schema.fields.foreach { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType | _: org.apache.spark.sql.types.MapType |
+                _: org.apache.spark.sql.types.StructType =>
+              df = df.withColumn(f.name, to_json(col(f.name)))
+            case _ => ()
+          }
+        }
+      df.write.mode("overwrite").format(format).save(s"$outDir/$t")
+    }
+  }
 }

@@ -63,6 +63,40 @@ object GraphOps {
     visited
   }
 
+  /** Level-synchronous BFS whose neighbor expansion PROBES an adjacency
+    * index instead of joining the full edge relation: `probe(frontier)`
+    * receives the frontier's node column (named `src`) and must return
+    * (src, dst) pairs covering at least those nodes — `loadForKeys` over a
+    * src-bucketed `graph_adj` snapshot reads only the hash buckets the
+    * frontier falls in, so each superstep costs ∝ frontier, not ∝ corpus
+    * (the prebuilt-adjacency semantics of
+    * `performance_optimizer.py:340-422`). Probe results may over-cover
+    * (whole buckets); the join below trims to the exact frontier.
+    */
+  def bfsIndexed(probe: DataFrame => DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    var visited = sources.select(col("node")).distinct().withColumn("dist", lit(0))
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      depth += 1
+      val nbrs = probe(frontier.select(col("node").as("src")))
+      val next = frontier
+        .join(nbrs, frontier("node") === nbrs("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    visited
+  }
+
   /** Connected components: hash-min propagation + POINTER DOUBLING.
     * Returns (node, component) with component = min node id in the
     * component — exactly `compress_uuid_map`'s canonical-min semantics
@@ -200,6 +234,132 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("node")))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("degree"))
+
+  /** Min-distance from EVERY node to every reachable node (all-sources
+    * level-synchronous BFS): returns (start, node, dist). The frontier is
+    * keyed by (start, node), so each superstep is one join + anti-join —
+    * all sources expand in parallel, sharing the persisted edge relation.
+    * Intended for the bounded subgraphs the reference gates centrality to
+    * (≤1000 nodes, `performance_optimizer.py:384-389`); cost is
+    * O(Σ reachable pairs), which is what any exact APSP pays.
+    */
+  def allPairsDistances(edges: DataFrame, maxDepth: Int = 100): DataFrame = {
+    val e = undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = nodes(e)
+      .select(col("node").as("start"), col("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      depth += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("start"), col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("start", "node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** Closeness centrality with the Wasserman–Faust reachability correction
+    * (exactly networkx `closeness_centrality(wf_improved=True)`, the form
+    * the reference computes for ≤1000-node graphs,
+    * `performance_optimizer.py:384-389`):
+    *
+    *   C(u) = ((r-1)/(n-1)) · ((r-1)/Σ_v d(u,v))
+    *
+    * with r = nodes reachable from u (incl. u), n = all nodes. Built on
+    * [[allPairsDistances]]; the per-start aggregation is one groupBy.
+    */
+  def closenessCentrality(edges: DataFrame, maxDepth: Int = 100): DataFrame = {
+    val d = allPairsDistances(edges, maxDepth)
+    val n = d.select(col("start")).distinct().count()
+    d.groupBy(col("start").as("node"))
+      .agg(count(lit(1)).as("r"), sum(col("dist")).as("sumd"))
+      .withColumn(
+        "closeness",
+        when(col("r") > 1 && lit(n) > 1,
+          (col("r") - 1) * (col("r") - 1) / ((lit(n) - lit(1)) * col("sumd")))
+          .otherwise(lit(0.0)),
+      )
+      .select(col("node"), col("closeness"))
+  }
+
+  /** Betweenness centrality — Brandes' algorithm, one exact single-source
+    * pass per node, sources traversed IN PARALLEL over a broadcast
+    * adjacency (same distribution axis as [[dfs]]; the reference computes
+    * this with networkx on ≤1000-node graphs,
+    * `performance_optimizer.py:384-389` — here each executor thread runs
+    * independent sources, so 32 cores do 32 sources at once).
+    * Undirected, unweighted, normalized by 2/((n-1)(n-2)) like
+    * `nx.betweenness_centrality(normalized=True)`. Returns
+    * (node, betweenness).
+    */
+  def betweennessCentrality(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = undirect(edges)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .collect()
+    val adj: Map[Long, Array[Long]] =
+      pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct.sorted }
+    val allNodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    val n = allNodes.length
+    val b = spark.sparkContext.broadcast(adj)
+    val perSource = allNodes.toSeq
+      .toDF("s")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { s =>
+        // Brandes (2001): BFS orders + path counts, then dependency
+        // accumulation in reverse BFS order
+        val a = b.value
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1.0)
+        val preds = scala.collection.mutable.Map.empty[Long, List[Long]]
+        val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val q = scala.collection.mutable.Queue(s)
+        while (q.nonEmpty) {
+          val v = q.dequeue()
+          order += v
+          for (w <- a.getOrElse(v, Array.empty[Long])) {
+            if (!dist.contains(w)) {
+              dist(w) = dist(v) + 1
+              q.enqueue(w)
+            }
+            if (dist(w) == dist(v) + 1) {
+              sigma(w) = sigma.getOrElse(w, 0.0) + sigma(v)
+              preds(w) = v :: preds.getOrElse(w, Nil)
+            }
+          }
+        }
+        val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        order.reverseIterator.foreach { w =>
+          preds.getOrElse(w, Nil).foreach { v =>
+            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+          }
+        }
+        order.iterator.filter(_ != s).map(w => (w, delta(w))).toSeq
+      }
+      .toDF("node", "d")
+    // undirected raw sums count each unordered pair from both endpoints;
+    // nx's normalized scale 1/((n-1)(n-2)) absorbs that double count
+    // (max possible = 2 · (n-1)(n-2)/2), so no separate halving
+    val norm = if (n > 2) 1.0 / ((n - 1).toDouble * (n - 2).toDouble) else 0.0
+    perSource
+      .groupBy(col("node"))
+      .agg((sum(col("d")) * lit(norm)).as("betweenness"))
+  }
 
   /** One label-propagation superstep: each node adopts the label with the
     * highest neighbor weight; ties break to the LARGER label (reference

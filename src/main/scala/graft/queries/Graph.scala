@@ -226,6 +226,42 @@ object Graph {
       """),
     ),
 
+    // ---- closeness centrality (performance_optimizer.py:384-389 computes
+    // nx.closeness_centrality on ≤1000-node graphs): Wasserman–Faust form
+    // over a bounded deterministic subgraph (suppliers ≤ 20), checked
+    // exactly against an all-sources recursive-CTE BFS ----
+    QueryDef(
+      "q_graph_closeness",
+      (s, dir) => {
+        val sub = edges(s, dir).filter(col("src") <= 20)
+        GraphOps.closenessCentrality(sub, maxDepth = 16).orderBy(col("node"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        bedges AS (SELECT src, dst FROM ($edgesSql) b WHERE src <= 20),
+        uedges AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM bedges
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM bedges) u),
+        allnodes AS (SELECT DISTINCT src AS node FROM uedges),
+        walk(start, node, d) AS (
+          SELECT node, node, 0 FROM allnodes
+          UNION
+          SELECT w.start, e.dst, w.d + 1
+          FROM walk w JOIN uedges e ON e.src = w.node
+          WHERE w.d < 16
+        ),
+        mind AS (SELECT start, node, min(d) AS d FROM walk GROUP BY start, node),
+        agg AS (SELECT start, count(*) AS r, sum(d) AS sumd FROM mind GROUP BY start),
+        nn AS (SELECT count(*) AS n FROM allnodes)
+        SELECT start AS node,
+               CASE WHEN r > 1 AND nn.n > 1
+                    THEN ((r - 1) * (r - 1)) / ((nn.n - 1) * sumd)
+                    ELSE 0.0 END AS closeness
+        FROM agg, nn ORDER BY node
+      """),
+    ),
+
     // ---- subgraph extraction around seeds (graph_traversal.py:464-502):
     // edges with both endpoints within BFS depth 2 of node 1 ----
     QueryDef(

@@ -267,6 +267,41 @@ object Temporal {
       """),
     ),
 
+    // ---- temporal outlier detection (_detect_temporal_outliers,
+    // temporal_manager.py:1989-2013): records more than 3 sample standard
+    // deviations from the mean, with their z-scores — one global agg
+    // (mean/stddev) broadcast against one scan, no window ----
+    QueryDef(
+      "q_temporal_outliers",
+      (s, dir) => {
+        val e = T.load(s, dir, "events")
+        val stats = e.agg(
+          avg(col("value")).as("m"),
+          stddev_samp(col("value")).as("sd"),
+        )
+        e.crossJoin(broadcast(stats))
+          .withColumn("deviation_std", abs(col("value") - col("m")) / col("sd"))
+          .filter(col("deviation_std") > lit(3.0))
+          .select(
+            col("event_id"),
+            round(col("deviation_std"), 6).as("deviation_std"),
+            lit("value_outlier").as("anomaly_type"),
+            lit("medium").as("severity"),
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
+        SELECT event_id,
+               round(abs(value - m) / sd, 6) AS deviation_std,
+               'value_outlier' AS anomaly_type,
+               'medium' AS severity
+        FROM events, s
+        WHERE abs(value - m) / sd > 3.0
+        ORDER BY event_id
+      """),
+    ),
+
     // ---- temporal gap detection (diff of consecutive created_at,
     // temporal_manager.py:1749-1784) ----
     QueryDef(

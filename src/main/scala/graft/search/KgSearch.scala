@@ -147,8 +147,23 @@ final class KgSearch(store: SnapshotStore) {
     originNode.foreach { origin =>
       val spark = edges.sparkSession
       import spark.implicits._
-      val adj = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
-      val dists = GraphOps.bfs(GraphOps.undirect(adj), Seq(origin).toDF("node"), config.bfsMaxDepth)
+      // with a committed graph_adj index each BFS superstep probes only
+      // the src buckets its frontier hashes into (work ∝ frontier); the
+      // full-relation join is the fallback. The index covers the WHOLE
+      // edge table, so it only answers unscoped searches — a scoped lane
+      // must traverse the scoped relation.
+      val unscoped = groupIds.isEmpty && filters == Filters() && asOf.isEmpty
+      val dists =
+        if (unscoped && store.exists("graph_adj"))
+          GraphOps.bfsIndexed(
+            frontier => SearchIndexes.adjacencyForKeys(store, frontier).select(col("src"), col("dst")),
+            Seq(origin).toDF("node"),
+            config.bfsMaxDepth,
+          )
+        else {
+          val adj = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+          GraphOps.bfs(GraphOps.undirect(adj), Seq(origin).toDF("node"), config.bfsMaxDepth)
+        }
       val prox = edges
         .join(dists.withColumnRenamed("node", "source_uuid"), Seq("source_uuid"))
         .withColumn("score", lit(1.0) / (lit(1.0) + col("dist")))

@@ -37,7 +37,11 @@ object SearchIndexes {
     TextSurfaces.foreach { case (t, id, text) =>
       if (store.exists(t)) buildText(store, t, id, text)
     }
-    if (store.exists("edges")) buildAnn(store)
+    if (store.exists("edges")) {
+      buildAnn(store)
+      buildGraph(store)
+      buildTemporal(store)
+    }
   }
 
   def buildText(store: SnapshotStore, table: String, idCol: String, textCol: String): Unit = {
@@ -116,5 +120,250 @@ object SearchIndexes {
       "edge_ann", rows(newEdges), Seq("sig", "uuid"), "refresh ANN buckets",
       deleteKeys = Some(removed), bucketBy = Seq("sig"),
     )
+  }
+
+  // ------------------------------------------------------------------
+  // Graph index: adjacency lists + degrees, BUCKETED BY src
+  // (performance_optimizer.py:340-422 builds adjacency lists + degree/
+  // closeness/betweenness centrality up front; here the adjacency is a
+  // src-bucketed snapshot so a BFS superstep probes only the buckets its
+  // frontier hashes into — cost ∝ frontier, never ∝ corpus)
+  // ------------------------------------------------------------------
+
+  /** Undirected (src, dst, cnt) pair counts of an edge batch. `cnt`
+    * (parallel-edge multiplicity) is what makes the index INCREMENTALLY
+    * maintainable: removing one of two parallel edges decrements instead
+    * of deleting the pair another edge still needs.
+    */
+  private def pairCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def buildGraph(store: SnapshotStore): Unit = {
+    val pairs = pairCounts(store.load("edges")).localCheckpoint()
+    // full (re)build: pairs/nodes no longer present leave the index
+    val gonePairs =
+      if (!store.exists("graph_adj")) None
+      else Some(store.load("graph_adj").select(col("src"), col("dst")).join(pairs, Seq("src", "dst"), "left_anti"))
+    store.mergeBucketed(
+      "graph_adj", pairs, Seq("src", "dst"), "adjacency index",
+      deleteKeys = gonePairs, bucketBy = Seq("src"),
+    )
+    val deg = pairs.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val goneNodes =
+      if (!store.exists("graph_degrees")) None
+      else Some(store.load("graph_degrees").select(col("node")).join(deg, Seq("node"), "left_anti"))
+    store.mergeBucketed("graph_degrees", deg, Seq("node"), "distinct-neighbor degrees", deleteKeys = goneNodes)
+    // a (re)build folds everything — any pending delta log is stale
+    if (store.exists("graph_adj_delta"))
+      store.commit(store.load("graph_adj_delta").limit(0), "graph_adj_delta", "compacted into base")
+  }
+
+  /** Signed pair-count deltas folded over base rows → live adjacency.
+    * (sum of multiplicities per pair, positives only). */
+  private def reconcilePairs(rows: DataFrame): DataFrame =
+    rows
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0)
+
+  /** Live adjacency view = bucketed base ⊎ signed delta log. */
+  def adjacency(store: SnapshotStore): DataFrame = {
+    val base = store.load("graph_adj").select(col("src"), col("dst"), col("cnt"))
+    if (!store.exists("graph_adj_delta")) base
+    else reconcilePairs(base.unionByName(store.load("graph_adj_delta").select(col("src"), col("dst"), col("cnt"))))
+  }
+
+  /** Adjacency probe for a frontier (`keys`: src column): reads only the
+    * base buckets the keys hash into plus the (small) delta log.
+    */
+  def adjacencyForKeys(store: SnapshotStore, keys: DataFrame): DataFrame = {
+    val base = store.loadForKeys("graph_adj", keys, Seq("src")).select(col("src"), col("dst"), col("cnt"))
+    if (!store.exists("graph_adj_delta")) base
+    else
+      reconcilePairs(
+        base.unionByName(
+          store.load("graph_adj_delta").select(col("src"), col("dst"), col("cnt"))
+            .join(keys.select(col("src")).distinct(), Seq("src"), "left_semi"),
+        ),
+      )
+  }
+
+  /** Incremental adjacency refresh — APPEND-ONLY: the batch's NET pair
+    * delta (new − old; identical rebuilt pairs cancel to zero and vanish)
+    * lands in a signed `graph_adj_delta` log, so a micro-batch costs ∝ its
+    * delta — never a rewrite of scattered src buckets (a batch's new
+    * endpoints hash everywhere; copy-on-write per touched bucket would be
+    * work ∝ corpus). When the log outgrows ~10% of the base the fold into
+    * the bucketed base runs ONCE (amortized compaction).
+    */
+  def refreshGraph(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame): Unit = {
+    if (!store.exists("graph_adj")) return
+    val delta = pairCounts(newEdges)
+      .unionByName(pairCounts(oldEdges).withColumn("cnt", -col("cnt")))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .localCheckpoint()
+    if (delta.isEmpty) return
+    val log =
+      if (!store.exists("graph_adj_delta")) delta
+      else store.load("graph_adj_delta").select(col("src"), col("dst"), col("cnt"))
+        .unionByName(delta)
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0)
+        .localCheckpoint()
+    store.commit(log, "graph_adj_delta", "adjacency delta log")
+    // amortized fold: parquet-footer counts only, no scan
+    val logRows = log.count()
+    if (logRows > 1000L && logRows > store.load("graph_adj").count() / 10) compactGraph(store)
+  }
+
+  /** Fold the delta log into the bucketed base (full rebuild from the
+    * edges snapshot — runs rarely; amortized over many batches).
+    */
+  def compactGraph(store: SnapshotStore): Unit = buildGraph(store)
+
+  /** Degree centrality degree/(n−1) — nx semantics the reference stores in
+    * its graph index (`performance_optimizer.py:379-381`), computed at
+    * read time over the LIVE adjacency (base ⊎ delta) so incremental
+    * refreshes never touch every degree row when n changes.
+    */
+  def degreeCentrality(store: SnapshotStore): DataFrame = {
+    val d = adjacency(store).groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val n = d.count()
+    val denom = if (n > 1) (n - 1).toDouble else 1.0
+    d.withColumn("degree_centrality", col("degree") / lit(denom))
+  }
+
+  // ------------------------------------------------------------------
+  // Temporal index: month buckets of valid_at → edge uuids
+  // (performance_optimizer.py:424-511 partitions node/edge uuid lists by
+  // year and month of their timestamps for time-based filter pruning)
+  // ------------------------------------------------------------------
+
+  /** The edges table's bucket key (IncrementalIngest merges edges
+    * bucketed by contention group) — the month index carries it so a
+    * range probe can bucket-probe the edges table, not scan it.
+    */
+  private val EdgeKey = Seq("group_id", "source_uuid", "name")
+
+  private def monthRows(edges: DataFrame): DataFrame =
+    edges
+      .filter(col("valid_at").isNotNull)
+      .select(
+        (date_format(col("valid_at"), "yyyy-MM").as("month") +:
+          col("uuid") +: EdgeKey.map(col)): _*,
+      )
+
+  /** Live (month, uuid, edge-key) membership view = base ⊎ delta log. */
+  def monthIndex(store: SnapshotStore): DataFrame = {
+    val cols = Seq("month", "uuid") ++ EdgeKey
+    val base = store.load("edge_months").select(cols.map(col): _*)
+    if (!store.exists("edge_months_delta")) base
+    else
+      base.withColumn("cnt", lit(1L))
+        .unionByName(store.load("edge_months_delta"))
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") > 0)
+        .select(cols.map(col): _*)
+  }
+
+  def buildTemporal(store: SnapshotStore): Unit = {
+    val rows = monthRows(store.load("edges")).localCheckpoint()
+    val gone =
+      if (!store.exists("edge_months")) None
+      else Some(store.load("edge_months").select(col("month"), col("uuid")).join(rows, Seq("month", "uuid"), "left_anti"))
+    store.mergeBucketed(
+      "edge_months", rows, Seq("month", "uuid"), "temporal month index",
+      deleteKeys = gone, bucketBy = Seq("month"),
+    )
+    if (store.exists("edge_months_delta"))
+      store.commit(store.load("edge_months_delta").limit(0), "edge_months_delta", "compacted into base")
+  }
+
+  /** Incremental temporal refresh — APPEND-ONLY like [[refreshGraph]]:
+    * net (month, uuid) membership deltas (+1 enter / −1 leave; rebuilt
+    * rows that keep their month cancel out) land in `edge_months_delta`;
+    * the fold into month buckets runs only when the log outgrows the base.
+    */
+  def refreshTemporal(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame): Unit = {
+    if (!store.exists("edge_months")) return
+    val cols = Seq("month", "uuid") ++ EdgeKey
+    val delta = monthRows(newEdges).withColumn("cnt", lit(1L))
+      .unionByName(monthRows(oldEdges).withColumn("cnt", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .localCheckpoint()
+    if (delta.isEmpty) return
+    val log =
+      if (!store.exists("edge_months_delta")) delta
+      else store.load("edge_months_delta")
+        .unionByName(delta)
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0)
+        .localCheckpoint()
+    store.commit(log, "edge_months_delta", "temporal delta log")
+    val logRows = log.count()
+    if (logRows > 1000L && logRows > store.load("edge_months").count() / 10) buildTemporal(store)
+  }
+
+  /** Edges whose valid_at falls in [from, to): probes ONLY the month
+    * buckets the range covers, then bucket-probes the edges table by the
+    * index rows' edge keys — work ∝ matching months, never a corpus scan.
+    * Falls back to a direct filter when the index is absent.
+    */
+  def edgesValidInRange(store: SnapshotStore, from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    def direct = store
+      .load("edges")
+      .filter(col("valid_at") >= lit(from) && col("valid_at") < lit(to))
+    if (!store.exists("edge_months")) return direct
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM").withZone(java.time.ZoneOffset.UTC)
+    var m = java.time.YearMonth.from(from.toInstant.atZone(java.time.ZoneOffset.UTC))
+    val last = java.time.YearMonth.from(to.toInstant.atZone(java.time.ZoneOffset.UTC))
+    val months = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (!m.isAfter(last)) { months += fmt.format(m.atDay(1)); m = m.plusMonths(1) }
+    val cols = Seq("month", "uuid") ++ EdgeKey
+    val baseIdx = store
+      .loadForKeys("edge_months", months.toSeq.toDF("month"), Seq("month"))
+      .filter(col("month").isin(months.toSeq: _*))
+      .withColumn("cnt", lit(1L))
+    val idx = (
+      if (!store.exists("edge_months_delta")) baseIdx
+      else
+        baseIdx
+          .unionByName(store.load("edge_months_delta").filter(col("month").isin(months.toSeq: _*)))
+          .groupBy(cols.map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)
+    ).localCheckpoint()
+    store
+      .loadForKeys("edges", idx.select(EdgeKey.map(col): _*), EdgeKey)
+      .join(idx.select(col("uuid")), Seq("uuid"), "left_semi")
+      .filter(col("valid_at") >= lit(from) && col("valid_at") < lit(to))
+  }
+
+  /** One row per committed index with its size and version — the
+    * `get_index_statistics` surface (`performance_optimizer.py:733-787`).
+    */
+  def statistics(store: SnapshotStore): DataFrame = {
+    val names =
+      TextSurfaces.flatMap { case (t, _, _) => Seq(s"${t}_postings", s"${t}_bm25stats") } ++
+        Seq("edge_ann", "graph_adj", "graph_adj_delta", "graph_degrees", "edge_months", "edge_months_delta")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    names
+      .filter(store.exists)
+      .map(t => (t, store.load(t).count(), store.currentVersion(t).getOrElse(-1)))
+      .toDF("index", "rows", "version")
   }
 }

@@ -445,6 +445,13 @@ object IncrementalIngest {
       oldRows.select(col("uuid"), col("fact_embedding")),
       rebuilt.select(col("uuid"), col("fact_embedding")),
     )
+    graft.search.SearchIndexes.refreshGraph(
+      store,
+      oldRows.select(col("source_uuid"), col("target_uuid")),
+      rebuilt.select(col("source_uuid"), col("target_uuid")),
+    )
+    val tCols = Seq("uuid", "valid_at", "group_id", "source_uuid", "name").map(col)
+    graft.search.SearchIndexes.refreshTemporal(store, oldRows.select(tCols: _*), rebuilt.select(tCols: _*))
     // endpoint index upkeep: append rebuilt groups' endpoint rows (stale
     // rows of moved endpoints only cause benign extra-probe hits)
     val idx = rebuilt

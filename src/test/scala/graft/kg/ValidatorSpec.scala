@@ -29,6 +29,7 @@ class ValidatorSpec extends AnyFunSuite {
       ("e1", "default", "n1", "knows", "n3", "Alice knows Bob", ts(10), Option.empty[Timestamp], Seq("ep1")),
       ("e2", "default", "n1", "knows", "n4", "Alice knows Carol", ts(10), Some(ts(5)), Seq("ep1")), // invalid_at < valid_at
       ("e3", "default", "nX", "knows", "n1", "ghost edge", ts(10), Option.empty[Timestamp], Seq("epMissing")), // dangling + missing episode
+      ("e4", "default", "n1", "knows", "n4", "Alice knows Carol", ts(20), Option.empty[Timestamp], Seq("ep1")), // 2nd OPEN fact in (default, n1, knows)
     ).toDF("uuid", "group_id", "source_uuid", "name", "target_uuid", "fact", "valid_at", "invalid_at", "episodes")
     val episodes = Seq(("ep1", "u1")).toDF("uuid", "name")
     store.commit(nodes, "nodes", "fixture")

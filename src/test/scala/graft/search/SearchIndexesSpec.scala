@@ -1,0 +1,153 @@
+package graft.search
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.io.SnapshotStore
+import graft.kg.{Fixtures, KgPipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-adjacency, temporal month, and statistics index surfaces
+  * (performance_optimizer.py:340-511, 733-787).
+  */
+class SearchIndexesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val store: SnapshotStore = {
+    val s = new SnapshotStore(spark, Files.createTempDirectory("gidx").toString)
+    new KgPipeline(s).run(Fixtures.pagesDf(), "fixture-v1")
+    SearchIndexes.build(s)
+    s
+  }
+
+  test("graph_adj holds every undirected edge pair with multiplicity") {
+    val edges = store.load("edges")
+    val want = edges
+      .select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+      .unionByName(edges.select(col("target_uuid").as("src"), col("source_uuid").as("dst")))
+      .groupBy("src", "dst")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val got = store
+      .load("graph_adj")
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(got == want)
+  }
+
+  test("indexed BFS lane equals the direct-relation BFS lane") {
+    val edges = store.load("edges")
+    val origin = edges.select(col("source_uuid")).first().getString(0)
+    val sources = Seq(origin).toDF("node")
+    val adj = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+    val direct = graft.graph.GraphOps
+      .bfs(graft.graph.GraphOps.undirect(adj), sources, 3)
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    val probed = graft.graph.GraphOps
+      .bfsIndexed(
+        frontier => SearchIndexes.adjacencyForKeys(store, frontier).select(col("src"), col("dst")),
+        sources,
+        3,
+      )
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    assert(probed == direct)
+  }
+
+  test("refreshGraph: multiplicity keeps shared pairs alive, drops dead ones") {
+    val dir = Files.createTempDirectory("gadjr").toString
+    val s = new SnapshotStore(spark, dir)
+    def ed(rows: Seq[(String, String)]) = rows.toDF("source_uuid", "target_uuid")
+    s.commit(ed(Seq(("a", "b"), ("a", "b"), ("b", "c"))), "edges", "seed")
+    SearchIndexes.buildGraph(s)
+    // remove ONE of the two parallel a-b edges and the only b-c edge
+    SearchIndexes.refreshGraph(s, ed(Seq(("a", "b"), ("b", "c"))), ed(Seq.empty))
+    val pairs = SearchIndexes.adjacency(s).collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("cnt")).toMap
+    assert(pairs == Map(("a", "b") -> 1L, ("b", "a") -> 1L))
+    // the probe view folds the delta log the same way
+    val probed = SearchIndexes.adjacencyForKeys(s, Seq("b").toDF("src"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("cnt")).toMap
+    assert(probed.get(("b", "a")).contains(1L) && !probed.contains(("b", "c")))
+    val deg = SearchIndexes.degreeCentrality(s).collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("degree")).toMap
+    assert(deg == Map("a" -> 1L, "b" -> 1L))
+    // a no-op refresh (identical rows out and in) appends nothing
+    val v = s.currentVersion("graph_adj_delta")
+    SearchIndexes.refreshGraph(s, ed(Seq(("a", "b"))), ed(Seq(("a", "b"))))
+    assert(s.currentVersion("graph_adj_delta") == v)
+    // compaction folds the log into the bucketed base and clears it
+    // (rebuild reads the edges snapshot — bring it to the post-batch state
+    // first, as IncrementalIngest's edges merge does before refreshing)
+    s.commit(ed(Seq(("a", "b"))), "edges", "post-batch state")
+    SearchIndexes.compactGraph(s)
+    assert(s.load("graph_adj_delta").isEmpty)
+    val folded = s.load("graph_adj").collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("cnt")).toMap
+    assert(folded == Map(("a", "b") -> 1L, ("b", "a") -> 1L))
+  }
+
+  test("edgesValidInRange: month-bucket probe equals the direct filter") {
+    val edges = store.load("edges").filter(col("valid_at").isNotNull)
+    val ts = edges.select(col("valid_at")).orderBy(col("valid_at")).collect().map(_.getTimestamp(0))
+    assert(ts.length > 2)
+    val from = ts(ts.length / 4)
+    val to = ts(3 * ts.length / 4)
+    val direct = edges
+      .filter(col("valid_at") >= lit(from) && col("valid_at") < lit(to))
+      .select("uuid").collect().map(_.getString(0)).toSet
+    val probed = SearchIndexes
+      .edgesValidInRange(store, from, to)
+      .select("uuid").collect().map(_.getString(0)).toSet
+    assert(probed == direct && probed.nonEmpty)
+  }
+
+  test("refreshTemporal moves an edge between month buckets") {
+    val dir = Files.createTempDirectory("gtmp").toString
+    val s = new SnapshotStore(spark, dir)
+    def ed(rows: Seq[(String, String)]) =
+      rows
+        .toDF("uuid", "v")
+        .select(
+          col("uuid"), col("v").cast("timestamp").as("valid_at"),
+          lit("g").as("group_id"), col("uuid").as("source_uuid"), lit("rel").as("name"),
+        )
+    s.commit(ed(Seq(("e1", "2024-01-05 00:00:00"), ("e2", "2024-02-10 00:00:00"))), "edges", "seed")
+    SearchIndexes.buildTemporal(s)
+    SearchIndexes.refreshTemporal(
+      s,
+      ed(Seq(("e1", "2024-01-05 00:00:00"))),
+      ed(Seq(("e1", "2024-03-01 00:00:00"))),
+    )
+    val got = SearchIndexes.monthIndex(s).collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got == Set("2024-03" -> "e1", "2024-02" -> "e2"))
+    // a rebuilt row that keeps its month is a net-zero delta → no append
+    val v = s.currentVersion("edge_months_delta")
+    SearchIndexes.refreshTemporal(
+      s,
+      ed(Seq(("e2", "2024-02-10 00:00:00"))),
+      ed(Seq(("e2", "2024-02-10 00:00:00"))),
+    )
+    assert(s.currentVersion("edge_months_delta") == v)
+  }
+
+  test("statistics lists every committed index with rows and version") {
+    val stats = SearchIndexes.statistics(store).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("edges_postings", "edges_bm25stats", "edge_ann", "graph_adj", "graph_degrees", "edge_months")
+      .foreach(idx => assert(stats.contains(idx), s"missing $idx"))
+    assert(stats("graph_adj") > 0 && stats("edge_months") > 0)
+  }
+
+  test("degreeCentrality = degree/(n-1)") {
+    val d = SearchIndexes.degreeCentrality(store).collect()
+    val n = d.length
+    d.foreach { r =>
+      assert(math.abs(r.getAs[Double]("degree_centrality") - r.getAs[Long]("degree").toDouble / (n - 1)) < 1e-12)
+    }
+  }
+}
