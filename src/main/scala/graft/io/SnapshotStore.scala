@@ -136,15 +136,43 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     readManifest(table, version) match {
       case Some(m) =>
         // bucketed snapshot: assemble the manifest-referenced bucket dirs
-        // (carried buckets live in OLDER version dirs — zero-copy reuse)
+        // (carried buckets live in OLDER version dirs — zero-copy reuse),
+        // then apply the delta chain (merge-on-read: each delta's updates
+        // replace all same-key rows of everything before it, its delete
+        // keys drop rows without re-inserting)
         val dirs = m.buckets.toSeq.sortBy(_._1).map { case (b, (v, _)) =>
           tableDir(table).resolve(s"v=$v").resolve(s"__bucket=$b").toString
         }
-        if (dirs.isEmpty) spark.emptyDataFrame
-        else spark.read.parquet(dirs: _*)
+        val base =
+          if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+          else if (m.deltas.nonEmpty) spark.read.parquet(deltaUpdatesDir(table, m.deltas.head._1).toString).limit(0)
+          else spark.emptyDataFrame
+        applyDeltas(table, m, base)
       case None =>
         spark.read.parquet(tableDir(table).resolve(s"v=$version").toString)
     }
+
+  private def deltaUpdatesDir(table: String, version: Int): Path =
+    tableDir(table).resolve(s"v=$version").resolve("__delta_updates")
+  private def deltaDeletesDir(table: String, version: Int): Path =
+    tableDir(table).resolve(s"v=$version").resolve("__delta_deletes")
+
+  /** Fold a manifest's delta chain over `base` in version order. */
+  private def applyDeltas(table: String, m: Manifest, base: DataFrame): DataFrame =
+    if (m.deltas.isEmpty) base
+    else
+      m.deltas.foldLeft(base) { case (acc, (dv, _)) =>
+        val up = spark.read.parquet(deltaUpdatesDir(table, dv).toString)
+        val delDir = deltaDeletesDir(table, dv)
+        val upKeys = up.select(m.deltaKey.map(col): _*).distinct()
+        val touched =
+          if (Files.exists(delDir))
+            upKeys.unionByName(spark.read.parquet(delDir.toString).select(m.deltaKey.map(col): _*)).distinct()
+          else upKeys
+        acc
+          .join(broadcast(touched), m.deltaKey, "left_anti")
+          .unionByName(up, allowMissingColumns = true)
+      }
 
   /** Index-probe read: rows of `table` whose `keyCols` values appear in
     * `keys`. On a bucketed table this reads ONLY the hash buckets the keys
@@ -165,11 +193,16 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
           case (b, (ver, _)) if buckets.contains(b) =>
             tableDir(table).resolve(s"v=$ver").resolve(s"__bucket=$b").toString
         }.toSeq
-        if (dirs.isEmpty) load(table).limit(0)
-        else
-          spark.read
-            .parquet(dirs: _*)
+        if (dirs.isEmpty && m.deltas.isEmpty) load(table).limit(0)
+        else {
+          val base =
+            if (dirs.isEmpty) spark.read.parquet(deltaUpdatesDir(table, m.deltas.head._1).toString).limit(0)
+            else spark.read.parquet(dirs: _*)
+          // delta chain applies by the MATCH key before the probe filter
+          // (the chain is small — bounded by compaction)
+          applyDeltas(table, m, base)
             .join(broadcast(wanted.drop("__bucket")), keyCols, "left_semi")
+        }
       case None =>
         load(table).join(broadcast(keys.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
     }
@@ -257,15 +290,57 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       .flatMap(v => readManifest(table, v))
       // a bucket-count change invalidates the hash layout → full rewrite
       .filter(_.numBuckets == numBuckets)
-    // legacy plain table (no manifest / re-bucketed): fold ALL existing
-    // rows into this write once; subsequent merges are incremental
-    val legacyAll = prev.isDefined && prevManifest.isEmpty
 
     val withB = updates.withColumn("__bucket", bucketExpr(bCols, numBuckets))
     val delB = deleteKeys.map(_.withColumn("__bucket", bucketExpr(bCols, numBuckets)))
-    val affected: Set[Int] =
-      (withB.select(col("__bucket")).distinct().collect().map(_.getInt(0)) ++
-        delB.toSeq.flatMap(_.select(col("__bucket")).distinct().collect().map(_.getInt(0)))).toSet
+    // one pass gives both the affected-bucket set and the row counts the
+    // delta-vs-rewrite decision needs
+    val updCounts = withB.groupBy(col("__bucket")).count().collect().map(r => r.getInt(0) -> r.getLong(1))
+    val delCounts = delB.toSeq.flatMap(_.groupBy(col("__bucket")).count().collect().map(r => r.getInt(0) -> r.getLong(1)))
+    val affected: Set[Int] = (updCounts.map(_._1) ++ delCounts.map(_._1)).toSet
+    val updRows = updCounts.map(_._2).sum
+    val delRows = delCounts.map(_._2).sum
+
+    // ---- DELTA path (merge-on-read): when the batch is small relative to
+    // the base, append an update/tombstone delta instead of rewriting the
+    // buckets its scattered keys hash into — per-bucket copy-on-write is
+    // work ∝ corpus once a batch touches most buckets. Readers fold the
+    // chain (loadVersion/loadForKeys); the chain is bounded: the next
+    // overweight or long-chain merge folds everything (amortized
+    // compaction — Iceberg's delete-file merge-on-read discipline).
+    val baseRows = prevManifest.map(_.buckets.valuesIterator.map(_._2).sum).getOrElse(0L)
+    val chainRows = prevManifest.map(_.deltas.map(_._2).sum).getOrElse(0L)
+    val keyCompatible = prevManifest.exists(m => m.deltaKey.isEmpty || m.deltaKey == key)
+    val chainLen = prevManifest.map(_.deltas.size).getOrElse(0)
+    val asDelta =
+      prevManifest.nonEmpty && keyCompatible && chainLen < MaxDeltaChain &&
+        (updRows + delRows + chainRows) * 10 < baseRows
+    if (asDelta) {
+      val m = prevManifest.get
+      val next = versions(table).lastOption.getOrElse(-1) + 1
+      val dir = tableDir(table).resolve(s"v=$next")
+      Files.createDirectories(dir)
+      updates.coalesce(1).write.mode("overwrite").parquet(deltaUpdatesDir(table, next).toString)
+      deleteKeys.foreach { dk =>
+        dk.select(key.map(col): _*).distinct().coalesce(1)
+          .write.mode("overwrite").parquet(deltaDeletesDir(table, next).toString)
+      }
+      val manifest = Manifest(numBuckets, m.buckets, m.deltas :+ (next -> updRows), key)
+      Files.write(dir.resolve("_manifest.json"), manifestJson(manifest).getBytes(StandardCharsets.UTF_8))
+      val commitJson =
+        s"""{"version":$next,"message":${jstr(message)},"fingerprint":"",
+           |"rows_written":$updRows,"delete_keys":$delRows,"delta":true,
+           |"delta_chain":${manifest.deltas.size},"total_buckets":${m.buckets.size},
+           |"committed_at":${System.currentTimeMillis()}}""".stripMargin
+      Files.write(dir.resolve("_commit.json"), commitJson.getBytes(StandardCharsets.UTF_8))
+      publish(table, next)
+      return next
+    }
+
+    // legacy plain table (no manifest / re-bucketed) or a pending delta
+    // chain: fold ALL existing rows (chain applied by loadVersion) into
+    // this write once; subsequent merges are incremental again
+    val legacyAll = prev.isDefined && (prevManifest.isEmpty || prevManifest.exists(_.deltas.nonEmpty))
 
     // previous rows of the affected buckets only (manifest-addressed dirs)
     val oldAffected: Option[DataFrame] =
@@ -343,12 +418,27 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     next
   }
 
-  /** bucket → (version that owns its files, row count). */
-  private final case class Manifest(numBuckets: Int, buckets: Map[Int, (Int, Long)])
+  /** A delta chain longer than this folds on the next merge (bounds the
+    * reader-side reconstruction plan depth).
+    */
+  val MaxDeltaChain = 8
+
+  /** buckets: bucket → (version that owns its files, row count);
+    * deltas: merge-on-read chain in version order (version, update rows);
+    * deltaKey: the match key the chain's replacements apply by.
+    */
+  private final case class Manifest(
+      numBuckets: Int,
+      buckets: Map[Int, (Int, Long)],
+      deltas: Seq[(Int, Long)] = Nil,
+      deltaKey: Seq[String] = Nil,
+  )
 
   private def manifestJson(m: Manifest): String = {
     val entries = m.buckets.toSeq.sortBy(_._1).map { case (b, (v, n)) => s""""$b":[$v,$n]""" }.mkString(",")
-    s"""{"num_buckets":${m.numBuckets},"buckets":{$entries}}"""
+    val deltas = m.deltas.map { case (v, n) => s"[$v,$n]" }.mkString(",")
+    val dkey = m.deltaKey.map(jstr).mkString(",")
+    s"""{"num_buckets":${m.numBuckets},"delta_key":[$dkey],"deltas":[$deltas],"buckets":{$entries}}"""
   }
 
   private def readManifest(table: String, version: Int): Option[Manifest] = {
@@ -357,11 +447,28 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     else {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       val nb = """"num_buckets":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+      val bucketsAt = s.indexOf("\"buckets\"")
       val entries = """"(\d+)":\[(\d+),(\d+)\]""".r
-        .findAllMatchIn(s.substring(s.indexOf("\"buckets\"")))
+        .findAllMatchIn(s.substring(bucketsAt))
         .map(m => m.group(1).toInt -> (m.group(2).toInt, m.group(3).toLong))
         .toMap
-      Some(Manifest(nb, entries))
+      val head = s.substring(0, bucketsAt) // deltas/delta_key live before "buckets"
+      val deltas = s.indexOf("\"deltas\"") match {
+        case -1 => Nil
+        case i =>
+          """\[(\d+),(\d+)\]""".r
+            .findAllMatchIn(head.substring(head.indexOf("\"deltas\"")))
+            .map(m => m.group(1).toInt -> m.group(2).toLong)
+            .toSeq
+      }
+      val deltaKey = s.indexOf("\"delta_key\"") match {
+        case -1 => Nil
+        case _ =>
+          val seg = head.substring(head.indexOf("\"delta_key\""))
+          val arr = seg.substring(seg.indexOf('['), seg.indexOf(']') + 1)
+          """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+      }
+      Some(Manifest(nb, entries, deltas, deltaKey))
     }
   }
 

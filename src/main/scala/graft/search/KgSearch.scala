@@ -81,7 +81,8 @@ final class KgSearch(store: SnapshotStore) {
       val stats = store.load(s"${table}_bm25stats").collect()(0)
       val nDocs = stats.getAs[Long]("n_docs")
       val avgdl = if (nDocs == 0) 1.0 else stats.getAs[Long]("total_dl").toDouble / nDocs
-      val probed = store.loadForKeys(s"${table}_postings", terms.toDF("term"), Seq("term"))
+      // reconciled base ⊎ delta-log view; df recounted over the live list
+      val probed = SearchIndexes.postingsForTerms(store, table, terms.toDF("term"))
       Bm25
         .scoreIndexed(probed, nDocs, avgdl, terms)
         .join(scoped.select(col("uuid").as("id")), Seq("id"), "left_semi")
@@ -132,8 +133,8 @@ final class KgSearch(store: SnapshotStore) {
         import spark.implicits._
         val qdf = Seq((0L, Embedder.embed(query).toSeq)).toDF("qid", "qv")
         val qsig = graft.sim.Ann.signature(spark, qdf, "qid", "qv").collect()(0).getAs[Int]("sig")
-        store
-          .loadForKeys("edge_ann", Seq(qsig).toDF("sig"), Seq("sig"))
+        SearchIndexes
+          .annForSigs(store, Seq(qsig).toDF("sig"))
           .join(edges.select(col("uuid")), Seq("uuid"), "left_semi")
           .withColumn("score", Vectors.cosine(col("v"), queryEmbedding(query)))
       } else

@@ -46,12 +46,37 @@ object SearchIndexes {
 
   def buildText(store: SnapshotStore, table: String, idCol: String, textCol: String): Unit = {
     val docs = store.load(table).select(col(idCol).as("id"), col(textCol).as("text"))
+    val fresh = Bm25.postings(docs).localCheckpoint()
+    // full (re)build folds the delta log: rows gone from the corpus leave
+    val gone =
+      if (!store.exists(s"${table}_postings")) None
+      else Some(
+        store.load(s"${table}_postings").select(col("term"), col("id"))
+          .join(fresh, Seq("term", "id"), "left_anti"),
+      )
     store.mergeBucketed(
-      s"${table}_postings", Bm25.postings(docs), Seq("term"),
-      s"bm25 inverted index for $table", bucketBy = Seq("term"),
+      s"${table}_postings", fresh, Seq("term", "id"),
+      s"bm25 inverted index for $table", deleteKeys = gone, bucketBy = Seq("term"),
     )
     store.commit(Bm25.corpusStats(docs), s"${table}_bm25stats", s"bm25 corpus stats for $table")
+    graft.io.DeltaLog.clear(store, s"${table}_postings")
   }
+
+  /** Reconciled posting lists for the query terms (base buckets ⊎ delta
+    * log), df recomputed over the live list — each probed term's FULL
+    * posting list is present, so the recount equals the global df.
+    */
+  def postingsForTerms(store: SnapshotStore, table: String, terms: DataFrame): DataFrame = {
+    val probed = graft.io.DeltaLog.probe(
+      store, s"${table}_postings", terms, Seq("term"), Seq("term", "id"), Seq("tf", "dl"),
+    )
+    val df = probed.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
+    probed.join(broadcast(df), Seq("term"))
+  }
+
+  /** Reconciled ANN bucket rows for the probe signatures. */
+  def annForSigs(store: SnapshotStore, sigs: DataFrame): DataFrame =
+    graft.io.DeltaLog.probe(store, "edge_ann", sigs, Seq("sig"), Seq("sig", "uuid"), Seq("v"))
 
   def buildAnn(store: SnapshotStore): Unit = {
     val edges = store.load("edges")
@@ -62,35 +87,37 @@ object SearchIndexes {
       .select(col("uuid"), col("fact_embedding").as("v"))
       .join(sigs, Seq("uuid"))
       .select(col("sig"), col("uuid"), col("v"))
-    store.mergeBucketed("edge_ann", ann, Seq("sig", "uuid"), "ANN signature buckets", bucketBy = Seq("sig"))
+      .localCheckpoint()
+    val gone =
+      if (!store.exists("edge_ann")) None
+      else Some(
+        store.load("edge_ann").select(col("sig"), col("uuid")).join(ann, Seq("sig", "uuid"), "left_anti"),
+      )
+    store.mergeBucketed(
+      "edge_ann", ann, Seq("sig", "uuid"), "ANN signature buckets",
+      deleteKeys = gone, bucketBy = Seq("sig"),
+    )
+    graft.io.DeltaLog.clear(store, "edge_ann")
   }
 
   /** Incremental text-index refresh after a micro-batch replaced
-    * `oldDocs` (id, text) with `newDocs` (id, text): the posting lists of
-    * every TOUCHED term are rebuilt from (their probed old postings minus
-    * removed ids) ∪ new term frequencies, with df recomputed inside the
-    * group; untouched terms are never read. Corpus stats shift by the
-    * delta. No-op if the index was never built.
+    * `oldDocs` (id, text) with `newDocs` (id, text) — APPEND-ONLY delta
+    * log (DeltaLog): old docs' term rows enter with sign −1, new docs'
+    * with +1; a batch costs ∝ its own token count, never a rewrite of the
+    * term buckets its (scattered) tokens hash into. Corpus stats shift by
+    * the delta. Compaction folds via [[buildText]] when the log outgrows
+    * the base. No-op if the index was never built.
     */
   def refreshText(store: SnapshotStore, table: String, oldDocs: DataFrame, newDocs: DataFrame): Unit = {
     if (!store.exists(s"${table}_postings")) return
-    val newTf = Bm25.termFreqs(newDocs)
-    val oldTf = Bm25.termFreqs(oldDocs).localCheckpoint()
-    val touched = newTf.select(col("term")).unionByName(oldTf.select(col("term"))).distinct().localCheckpoint()
-    val removedIds = oldDocs.select(col("id")).distinct()
-    val survivors = store
-      .loadForKeys(s"${table}_postings", touched, Seq("term"))
-      .drop("df")
-      .join(removedIds, Seq("id"), "left_anti")
-    val combined = survivors.unionByName(newTf)
-    val df = combined.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
-    store.mergeBucketed(
-      s"${table}_postings",
-      combined.join(df, Seq("term")),
-      Seq("term"),
-      s"refresh bm25 postings for $table",
-      deleteKeys = Some(touched),
-      bucketBy = Seq("term"),
+    val delta = Bm25.termFreqs(newDocs).withColumn("sign", lit(1))
+      .unionByName(Bm25.termFreqs(oldDocs).withColumn("sign", lit(-1)))
+      .select(col("term"), col("id"), col("tf"), col("dl"), col("sign"))
+    val (idCol, textCol) = TextSurfaces.collectFirst { case (t, i, x) if t == table => (i, x) }
+      .getOrElse(("id", "text"))
+    graft.io.DeltaLog.append(
+      store, s"${table}_postings", delta,
+      rebuild = () => buildText(store, table, idCol, textCol),
     )
     // stats delta: old docs leave, new docs enter
     val stats = store.load(s"${table}_bm25stats").collect()(0)
@@ -103,8 +130,9 @@ object SearchIndexes {
     store.commit(Seq((nDocs, totalDl)).toDF("n_docs", "total_dl"), s"${table}_bm25stats", s"refresh stats for $table")
   }
 
-  /** Incremental ANN refresh: drop removed vectors' bucket rows, add the
-    * new vectors under their signatures. No-op if never built.
+  /** Incremental ANN refresh — APPEND-ONLY delta log like [[refreshText]]:
+    * removed vectors sign −1, new vectors +1 under their signatures.
+    * No-op if never built.
     */
   def refreshAnn(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame): Unit = {
     if (!store.exists("edge_ann")) return
@@ -115,11 +143,9 @@ object SearchIndexes {
         .withColumnRenamed("id", "uuid")
       df.select(col("uuid"), col("fact_embedding").as("v")).join(sigs, Seq("uuid")).select(col("sig"), col("uuid"), col("v"))
     }
-    val removed = rows(oldEdges).select(col("sig"), col("uuid"))
-    store.mergeBucketed(
-      "edge_ann", rows(newEdges), Seq("sig", "uuid"), "refresh ANN buckets",
-      deleteKeys = Some(removed), bucketBy = Seq("sig"),
-    )
+    val delta = rows(newEdges).withColumn("sign", lit(1))
+      .unionByName(rows(oldEdges).withColumn("sign", lit(-1)))
+    graft.io.DeltaLog.append(store, "edge_ann", delta, rebuild = () => buildAnn(store))
   }
 
   // ------------------------------------------------------------------
@@ -357,8 +383,8 @@ object SearchIndexes {
     */
   def statistics(store: SnapshotStore): DataFrame = {
     val names =
-      TextSurfaces.flatMap { case (t, _, _) => Seq(s"${t}_postings", s"${t}_bm25stats") } ++
-        Seq("edge_ann", "graph_adj", "graph_adj_delta", "graph_degrees", "edge_months", "edge_months_delta")
+      TextSurfaces.flatMap { case (t, _, _) => Seq(s"${t}_postings", s"${t}_postings_delta", s"${t}_bm25stats") } ++
+        Seq("edge_ann", "edge_ann_delta", "graph_adj", "graph_adj_delta", "graph_degrees", "edge_months", "edge_months_delta")
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     names

@@ -42,7 +42,7 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(rowsOf(bs, "t")(77L) == "y77" && rowsOf(bs, "t").size == 502)
   }
 
-  test("untouched buckets are NOT rewritten: new version holds only touched bucket dirs") {
+  test("a small batch appends a DELTA: no bucket rewritten at all") {
     val (bs, root) = freshStore()
     val base = (0L until 500L).map(i => (i, s"v$i")).toDF("k", "v")
     bs.mergeBucketed("t", base, Seq("k"), "base", numBuckets = 16)
@@ -51,11 +51,58 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(v0Buckets == 16, "base load populates every bucket")
 
     bs.mergeBucketed("t", Seq((3L, "x3")).toDF("k", "v"), Seq("k"), "one row", numBuckets = 16)
-    val v1Buckets = Files.list(root.resolve("t").resolve("v=1")).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("__bucket=")).toSeq
-    assert(v1Buckets.size == 1, s"a 1-row batch must rewrite exactly 1 bucket, got $v1Buckets")
-    // data still complete via manifest references into v=0
+    val v1Entries = Files.list(root.resolve("t").resolve("v=1")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(!v1Entries.exists(_.startsWith("__bucket=")), s"a small batch must not rewrite buckets, got $v1Entries")
+    assert(v1Entries.contains("__delta_updates"), s"expected a delta dir, got $v1Entries")
+    // data still complete: manifest references v=0 buckets + the delta
     assert(rowsOf(bs, "t").size == 500 && rowsOf(bs, "t")(3L) == "x3")
+  }
+
+  test("delta chain: reads fold updates+tombstones in order; oversized merge compacts") {
+    val (bs, root) = freshStore()
+    bs.mergeBucketed("t", (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), "base", numBuckets = 8)
+    // three small merges → three deltas (incl. an update-then-delete and a
+    // delete-then-reinsert across the chain)
+    bs.mergeBucketed("t", Seq((301L, "x1")).toDF("k", "v"), Seq("k"), "d1", numBuckets = 8)
+    bs.mergeBucketed(
+      "t", Seq((302L, "x2")).toDF("k", "v"), Seq("k"), "d2", numBuckets = 8,
+      deleteKeys = Some(Seq(Tuple1(301L)).toDF("k")),
+    )
+    bs.mergeBucketed("t", Seq((301L, "back1")).toDF("k", "v"), Seq("k"), "d3", numBuckets = 8)
+    val got = rowsOf(bs, "t")
+    assert(got(301L) == "back1" && got(302L) == "x2" && got.size == 400)
+    // probe path folds the chain too
+    val probed = bs.loadForKeys("t", Seq(301L, 302L, 3L).toDF("k"), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(probed == Map(301L -> "back1", 302L -> "x2", 3L -> "v3"))
+    // an oversized merge (keys 0..199, disjoint from the chain's keys)
+    // folds the chain into fresh buckets
+    bs.mergeBucketed("t", (0L until 200L).map(i => (i, s"w$i")).toDF("k", "v"), Seq("k"), "fold", numBuckets = 8)
+    val vLast = bs.currentVersion("t").get
+    val entries = Files.list(root.resolve("t").resolve(s"v=$vLast")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(entries.count(_.startsWith("__bucket=")) == 8, "fold rewrites all buckets")
+    val folded = rowsOf(bs, "t")
+    assert(folded(0L) == "w0" && folded(399L) == "v399" && folded(302L) == "x2" && folded(301L) == "back1" && folded.size == 400)
+    // post-fold merges small again → next small batch is a delta on the new base
+    bs.mergeBucketed("t", Seq((7L, "z7")).toDF("k", "v"), Seq("k"), "d-after-fold", numBuckets = 8)
+    assert(rowsOf(bs, "t")(7L) == "z7")
+  }
+
+  test("delta chain length is bounded: merge #MaxDeltaChain+1 folds") {
+    val (bs, root) = freshStore()
+    bs.mergeBucketed("t", (0L until 2000L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), "base", numBuckets = 8)
+    val cap = bs.MaxDeltaChain
+    (1 to cap + 1).foreach { i =>
+      bs.mergeBucketed("t", Seq((i.toLong, s"d$i")).toDF("k", "v"), Seq("k"), s"d$i", numBuckets = 8)
+    }
+    val vLast = bs.currentVersion("t").get
+    val entries = Files.list(root.resolve("t").resolve(s"v=$vLast")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(entries.count(_.startsWith("__bucket=")) == 8, s"chain cap must fold, got $entries")
+    val got = rowsOf(bs, "t")
+    assert(got.size == 2000 && (1 to cap + 1).forall(i => got(i.toLong) == s"d$i"))
   }
 
   test("deleteKeys removes rows without re-inserting") {

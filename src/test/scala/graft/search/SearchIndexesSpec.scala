@@ -136,6 +136,52 @@ class SearchIndexesSpec extends AnyFunSuite {
     assert(s.currentVersion("edge_months_delta") == v)
   }
 
+  test("text delta log: probed postings equal a fresh index of the live corpus") {
+    val dir = Files.createTempDirectory("gtext").toString
+    val s = new SnapshotStore(spark, dir)
+    def docs(rows: Seq[(String, String)]) = rows.toDF("id", "text")
+    val v0 = docs(Seq(("d1", "alpha beta beta"), ("d2", "beta gamma")))
+    s.commit(v0.toDF("uuid", "fact"), "edges", "seed docs live on edges/fact")
+    s.mergeBucketed("edges_postings", graft.search.Bm25.postings(v0), Seq("term", "id"), "seed", bucketBy = Seq("term"))
+    s.commit(graft.search.Bm25.corpusStats(v0), "edges_bm25stats", "seed stats")
+    // replace d2 (gamma→delta), add d3
+    SearchIndexes.refreshText(
+      s, "edges",
+      docs(Seq(("d2", "beta gamma"))),
+      docs(Seq(("d2", "beta delta"), ("d3", "alpha delta delta"))),
+    )
+    val live = docs(Seq(("d1", "alpha beta beta"), ("d2", "beta delta"), ("d3", "alpha delta delta")))
+    val want = graft.search.Bm25.postings(live)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getInt(2), r.getLong(4))).toSet
+    val terms = Seq("alpha", "beta", "gamma", "delta").toDF("term")
+    val got = SearchIndexes.postingsForTerms(s, "edges", terms)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("tf"), r.getAs[Int]("dl"), r.getAs[Long]("df"))).toSet
+    assert(got == want)
+    // second refresh stacks on the log: remove d1 entirely
+    SearchIndexes.refreshText(s, "edges", docs(Seq(("d1", "alpha beta beta"))), docs(Seq.empty))
+    val got2 = SearchIndexes.postingsForTerms(s, "edges", terms)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!got2.exists(_._2 == "d1") && got2.exists(_._2 == "d3"))
+  }
+
+  test("ann delta log: probe matches the live vector set") {
+    val dir = Files.createTempDirectory("gann").toString
+    val s = new SnapshotStore(spark, dir)
+    def edgesDf(rows: Seq[(String, String)]) = rows.toDF("uuid", "fact")
+      .withColumn("fact_embedding", org.apache.spark.sql.functions.udf((f: String) => graft.kg.Embedder.embed(f).toSeq).apply(col("fact")))
+    s.commit(edgesDf(Seq(("e1", "alice knows bob"), ("e2", "carol met dave"))), "edges", "seed")
+    SearchIndexes.buildAnn(s)
+    // replace e2's fact (vector moves buckets), add e3
+    SearchIndexes.refreshAnn(
+      s,
+      edgesDf(Seq(("e2", "carol met dave"))),
+      edgesDf(Seq(("e2", "carol left dave"), ("e3", "eve joined acme"))),
+    )
+    val allSigs = (0 until 256).toDF("sig")
+    val got = SearchIndexes.annForSigs(s, allSigs).collect().map(_.getAs[String]("uuid")).toSeq.sorted
+    assert(got == Seq("e1", "e2", "e3"))
+  }
+
   test("statistics lists every committed index with rows and version") {
     val stats = SearchIndexes.statistics(store).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq("edges_postings", "edges_bm25stats", "edge_ann", "graph_adj", "graph_degrees", "edge_months")
