@@ -14,17 +14,48 @@ import org.apache.spark.sql.functions._
   * contract, performance_optimizer.py:1077-1189, with Iceberg
   * merge-on-read delete-file semantics).
   *
-  * Reconciliation: a key-group survives iff base-presence (+1 per base
-  * row) plus the log's signs sum > 0; its payload comes from the
-  * NEWEST positive row (`seq` stamps each append; base rows are seq −1).
+  * The log itself is TRUE append: every batch commits ONLY its own rows
+  * as the next version of `<table>_delta` (cost ∝ batch, never ∝ log);
+  * readers union the version directories since the last compaction
+  * marker. `seq` = the commit version, so newest-positive-payload
+  * reconciliation orders correctly.
   */
 object DeltaLog {
 
   def deltaTable(table: String): String = s"${table}_delta"
 
-  /** Append `delta` (payload columns + `sign`) to the log; run `rebuild`
-    * (which must fold base+log and then [[clear]]) when the log outgrows
-    * the base. No-op on an empty delta.
+  private val ClearMessage = "compacted into base"
+
+  /** Versions of the log that are LIVE (after the last clear marker). */
+  private def liveVersions(store: SnapshotStore, dt: String): Seq[Int] = {
+    val cur = store.currentVersion(dt).getOrElse(return Nil)
+    val vs = store.versions(dt).filter(_ <= cur)
+    val lastClear = vs.reverse.find(v => store.commitInfo(dt, v).contains(s""""message":"$ClearMessage""""))
+    lastClear match {
+      case Some(c) => vs.filter(_ > c)
+      case None => vs
+    }
+  }
+
+  /** All live log rows (None when the log is absent or empty). */
+  def logFrame(store: SnapshotStore, table: String): Option[DataFrame] = {
+    val dt = deltaTable(table)
+    val live = liveVersions(store, dt)
+    if (live.isEmpty) None
+    else Some(live.map(v => store.loadVersion(dt, v)).reduce(_ unionByName _))
+  }
+
+  /** Total live log rows from commit metadata (no scan). */
+  def logRows(store: SnapshotStore, table: String): Long = {
+    val dt = deltaTable(table)
+    liveVersions(store, dt).map { v =>
+      """"rows":(\d+)""".r.findFirstMatchIn(store.commitInfo(dt, v)).map(_.group(1).toLong).getOrElse(0L)
+    }.sum
+  }
+
+  /** Append `delta` (payload columns + `sign`) as its own log version;
+    * run `rebuild` (which must fold base+log and then [[clear]]) when the
+    * log outgrows the base. No-op on an empty delta.
     */
   def append(
       store: SnapshotStore,
@@ -35,20 +66,17 @@ object DeltaLog {
   ): Unit = {
     if (delta.isEmpty) return
     val dt = deltaTable(table)
-    val seq = store.currentVersion(dt).map(_ + 1).getOrElse(0)
-    val stamped = delta.withColumn("seq", lit(seq))
-    val log = if (!store.exists(dt)) stamped else store.load(dt).unionByName(stamped)
-    store.commit(log.localCheckpoint(), dt, s"delta append seq=$seq")
-    // parquet-footer row counts only — no scan
-    val logRows = store.load(dt).count()
-    if (logRows > 1000L && logRows > maxFrac * store.load(table).count()) rebuild()
+    val seq = store.versions(dt).lastOption.map(_ + 1).getOrElse(0)
+    store.commit(delta.withColumn("seq", lit(seq)).coalesce(1), dt, s"delta append seq=$seq")
+    val rows = logRows(store, table)
+    if (rows > 1000L && rows > maxFrac * store.load(table).count()) rebuild()
   }
 
-  /** Empty the log after a rebuild folded it into the base. */
+  /** Publish the compaction marker after a rebuild folded the log. */
   def clear(store: SnapshotStore, table: String): Unit = {
     val dt = deltaTable(table)
     if (store.exists(dt))
-      store.commit(store.load(dt).limit(0), dt, "compacted into base")
+      store.commit(store.load(dt).limit(0), dt, ClearMessage)
   }
 
   /** Reconciled rows for the probe keys: base buckets (loadForKeys on
@@ -67,24 +95,25 @@ object DeltaLog {
     val base = store
       .loadForKeys(table, keys, bucketCols)
       .select((keyCols ++ payload).map(col): _*)
-    val dt = deltaTable(table)
-    if (!store.exists(dt)) return base
-    val d = store
-      .load(dt)
-      .join(broadcast(keys.select(bucketCols.map(col): _*).distinct()), bucketCols, "left_semi")
-      .select((keyCols ++ payload ++ Seq("sign", "seq")).map(col): _*)
-    val all = base
-      .withColumn("sign", lit(1))
-      .withColumn("seq", lit(-1))
-      .unionByName(d)
-    val net = all.groupBy(keyCols.map(col): _*).agg(sum(col("sign")).as("net"))
-    val pay = all
-      .filter(col("sign") > 0)
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(struct((col("seq") +: payload.map(col)): _*)).as("p"))
-    net
-      .filter(col("net") > 0)
-      .join(pay, keyCols)
-      .select((keyCols.map(col) ++ payload.map(n => col(s"p.$n").as(n))): _*)
+    logFrame(store, table) match {
+      case None => base
+      case Some(log) =>
+        val d = log
+          .join(broadcast(keys.select(bucketCols.map(col): _*).distinct()), bucketCols, "left_semi")
+          .select((keyCols ++ payload ++ Seq("sign", "seq")).map(col): _*)
+        val all = base
+          .withColumn("sign", lit(1))
+          .withColumn("seq", lit(-1))
+          .unionByName(d)
+        val net = all.groupBy(keyCols.map(col): _*).agg(sum(col("sign")).as("net"))
+        val pay = all
+          .filter(col("sign") > 0)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(struct((col("seq") +: payload.map(col)): _*)).as("p"))
+        net
+          .filter(col("net") > 0)
+          .join(pay, keyCols)
+          .select((keyCols.map(col) ++ payload.map(n => col(s"p.$n").as(n))): _*)
+    }
   }
 }

@@ -248,9 +248,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   // Bucketed merge-on-read: hash-bucket layout + per-version manifest
   // ------------------------------------------------------------------
 
-  /** Default bucket count for bucketed tables. Sized for the test corpus;
-    * at 100 TB size it so one bucket ≈ one executor task's comfortable
-    * input (e.g. 2^15–2^17 buckets).
+  /** Default bucket count for bucketed tables. Sized for the test corpus
+    * so a scattered-key probe (a batch's ~10² contention keys hash
+    * uniformly) still prunes most buckets; at 100 TB size it so one
+    * bucket ≈ one executor task's comfortable input (e.g. 2^15–2^17
+    * buckets — selectivity scales the same way).
     */
   val DefaultBuckets = 64
 

@@ -184,8 +184,7 @@ object SearchIndexes {
       else Some(store.load("graph_degrees").select(col("node")).join(deg, Seq("node"), "left_anti"))
     store.mergeBucketed("graph_degrees", deg, Seq("node"), "distinct-neighbor degrees", deleteKeys = goneNodes)
     // a (re)build folds everything — any pending delta log is stale
-    if (store.exists("graph_adj_delta"))
-      store.commit(store.load("graph_adj_delta").limit(0), "graph_adj_delta", "compacted into base")
+    graft.io.DeltaLog.clear(store, "graph_adj")
   }
 
   /** Signed pair-count deltas folded over base rows → live adjacency.
@@ -196,11 +195,16 @@ object SearchIndexes {
       .agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") > 0)
 
+  private def adjLog(store: SnapshotStore): Option[DataFrame] =
+    graft.io.DeltaLog.logFrame(store, "graph_adj").map(_.select(col("src"), col("dst"), col("cnt")))
+
   /** Live adjacency view = bucketed base ⊎ signed delta log. */
   def adjacency(store: SnapshotStore): DataFrame = {
     val base = store.load("graph_adj").select(col("src"), col("dst"), col("cnt"))
-    if (!store.exists("graph_adj_delta")) base
-    else reconcilePairs(base.unionByName(store.load("graph_adj_delta").select(col("src"), col("dst"), col("cnt"))))
+    adjLog(store) match {
+      case None => base
+      case Some(log) => reconcilePairs(base.unionByName(log))
+    }
   }
 
   /** Adjacency probe for a frontier (`keys`: src column): reads only the
@@ -208,23 +212,20 @@ object SearchIndexes {
     */
   def adjacencyForKeys(store: SnapshotStore, keys: DataFrame): DataFrame = {
     val base = store.loadForKeys("graph_adj", keys, Seq("src")).select(col("src"), col("dst"), col("cnt"))
-    if (!store.exists("graph_adj_delta")) base
-    else
-      reconcilePairs(
-        base.unionByName(
-          store.load("graph_adj_delta").select(col("src"), col("dst"), col("cnt"))
-            .join(keys.select(col("src")).distinct(), Seq("src"), "left_semi"),
-        ),
-      )
+    adjLog(store) match {
+      case None => base
+      case Some(log) =>
+        reconcilePairs(base.unionByName(log.join(keys.select(col("src")).distinct(), Seq("src"), "left_semi")))
+    }
   }
 
-  /** Incremental adjacency refresh — APPEND-ONLY: the batch's NET pair
-    * delta (new − old; identical rebuilt pairs cancel to zero and vanish)
-    * lands in a signed `graph_adj_delta` log, so a micro-batch costs ∝ its
-    * delta — never a rewrite of scattered src buckets (a batch's new
-    * endpoints hash everywhere; copy-on-write per touched bucket would be
-    * work ∝ corpus). When the log outgrows ~10% of the base the fold into
-    * the bucketed base runs ONCE (amortized compaction).
+  /** Incremental adjacency refresh — APPEND-ONLY (DeltaLog): the batch's
+    * NET pair delta (new − old; identical rebuilt pairs cancel to zero
+    * and vanish) lands in the `graph_adj_delta` log, so a micro-batch
+    * costs ∝ its delta — never a rewrite of scattered src buckets (a
+    * batch's new endpoints hash everywhere; copy-on-write per touched
+    * bucket would be work ∝ corpus). Compaction folds via [[buildGraph]]
+    * when the log outgrows the base.
     */
   def refreshGraph(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame): Unit = {
     if (!store.exists("graph_adj")) return
@@ -233,20 +234,7 @@ object SearchIndexes {
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
-      .localCheckpoint()
-    if (delta.isEmpty) return
-    val log =
-      if (!store.exists("graph_adj_delta")) delta
-      else store.load("graph_adj_delta").select(col("src"), col("dst"), col("cnt"))
-        .unionByName(delta)
-        .groupBy(col("src"), col("dst"))
-        .agg(sum(col("cnt")).as("cnt"))
-        .filter(col("cnt") =!= 0)
-        .localCheckpoint()
-    store.commit(log, "graph_adj_delta", "adjacency delta log")
-    // amortized fold: parquet-footer counts only, no scan
-    val logRows = log.count()
-    if (logRows > 1000L && logRows > store.load("graph_adj").count() / 10) compactGraph(store)
+    graft.io.DeltaLog.append(store, "graph_adj", delta, rebuild = () => compactGraph(store))
   }
 
   /** Fold the delta log into the bucketed base (full rebuild from the
@@ -290,14 +278,16 @@ object SearchIndexes {
   def monthIndex(store: SnapshotStore): DataFrame = {
     val cols = Seq("month", "uuid") ++ EdgeKey
     val base = store.load("edge_months").select(cols.map(col): _*)
-    if (!store.exists("edge_months_delta")) base
-    else
-      base.withColumn("cnt", lit(1L))
-        .unionByName(store.load("edge_months_delta"))
-        .groupBy(cols.map(col): _*)
-        .agg(sum(col("cnt")).as("cnt"))
-        .filter(col("cnt") > 0)
-        .select(cols.map(col): _*)
+    graft.io.DeltaLog.logFrame(store, "edge_months") match {
+      case None => base
+      case Some(log) =>
+        base.withColumn("cnt", lit(1L))
+          .unionByName(log.select((cols :+ "cnt").map(col): _*))
+          .groupBy(cols.map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)
+          .select(cols.map(col): _*)
+    }
   }
 
   def buildTemporal(store: SnapshotStore): Unit = {
@@ -309,8 +299,7 @@ object SearchIndexes {
       "edge_months", rows, Seq("month", "uuid"), "temporal month index",
       deleteKeys = gone, bucketBy = Seq("month"),
     )
-    if (store.exists("edge_months_delta"))
-      store.commit(store.load("edge_months_delta").limit(0), "edge_months_delta", "compacted into base")
+    graft.io.DeltaLog.clear(store, "edge_months")
   }
 
   /** Incremental temporal refresh — APPEND-ONLY like [[refreshGraph]]:
@@ -326,19 +315,7 @@ object SearchIndexes {
       .groupBy(cols.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
-      .localCheckpoint()
-    if (delta.isEmpty) return
-    val log =
-      if (!store.exists("edge_months_delta")) delta
-      else store.load("edge_months_delta")
-        .unionByName(delta)
-        .groupBy(cols.map(col): _*)
-        .agg(sum(col("cnt")).as("cnt"))
-        .filter(col("cnt") =!= 0)
-        .localCheckpoint()
-    store.commit(log, "edge_months_delta", "temporal delta log")
-    val logRows = log.count()
-    if (logRows > 1000L && logRows > store.load("edge_months").count() / 10) buildTemporal(store)
+    graft.io.DeltaLog.append(store, "edge_months", delta, rebuild = () => buildTemporal(store))
   }
 
   /** Edges whose valid_at falls in [from, to): probes ONLY the month
@@ -363,15 +340,15 @@ object SearchIndexes {
       .loadForKeys("edge_months", months.toSeq.toDF("month"), Seq("month"))
       .filter(col("month").isin(months.toSeq: _*))
       .withColumn("cnt", lit(1L))
-    val idx = (
-      if (!store.exists("edge_months_delta")) baseIdx
-      else
+    val idx = (graft.io.DeltaLog.logFrame(store, "edge_months") match {
+      case None => baseIdx
+      case Some(log) =>
         baseIdx
-          .unionByName(store.load("edge_months_delta").filter(col("month").isin(months.toSeq: _*)))
+          .unionByName(log.select((cols :+ "cnt").map(col): _*).filter(col("month").isin(months.toSeq: _*)))
           .groupBy(cols.map(col): _*)
           .agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0)
-    ).localCheckpoint()
+    }).localCheckpoint()
     store
       .loadForKeys("edges", idx.select(EdgeKey.map(col): _*), EdgeKey)
       .join(idx.select(col("uuid")), Seq("uuid"), "left_semi")
@@ -389,7 +366,12 @@ object SearchIndexes {
     import spark.implicits._
     names
       .filter(store.exists)
-      .map(t => (t, store.load(t).count(), store.currentVersion(t).getOrElse(-1)))
+      .map { t =>
+        val rows =
+          if (t.endsWith("_delta")) graft.io.DeltaLog.logRows(store, t.stripSuffix("_delta"))
+          else store.load(t).count()
+        (t, rows, store.currentVersion(t).getOrElse(-1))
+      }
       .toDF("index", "rows", "version")
   }
 }
