@@ -32,7 +32,14 @@ object Communities {
     val labels = algorithm match {
       case "label_prop" => GraphOps.labelPropagation(adj, maxIter)
       case "louvain" => Louvain.cluster(adj).select(col("node"), col("community").as("label"))
-      case other => sys.error(s"unknown community algorithm: $other (label_prop|louvain)")
+      case "ward" =>
+        // embedding-space Ward (community_detector.py:317-396) — gated to
+        // the reference's small-graph bound; k ≈ √n like its default
+        val n = nodes.count().toInt
+        Hierarchical
+          .wardCommunities(nodes, "uuid", "name_embedding", k = math.max(1, math.sqrt(n.toDouble).toInt))
+          .select(col("id").as("node"), col("community").as("label"))
+      case other => sys.error(s"unknown community algorithm: $other (label_prop|louvain|ward)")
     }
 
     // HAS_MEMBER edges: community label → entity member. group_id is
