@@ -153,17 +153,34 @@ object Bench {
     results("inc_batch_small_corpus") = incSmall
     results("inc_batch_big_corpus") = incBig
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver keeps only the last 2000 chars of output and JSON-parses
+    // the bench line out of that tail (BENCH_r01.json captured a truncated
+    // line → parsed:null). So: compact per-query seconds (2-3 significant
+    // digits — run-to-run VM noise is ±20%, more digits are fiction), the
+    // line printed dead last (after spark.stop()), and full-precision
+    // detail written to BENCH_DETAIL.json for the per-query comparison.
+    def fmt(v: Double): String =
+      if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
     val pagesPerSec = nPages / pipeSec
     val triplesPerSec = nTriples / pipeSec
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""pipeline":{"pages":$nPages,"triples":$nTriples,"seconds":${fmt(pipeSec)},""" +
+        s""""pages_per_sec":${pagesPerSec.round},"triples_per_sec":${triplesPerSec.round},"scale":$scale},""" +
+        s""""incremental":{"batch_pages":100,"small_corpus_sec":${fmt(incSmall)},"big_corpus_sec":${fmt(incBig)},""" +
+        s""""big_over_small":${fmt(incBig / incSmall)},"corpus_ratio":$scale}}"""
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir",""" +
         s""""pipeline":{"pages":$nPages,"triples":$nTriples,"seconds":$pipeSec,""" +
         s""""pages_per_sec":$pagesPerSec,"triples_per_sec":$triplesPerSec,"scale":$scale},""" +
         s""""incremental":{"batch_pages":100,"batch_reps":2,"small_corpus_sec":$incSmall,"big_corpus_sec":$incBig,""" +
-        s""""big_over_small":${incBig / incSmall},"corpus_ratio":$scale}}""",
-    )
+        s""""big_over_small":${incBig / incSmall},"corpus_ratio":$scale}}"""
+    try Files.write(java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
+    println(compact)
   }
 }
