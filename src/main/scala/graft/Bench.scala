@@ -34,6 +34,21 @@ object Bench {
         .withColumn("url", concat(col("url"), lit("?r="), col("rep")))
         .drop("rep")
 
+  /** Reclaim the tmpfs bench area (stores from previous runs/levels —
+    * leaving them resident steals page-cache/bandwidth from the next
+    * measurement and was a measurable source of run-to-run variance).
+    */
+  def cleanBenchTmp(): Unit = {
+    val benchDir = java.nio.file.Paths.get("/dev/shm/graftbench")
+    if (java.nio.file.Files.isDirectory(benchDir))
+      try {
+        val s = java.nio.file.Files.walk(benchDir) // close: walk holds dir fds open
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally s.close()
+      } catch { case _: java.io.IOException => () }
+  }
+
   /** Run the full pipeline into a temp store; returns (seconds, pages,
     * triples).
     */
@@ -117,12 +132,7 @@ object Bench {
 
     // reclaim tmpfs from any previous bench run, then JIT/codegen warm-up
     // on the tiny SF so the first timed query doesn't absorb JVM start-up
-    val benchDir = java.nio.file.Paths.get("/dev/shm/graftbench")
-    if (java.nio.file.Files.isDirectory(benchDir))
-      try {
-        java.nio.file.Files.walk(benchDir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () }
+    cleanBenchTmp()
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
 

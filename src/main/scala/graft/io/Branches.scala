@@ -6,7 +6,6 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import scala.jdk.CollectionConverters._
 
 /** Branch-per-writer concurrency over the snapshot store — the
   * re-expression of the reference's `ConcurrencyManager`
@@ -58,16 +57,11 @@ final class Branches(store: SnapshotStore) {
   }
 
   def listBranches(): Seq[String] =
-    "main" +: (if (!Files.exists(branchDir)) Seq.empty
-               else
-                 Files
-                   .list(branchDir)
-                   .iterator()
-                   .asScala
-                   .map(_.getFileName.toString)
-                   .filter(_.endsWith(".json"))
-                   .map(_.stripSuffix(".json"))
-                   .toSeq
+    "main" +: (SnapshotStore
+                 .listDir(branchDir)
+                 .map(_.getFileName.toString)
+                 .filter(_.endsWith(".json"))
+                 .map(_.stripSuffix(".json"))
                    .sorted)
 
   def deleteBranch(name: String): Boolean = {

@@ -29,6 +29,8 @@ import scala.jdk.CollectionConverters._
   */
 final class SnapshotStore(val spark: SparkSession, val root: String) {
 
+  import SnapshotStore.listDir
+
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def latestFile(table: String): Path = tableDir(table).resolve("_LATEST")
 
@@ -38,17 +40,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     else None
 
   def versions(table: String): Seq[Int] =
-    if (!Files.exists(tableDir(table))) Seq.empty
-    else
-      Files
-        .list(tableDir(table))
-        .iterator()
-        .asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("v="))
-        .map(_.stripPrefix("v=").toInt)
-        .toSeq
-        .sorted
+    listDir(tableDir(table))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .sorted
 
   def exists(table: String): Boolean = currentVersion(table).isDefined
 
@@ -104,12 +100,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   /** Row count per written part file, from parquet footers (no data read). */
   private def partitionRowCounts(dir: Path): Seq[(String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
-    Files
-      .list(dir)
-      .iterator()
-      .asScala
+    listDir(dir)
       .filter(p => p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
       .sortBy(_.getFileName.toString)
       .map { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -475,16 +467,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   }
 
   private def bucketDirsIn(dir: Path): Seq[Int] =
-    if (!Files.exists(dir)) Seq.empty
-    else
-      Files
-        .list(dir)
-        .iterator()
-        .asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("__bucket="))
-        .map(_.stripPrefix("__bucket=").toInt)
-        .toSeq
+    listDir(dir)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toInt)
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -494,4 +480,21 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+}
+
+object SnapshotStore {
+
+  /** Directory listing that CLOSES the NIO stream. `Files.list` holds the
+    * directory fd until the stream is closed; call sites that drop the
+    * stream leak one fd per call (with a pinned pre-touched heap GC almost
+    * never runs, so finalizers don't save you — the full test suite used
+    * to exhaust the 20k fd limit this way). Empty for non-directories.
+    */
+  private[io] def listDir(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toList
+      finally s.close()
+    }
 }

@@ -100,3 +100,42 @@ final case class AdvancedConfig(
     )
   }
 }
+
+/** Preset factories — `graphiti_hf/search/integration.py:392-529`. GPU /
+  * HNSW / batch-size knobs there tune the in-process FAISS+pandas engine;
+  * the Spark counterparts are the lane weights, thresholds, depths and the
+  * ANN-index toggle (batching is Spark's job).
+  */
+object AdvancedConfig {
+
+  /** create_semantic_search_config (integration.py:392-418). */
+  def semanticOptimized: AdvancedConfig =
+    AdvancedConfig(
+      semanticMinScore = 0.7,
+      weights = Map("semantic" -> 0.7, "keyword" -> 0.2, "graph" -> 0.1),
+      limit = 20,
+      useAnnIndex = true,
+    )
+
+  /** create_graph_search_config (integration.py:421-446). */
+  def graphOptimized: AdvancedConfig =
+    AdvancedConfig(
+      graphMaxDepth = 8,
+      weights = Map("semantic" -> 0.2, "keyword" -> 0.1, "graph" -> 0.7),
+    )
+
+  /** create_hybrid_search_config (integration.py:449-475). */
+  def hybridBalanced: AdvancedConfig =
+    AdvancedConfig(
+      weights = Map("semantic" -> 0.4, "keyword" -> 0.3, "graph" -> 0.3),
+      limit = 15,
+    )
+
+  /** create_domain_specific_config (integration.py:478-529). */
+  def domainSpecific(domain: String): AdvancedConfig = domain match {
+    case "technical" => AdvancedConfig(semanticMinScore = 0.8, limit = 25, weights = Map("semantic" -> 0.8, "keyword" -> 0.2, "graph" -> 0.0), useAnnIndex = true)
+    case "business" => AdvancedConfig(weights = Map("semantic" -> 0.2, "keyword" -> 0.6, "graph" -> 0.2))
+    case "personal" => AdvancedConfig(graphMaxDepth = 10, weights = Map("semantic" -> 0.1, "keyword" -> 0.1, "graph" -> 0.8))
+    case other => throw new IllegalArgumentException(s"unknown domain: $other (technical|business|personal)")
+  }
+}

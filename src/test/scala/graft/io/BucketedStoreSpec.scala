@@ -6,7 +6,6 @@ import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import scala.jdk.CollectionConverters._
 
 /** Bucketed merge-on-read snapshots: rewrite ∝ touched buckets, untouched
   * buckets carried by manifest reference (zero copy).
@@ -46,12 +45,12 @@ class BucketedStoreSpec extends AnyFunSuite {
     val (bs, root) = freshStore()
     val base = (0L until 500L).map(i => (i, s"v$i")).toDF("k", "v")
     bs.mergeBucketed("t", base, Seq("k"), "base", numBuckets = 16)
-    val v0Buckets = Files.list(root.resolve("t").resolve("v=0")).iterator().asScala
+    val v0Buckets = SnapshotStore.listDir(root.resolve("t").resolve("v=0")).iterator
       .map(_.getFileName.toString).count(_.startsWith("__bucket="))
     assert(v0Buckets == 16, "base load populates every bucket")
 
     bs.mergeBucketed("t", Seq((3L, "x3")).toDF("k", "v"), Seq("k"), "one row", numBuckets = 16)
-    val v1Entries = Files.list(root.resolve("t").resolve("v=1")).iterator().asScala
+    val v1Entries = SnapshotStore.listDir(root.resolve("t").resolve("v=1")).iterator
       .map(_.getFileName.toString).toSeq
     assert(!v1Entries.exists(_.startsWith("__bucket=")), s"a small batch must not rewrite buckets, got $v1Entries")
     assert(v1Entries.contains("__delta_updates"), s"expected a delta dir, got $v1Entries")
@@ -80,7 +79,7 @@ class BucketedStoreSpec extends AnyFunSuite {
     // folds the chain into fresh buckets
     bs.mergeBucketed("t", (0L until 200L).map(i => (i, s"w$i")).toDF("k", "v"), Seq("k"), "fold", numBuckets = 8)
     val vLast = bs.currentVersion("t").get
-    val entries = Files.list(root.resolve("t").resolve(s"v=$vLast")).iterator().asScala
+    val entries = SnapshotStore.listDir(root.resolve("t").resolve(s"v=$vLast")).iterator
       .map(_.getFileName.toString).toSeq
     assert(entries.count(_.startsWith("__bucket=")) == 8, "fold rewrites all buckets")
     val folded = rowsOf(bs, "t")
@@ -98,7 +97,7 @@ class BucketedStoreSpec extends AnyFunSuite {
       bs.mergeBucketed("t", Seq((i.toLong, s"d$i")).toDF("k", "v"), Seq("k"), s"d$i", numBuckets = 8)
     }
     val vLast = bs.currentVersion("t").get
-    val entries = Files.list(root.resolve("t").resolve(s"v=$vLast")).iterator().asScala
+    val entries = SnapshotStore.listDir(root.resolve("t").resolve(s"v=$vLast")).iterator
       .map(_.getFileName.toString).toSeq
     assert(entries.count(_.startsWith("__bucket=")) == 8, s"chain cap must fold, got $entries")
     val got = rowsOf(bs, "t")

@@ -82,4 +82,21 @@ class ValidatorSpec extends AnyFunSuite {
     assert(problems.exists(_.contains("limit")))
     intercept[IllegalArgumentException](bad.toKgSearch)
   }
+
+  test("advanced config presets validate and carry the reference's tuning (integration.py:392-529)") {
+    val presets = Seq(
+      AdvancedConfig.semanticOptimized,
+      AdvancedConfig.graphOptimized,
+      AdvancedConfig.hybridBalanced,
+      AdvancedConfig.domainSpecific("technical"),
+      AdvancedConfig.domainSpecific("business"),
+      AdvancedConfig.domainSpecific("personal"),
+    )
+    presets.foreach(p => assert(p.validate().isEmpty, s"preset invalid: ${p.validate()}"))
+    assert(AdvancedConfig.semanticOptimized.weights("semantic") == 0.7)
+    assert(AdvancedConfig.graphOptimized.graphMaxDepth == 8)
+    assert(AdvancedConfig.hybridBalanced.limit == 15)
+    assert(AdvancedConfig.domainSpecific("personal").graphMaxDepth == 10)
+    intercept[IllegalArgumentException](AdvancedConfig.domainSpecific("nope"))
+  }
 }
