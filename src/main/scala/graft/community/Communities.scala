@@ -20,8 +20,10 @@ object Communities {
   /** Build communities from the store's edges/nodes; commits
     * `communities` and `community_edges` snapshots. `algorithm` mirrors
     * the reference's CommunityDetector choice (`community_detector.py:
-    * 119-183`): "louvain" (modularity, [[Louvain]]) or "label_prop"
-    * (default — the reference's own fallback); unknown names fail fast.
+    * 119-183`): "louvain" (modularity, [[Louvain]]), "ward"
+    * ([[Hierarchical]]), "clique" ([[CliquePercolation]], overlapping) or
+    * "label_prop" (default — the reference's own fallback); unknown names
+    * fail fast.
     */
   def build(store: SnapshotStore, maxIter: Int = 10, algorithm: String = "label_prop"): Unit = {
     val edges = store.load("edges")
@@ -39,7 +41,14 @@ object Communities {
         Hierarchical
           .wardCommunities(nodes, "uuid", "name_embedding", k = math.max(1, math.sqrt(n.toDouble).toInt))
           .select(col("id").as("node"), col("community").as("label"))
-      case other => sys.error(s"unknown community algorithm: $other (label_prop|louvain|ward)")
+      case "clique" =>
+        // k=3 clique percolation (community_detector.py:269-297);
+        // membership OVERLAPS (a node may get several labels) and
+        // non-triangle nodes get none — NetworkX k_clique_communities
+        // semantics, which the HAS_MEMBER materialization below carries
+        // through unchanged
+        CliquePercolation.communities(adj).select(col("node"), col("community_key").as("label"))
+      case other => sys.error(s"unknown community algorithm: $other (label_prop|louvain|ward|clique)")
     }
 
     // HAS_MEMBER edges: community label → entity member. group_id is

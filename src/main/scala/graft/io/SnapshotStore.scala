@@ -97,19 +97,47 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     publish(table, version)
   }
 
-  /** Row count per written part file, from parquet footers (no data read). */
-  private def partitionRowCounts(dir: Path): Seq[(String, Long)] = {
+  /** Row count per written part file, from parquet footers (no data read).
+    * Footers are read CONCURRENTLY at the session's parallelism: this runs
+    * on the driver after every commit, and reading dozens of bucket files
+    * serially was measurable fixed serial time that Amdahl-capped the
+    * 1→4-core scaling run (the 4-core level pays fixed driver work 4×
+    * proportionally). Pool width tracks defaultParallelism so the
+    * emulated "cluster size" bounds it like any executor-side work.
+    */
+  private def partitionRowCounts(dir: Path): Seq[(String, Long)] =
+    footerCounts(listDir(dir)).map { case (p, n) => p.getFileName.toString.split("-")(1) -> n }
+
+  /** (path, row count) per parquet part file, footer metadata only, read
+    * CONCURRENTLY at the session's parallelism — pool width tracks
+    * defaultParallelism so the emulated "cluster size" bounds this like
+    * any executor-side work.
+    */
+  private def footerCounts(files: Seq[Path]): Seq[(Path, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
-    listDir(dir)
+    val parts = files
       .filter(p => p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
-      .map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try p.getFileName.toString.split("-")(1) -> reader.getRecordCount
-        finally reader.close()
-      }
+    def countOf(p: Path): (Path, Long) = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try p -> reader.getRecordCount
+      finally reader.close()
+    }
+    if (parts.sizeIs <= 2) parts.map(countOf)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.max(1, spark.sparkContext.defaultParallelism))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool
+          .invokeAll(parts.map(p => ((() => countOf(p)): java.util.concurrent.Callable[(Path, Long)])).asJava)
+          .asScala
+          .toSeq
+          .map(_.get())
+      } finally pool.shutdown()
+    }
   }
 
   private def publish(table: String, version: Int): Unit = {
@@ -390,8 +418,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     // counts — so total rows and per-bucket lineage cost O(touched), not
     // O(corpus)
     val written = bucketDirsIn(dir)
-    val writtenCounts = written.sorted.map { b =>
-      b -> (next, partitionRowCounts(dir.resolve(s"__bucket=$b")).map(_._2).sum)
+    // one concurrent footer pass over every written bucket's files (a
+    // serial per-bucket × per-file loop here was driver-side fixed time
+    // that capped the 1→4-core scaling efficiency)
+    val filesByBucket = written.sorted.map(b => b -> listDir(dir.resolve(s"__bucket=$b")))
+    val countsByPath = footerCounts(filesByBucket.flatMap(_._2)).toMap
+    val writtenCounts = filesByBucket.map { case (b, files) =>
+      b -> (next, files.flatMap(countsByPath.get).sum)
     }.toMap
     val carried: Map[Int, (Int, Long)] =
       if (legacyAll) Map.empty

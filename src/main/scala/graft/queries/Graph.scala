@@ -290,5 +290,50 @@ object Graph {
         ORDER BY src, dst
       """),
     ),
+
+    // ---- triangle enumeration (the k=3 clique-percolation substrate,
+    // community_detector.py:269-297) over the co-supplier projection:
+    // suppliers are adjacent when they supply the same part. The
+    // degree-ordered wedge join is the scale path (see
+    // community/CliquePercolation.scala); the oracle re-derives every
+    // triangle with a 3-way self-join ----
+    QueryDef(
+      "q_graph_triangles",
+      (s, dir) => {
+        val li = T.load(s, dir, "lineitem")
+          .filter(col("l_quantity") <= lit(2.0))
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .distinct()
+        val co = li.as("x")
+          .join(li.as("y"), col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+          .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+          .distinct()
+        // triangles() canonicalizes as strings; re-order numerically to
+        // match the integer oracle
+        graft.community.CliquePercolation.triangles(co)
+          .select(col("a").cast("long").as("x"), col("b").cast("long").as("y"), col("c").cast("long").as("z"))
+          .select(
+            least(col("x"), col("y"), col("z")).as("a"),
+            (col("x") + col("y") + col("z")
+              - least(col("x"), col("y"), col("z"))
+              - greatest(col("x"), col("y"), col("z"))).as("b"),
+            greatest(col("x"), col("y"), col("z")).as("c"),
+          )
+          .orderBy(col("a"), col("b"), col("c"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+          FROM lineitem WHERE l_quantity <= 2.0),
+        e AS (
+          SELECT DISTINCT x.sk AS u, y.sk AS v
+          FROM li x JOIN li y ON x.pk = y.pk AND x.sk < y.sk)
+        SELECT e1.u::BIGINT AS a, e1.v::BIGINT AS b, e2.v::BIGINT AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ORDER BY a, b, c
+      """),
+    ),
   )
 }
