@@ -316,9 +316,16 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val withB = updates.withColumn("__bucket", bucketExpr(bCols, numBuckets))
     val delB = deleteKeys.map(_.withColumn("__bucket", bucketExpr(bCols, numBuckets)))
     // one pass gives both the affected-bucket set and the row counts the
-    // delta-vs-rewrite decision needs
-    val updCounts = withB.groupBy(col("__bucket")).count().collect().map(r => r.getInt(0) -> r.getLong(1))
-    val delCounts = delB.toSeq.flatMap(_.groupBy(col("__bucket")).count().collect().map(r => r.getInt(0) -> r.getLong(1)))
+    // delta-vs-rewrite decision needs. On a FIRST build neither is needed
+    // (no prior buckets to carry, delta path requires a manifest) — skip
+    // the pass entirely so `updates` is traversed exactly once (callers
+    // then don't have to checkpoint a build-sized intermediate).
+    val updCounts =
+      if (prev.isEmpty) Array.empty[(Int, Long)]
+      else withB.groupBy(col("__bucket")).count().collect().map(r => r.getInt(0) -> r.getLong(1))
+    val delCounts =
+      if (prev.isEmpty) Seq.empty[(Int, Long)]
+      else delB.toSeq.flatMap(_.groupBy(col("__bucket")).count().collect().map(r => r.getInt(0) -> r.getLong(1)))
     val affected: Set[Int] = (updCounts.map(_._1) ++ delCounts.map(_._1)).toSet
     val updRows = updCounts.map(_._2).sum
     val delRows = delCounts.map(_._2).sum

@@ -65,12 +65,21 @@ object Bm25 {
 
   /** Full inverted index (term, id, tf, dl, df) — df denormalized per row
     * so scoring needs no query-time aggregation join.
+    *
+    * df = count of rows per term, which equals countDistinct(id) because
+    * (term, id) is unique after the tf aggregate and dl is a function of
+    * id — computed as a WINDOW over term instead of the former
+    * tf ⋈ groupBy(term) join, which shuffled the corpus-sized tf frame
+    * one extra time (the window's term shuffle has the same hot-term
+    * placement the join's term shuffle already had, so skew is unchanged;
+    * the raw token explode still aggregates map-side on the balanced
+    * (term, id, dl) key first).
     */
-  def postings(docs: DataFrame): DataFrame = {
-    val tf = termFreqs(docs)
-    val df = tf.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
-    tf.join(df, Seq("term"))
-  }
+  def postings(docs: DataFrame): DataFrame =
+    termFreqs(docs).withColumn(
+      "df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))),
+    )
 
   /** The two corpus scalars BM25 needs: (n_docs, total_dl). */
   def corpusStats(docs: DataFrame): DataFrame =

@@ -46,10 +46,14 @@ object SearchIndexes {
 
   def buildText(store: SnapshotStore, table: String, idCol: String, textCol: String): Unit = {
     val docs = store.load(table).select(col(idCol).as("id"), col(textCol).as("text"))
-    val fresh = Bm25.postings(docs).localCheckpoint()
+    // FIRST build is single-traversal (mergeBucketed skips its count pass
+    // when no prior version exists) — checkpoint the tokenized index only
+    // when a REbuild must reuse it for the gone-rows anti-join too
+    val rebuild = store.exists(s"${table}_postings")
+    val fresh = if (rebuild) Bm25.postings(docs).localCheckpoint() else Bm25.postings(docs)
     // full (re)build folds the delta log: rows gone from the corpus leave
     val gone =
-      if (!store.exists(s"${table}_postings")) None
+      if (!rebuild) None
       else Some(
         store.load(s"${table}_postings").select(col("term"), col("id"))
           .join(fresh, Seq("term", "id"), "left_anti"),
@@ -80,16 +84,16 @@ object SearchIndexes {
 
   def buildAnn(store: SnapshotStore): Unit = {
     val edges = store.load("edges")
-    val sigs = graft.sim.Ann
-      .signature(edges.sparkSession, edges.select(col("uuid"), col("fact_embedding")), "uuid", "fact_embedding")
-      .withColumnRenamed("id", "uuid")
-    val ann = edges
-      .select(col("uuid"), col("fact_embedding").as("v"))
-      .join(sigs, Seq("uuid"))
-      .select(col("sig"), col("uuid"), col("v"))
-      .localCheckpoint()
+    // signature is a pure codegen expression — no join/shuffle per row
+    val ann0 = edges.select(
+      graft.sim.Ann.signatureCol(col("fact_embedding")).as("sig"),
+      col("uuid"),
+      col("fact_embedding").as("v"),
+    )
+    val rebuild = store.exists("edge_ann")
+    val ann = if (rebuild) ann0.localCheckpoint() else ann0
     val gone =
-      if (!store.exists("edge_ann")) None
+      if (!rebuild) None
       else Some(
         store.load("edge_ann").select(col("sig"), col("uuid")).join(ann, Seq("sig", "uuid"), "left_anti"),
       )
@@ -169,6 +173,7 @@ object SearchIndexes {
   }
 
   def buildGraph(store: SnapshotStore): Unit = {
+    // pairs IS reused below (degrees) — checkpoint unconditionally
     val pairs = pairCounts(store.load("edges")).localCheckpoint()
     // full (re)build: pairs/nodes no longer present leave the index
     val gonePairs =
@@ -291,9 +296,11 @@ object SearchIndexes {
   }
 
   def buildTemporal(store: SnapshotStore): Unit = {
-    val rows = monthRows(store.load("edges")).localCheckpoint()
+    val rebuild = store.exists("edge_months")
+    val rows0 = monthRows(store.load("edges"))
+    val rows = if (rebuild) rows0.localCheckpoint() else rows0
     val gone =
-      if (!store.exists("edge_months")) None
+      if (!rebuild) None
       else Some(store.load("edge_months").select(col("month"), col("uuid")).join(rows, Seq("month", "uuid"), "left_anti"))
     store.mergeBucketed(
       "edge_months", rows, Seq("month", "uuid"), "temporal month index",

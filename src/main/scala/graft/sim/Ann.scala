@@ -68,12 +68,13 @@ object Ann {
   def signature(spark: SparkSession, vecs: DataFrame, idCol: String, vecCol: String, nPlanes: Int = 8): DataFrame =
     vecs.select(col(idCol).as("id"), signatureCol(col(vecCol), nPlanes).as("sig"))
 
-  /** LSH-bucketed top-k: score only same-signature candidates. */
+  /** LSH-bucketed top-k: score only same-signature candidates. The
+    * signature is computed INLINE on both sides (pure expression) — the
+    * former id-self-joins re-shuffled the whole corpus just to attach it.
+    */
   def lshBucketTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val qsig = signature(spark, queries, "qid", "qv").withColumnRenamed("id", "qid")
-    val csig = signature(spark, corpus, "id", "v")
-    val q = queries.join(qsig, Seq("qid"))
-    val c = corpus.join(csig, Seq("id"))
+    val q = queries.withColumn("sig", signatureCol(col("qv")))
+    val c = corpus.withColumn("sig", signatureCol(col("v")))
     val scored = c
       .join(broadcast(q), Seq("sig"))
       .withColumn("score", round(Vectors.cosine(col("v"), col("qv")), 6))
