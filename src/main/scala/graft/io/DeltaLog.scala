@@ -64,12 +64,19 @@ object DeltaLog {
       rebuild: () => Unit,
       maxFrac: Double = 0.1,
   ): Unit = {
-    if (delta.isEmpty) return
+    // checkpoint the (batch-sized) delta so the emptiness probe and the
+    // commit don't each recompute the signed-rows plan (tokenization /
+    // signatures of both doc sets)
+    val d = delta.localCheckpoint()
+    if (d.isEmpty) return
     val dt = deltaTable(table)
     val seq = store.versions(dt).lastOption.map(_ + 1).getOrElse(0)
-    store.commit(delta.withColumn("seq", lit(seq)).coalesce(1), dt, s"delta append seq=$seq")
+    store.commit(d.withColumn("seq", lit(seq)).coalesce(1), dt, s"delta append seq=$seq")
     val rows = logRows(store, table)
-    if (rows > 1000L && rows > maxFrac * store.load(table).count()) rebuild()
+    // base size from commit metadata (manifest bucket counts) — a
+    // load(table).count() here was a full base scan job on EVERY append
+    val baseRows = store.approxRowCount(table).getOrElse(store.load(table).count())
+    if (rows > 1000L && rows > maxFrac * baseRows) rebuild()
   }
 
   /** Publish the compaction marker after a rebuild folded the log. */

@@ -228,6 +228,21 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Row count of the current snapshot from COMMIT METADATA only (manifest
+    * bucket counts + delta-chain rows, or the plain commit's recorded
+    * rows) — no Spark job. Update-delta rows overcount replacements and
+    * tombstones are not subtracted, so this is an upper-bound approximation
+    * between compactions; exact after any full (re)write. None when the
+    * table is absent or the version predates row recording.
+    */
+  def approxRowCount(table: String): Option[Long] =
+    currentVersion(table).flatMap { v =>
+      readManifest(table, v) match {
+        case Some(m) => Some(m.buckets.valuesIterator.map(_._2).sum + m.deltas.map(_._2).sum)
+        case None => """"rows":(\d+)""".r.findFirstMatchIn(commitInfo(table, v)).map(_.group(1).toLong)
+      }
+    }
+
   /** Re-point the table at an older snapshot (time travel / rollback). */
   def rollback(table: String, version: Int): Unit = {
     require(versions(table).contains(version), s"unknown version $version of $table")

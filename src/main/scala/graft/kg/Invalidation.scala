@@ -76,6 +76,16 @@ object Invalidation {
     else windowed
   }
 
+  /** dedupeFacts → invalidate with ONE shuffle: pre-partition by the
+    * contention key (group_id, source_uuid, name); the (…, target_uuid)
+    * dedupe aggregate and the invalidation window both reuse that
+    * partitioning (hash(g,s,n) clusters their keys), so neither inserts
+    * its own exchange. The window already requires whole contention
+    * groups co-located, so this adds no skew the fused pass didn't have.
+    */
+  def dedupeAndInvalidate(edges: DataFrame): DataFrame =
+    invalidate(dedupeFacts(edges.repartition(col("group_id"), col("source_uuid"), col("name"))))
+
   /** Point-in-time validity predicate (`temporal_manager.py:310-314`). */
   def validAt(edges: DataFrame, t: java.sql.Timestamp): DataFrame =
     edges.filter(

@@ -180,7 +180,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       val remapped = Linking.remapPointers(raw, m)
       val embed = udf((s: String) => Embedder.embed(s).toSeq)
       val edges = Invalidation
-        .invalidate(Invalidation.dedupeFacts(remapped))
+        .dedupeAndInvalidate(remapped)
         .withColumn("fact_embedding", embed(col("fact")))
         .withColumn(
           "uuid",

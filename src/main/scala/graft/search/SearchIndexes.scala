@@ -123,12 +123,19 @@ object SearchIndexes {
       store, s"${table}_postings", delta,
       rebuild = () => buildText(store, table, idCol, textCol),
     )
-    // stats delta: old docs leave, new docs enter
+    // stats delta: old docs leave (−1), new docs enter (+1) — ONE signed
+    // aggregation job instead of two separate collects
     val stats = store.load(s"${table}_bm25stats").collect()(0)
-    val oldAgg = oldDocs.agg(count(lit(1)), coalesce(sum(size(split(lower(col("text")), " "))), lit(0L))).collect()(0)
-    val newAgg = newDocs.agg(count(lit(1)), coalesce(sum(size(split(lower(col("text")), " "))), lit(0L))).collect()(0)
-    val nDocs = stats.getAs[Long]("n_docs") - oldAgg.getLong(0) + newAgg.getLong(0)
-    val totalDl = stats.getAs[Long]("total_dl") - oldAgg.getLong(1) + newAgg.getLong(1)
+    def signed(docs: DataFrame, sign: Long) = docs.select(
+      lit(sign).as("sign"),
+      (lit(sign) * size(split(lower(col("text")), " ")).cast("long")).as("sdl"),
+    )
+    val d = signed(newDocs, 1L)
+      .unionByName(signed(oldDocs, -1L))
+      .agg(coalesce(sum(col("sign")), lit(0L)), coalesce(sum(col("sdl")), lit(0L)))
+      .collect()(0)
+    val nDocs = stats.getAs[Long]("n_docs") + d.getLong(0)
+    val totalDl = stats.getAs[Long]("total_dl") + d.getLong(1)
     val spark = newDocs.sparkSession
     import spark.implicits._
     store.commit(Seq((nDocs, totalDl)).toDF("n_docs", "total_dl"), s"${table}_bm25stats", s"refresh stats for $table")
@@ -140,13 +147,11 @@ object SearchIndexes {
     */
   def refreshAnn(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame): Unit = {
     if (!store.exists("edge_ann")) return
-    val spark = newEdges.sparkSession
-    def rows(df: DataFrame): DataFrame = {
-      val sigs = graft.sim.Ann
-        .signature(spark, df.select(col("uuid"), col("fact_embedding")), "uuid", "fact_embedding")
-        .withColumnRenamed("id", "uuid")
-      df.select(col("uuid"), col("fact_embedding").as("v")).join(sigs, Seq("uuid")).select(col("sig"), col("uuid"), col("v"))
-    }
+    def rows(df: DataFrame): DataFrame = df.select(
+      graft.sim.Ann.signatureCol(col("fact_embedding")).as("sig"),
+      col("uuid"),
+      col("fact_embedding").as("v"),
+    )
     val delta = rows(newEdges).withColumn("sign", lit(1))
       .unionByName(rows(oldEdges).withColumn("sign", lit(-1)))
     graft.io.DeltaLog.append(store, "edge_ann", delta, rebuild = () => buildAnn(store))

@@ -419,7 +419,7 @@ object IncrementalIngest {
           .select(rebuildCols.map(col): _*)
           .unionByName(newRawM.select(rebuildCols.map(col): _*))
     val rebuilt = Invalidation
-      .invalidate(Invalidation.dedupeFacts(toRebuild))
+      .dedupeAndInvalidate(toRebuild)
       .withColumn("fact_embedding", embedUdf(col("fact")))
       .withColumn(
         "uuid",

@@ -157,11 +157,20 @@ class SearchIndexesSpec extends AnyFunSuite {
     val got = SearchIndexes.postingsForTerms(s, "edges", terms)
       .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("tf"), r.getAs[Int]("dl"), r.getAs[Long]("df"))).toSet
     assert(got == want)
+    // refreshed corpus stats equal a fresh computation over the live docs
+    // (signed one-pass delta: old docs leave, new docs enter)
+    val stats1 = s.load("edges_bm25stats").collect()(0)
+    val wantStats1 = graft.search.Bm25.corpusStats(live).collect()(0)
+    assert(stats1.getAs[Long]("n_docs") == wantStats1.getAs[Long]("n_docs"))
+    assert(stats1.getAs[Long]("total_dl") == wantStats1.getAs[Long]("total_dl"))
     // second refresh stacks on the log: remove d1 entirely
     SearchIndexes.refreshText(s, "edges", docs(Seq(("d1", "alpha beta beta"))), docs(Seq.empty))
     val got2 = SearchIndexes.postingsForTerms(s, "edges", terms)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(!got2.exists(_._2 == "d1") && got2.exists(_._2 == "d3"))
+    val stats2 = s.load("edges_bm25stats").collect()(0)
+    assert(stats2.getAs[Long]("n_docs") == 2L)
+    assert(stats2.getAs[Long]("total_dl") == wantStats1.getAs[Long]("total_dl") - 3L)
   }
 
   test("ann delta log: probe matches the live vector set") {
