@@ -1,0 +1,27 @@
+package graft.io
+
+/** Submit independent snapshot-building tasks as CONCURRENT Spark jobs.
+  *
+  * Spark's scheduler (local or cluster) interleaves stages of jobs
+  * submitted from different driver threads, so the single-threaded tail
+  * of one build (its write / footer pass) overlaps the scan of the next —
+  * the same overlap a multi-tenant cluster scheduler provides. Safe only
+  * for tasks whose OUTPUT tables are disjoint: SnapshotStore has no
+  * shared mutable state (versions and pointers are per-table files), and
+  * concurrent readers of the same source snapshot are read-only.
+  */
+object Concurrent {
+
+  def runAll(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      try {
+        val futures = tasks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() })
+        }
+        try futures.foreach(_.get())
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      } finally pool.shutdown()
+    }
+}

@@ -79,6 +79,47 @@ object Similarity {
       """),
     ),
 
+    // ---- IVF ANN: corpus inverted into 8 centroid cells (seeds vec_id
+    // 10..17, quantizer evaluated as a codegen expression — no shuffle to
+    // assign), queries probe the 2 nearest cells only ----
+    QueryDef(
+      "q_ann_ivf",
+      (s, dir) => {
+        val e = T.load(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val cents = e.filter(col("vec_id").between(10, 17)).select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val corpus = e.filter(col("vec_id") > 17).select(col("vec_id").as("id"), col("embedding").as("v"))
+        Ann.ivfTopK(queries, corpus, cents, 5, 2).orderBy(col("qid"), col("rk"))
+      },
+      Some("""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                       WHERE vec_id BETWEEN 10 AND 17),
+        c AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id > 17),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        cpairs AS (SELECT cid, id, unnest(v)::DOUBLE AS x, unnest(cv)::DOUBLE AS y FROM c, cents),
+        cscored AS (SELECT cid, id, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS score
+                    FROM cpairs GROUP BY cid, id),
+        cells AS (SELECT cid AS cell, id FROM (
+                    SELECT cid, id, row_number() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rk
+                    FROM cscored) WHERE rk = 1),
+        qpairs AS (SELECT cid, qid, unnest(qv)::DOUBLE AS x, unnest(cv)::DOUBLE AS y FROM q, cents),
+        qscored AS (SELECT cid, qid, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS score
+                    FROM qpairs GROUP BY cid, qid),
+        probes AS (SELECT cid AS cell, qid FROM (
+                     SELECT cid, qid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+                     FROM qscored) WHERE rk <= 2),
+        cand AS (SELECT p.qid, cl.id FROM probes p JOIN cells cl ON p.cell = cl.cell),
+        pairs AS (SELECT cand.qid, cand.id, unnest(c2.v)::DOUBLE AS x, unnest(q2.qv)::DOUBLE AS y
+                  FROM cand JOIN c c2 ON cand.id = c2.id JOIN q q2 ON cand.qid = q2.qid),
+        scored AS (SELECT qid, id, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS score
+                   FROM pairs GROUP BY qid, id),
+        ranked AS (SELECT qid, id, score,
+                          row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+                   FROM scored)
+        SELECT qid, rk, id, score FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+      """),
+    ),
+
     // ---- k-means-style cluster assignment quality: assign each vector to
     // the nearest of 8 deterministic seed centroids (vec_id 10..17),
     // report per-cluster sizes and mean similarity ----

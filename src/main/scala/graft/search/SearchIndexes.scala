@@ -32,16 +32,20 @@ object SearchIndexes {
     ("communities", "uuid", "summary"),
   )
 
-  /** Build (or rebuild) every index from the current snapshots. */
+  /** Build (or rebuild) every index from the current snapshots. The seven
+    * builders write DISJOINT tables, so they run as concurrent Spark jobs
+    * (graft.io.Concurrent): one build's write/footer tail overlaps the
+    * next one's scan instead of serializing seven job chains.
+    */
   def build(store: SnapshotStore): Unit = {
-    TextSurfaces.foreach { case (t, id, text) =>
-      if (store.exists(t)) buildText(store, t, id, text)
+    val text: Seq[() => Unit] = TextSurfaces.collect {
+      case (t, id, textCol) if store.exists(t) => () => buildText(store, t, id, textCol)
     }
-    if (store.exists("edges")) {
-      buildAnn(store)
-      buildGraph(store)
-      buildTemporal(store)
-    }
+    val rest: Seq[() => Unit] =
+      if (store.exists("edges"))
+        Seq(() => buildAnn(store), () => buildGraph(store), () => buildTemporal(store))
+      else Nil
+    graft.io.Concurrent.runAll(text ++ rest)
   }
 
   def buildText(store: SnapshotStore, table: String, idCol: String, textCol: String): Unit = {

@@ -68,6 +68,54 @@ object Ann {
   def signature(spark: SparkSession, vecs: DataFrame, idCol: String, vecCol: String, nPlanes: Int = 8): DataFrame =
     vecs.select(col(idCol).as("id"), signatureCol(col(vecCol), nPlanes).as("sig"))
 
+  /** IVF (inverted-file) top-k — the FAISS `IndexIVF` analog
+    * (`vector_search.py:36-189` uses flat/IVF FAISS indexes): the corpus is
+    * partitioned into cells by nearest centroid and a query scores only the
+    * `nProbe` cells nearest to it.
+    *
+    * The coarse quantizer is evaluated INLINE: the centroid table is tiny
+    * by construction (FAISS holds it in RAM too), so it is collected once
+    * and each centroid becomes a literal coefficient array in a codegen
+    * expression — cell assignment costs one projection over the corpus,
+    * with NO shuffle and no per-vector join. At 100 TB `cell` is the
+    * physical partition column of the committed index table, so a probe
+    * reads nProbe/nCells of the corpus; here the same pruning happens via
+    * the equi-join on `cell`.
+    *
+    * Deterministic: ranking on round(cosine, 6) with ties broken by the
+    * smaller centroid/vector id — exactly reproducible by the SQL oracle.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col("cid").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
+    require(cents.nonEmpty, "ivfTopK needs at least one centroid")
+    // array of (score, -cid) structs: struct ordering makes array_max /
+    // sort_array rank by score desc with ties to the SMALLER cid
+    def scoredCells(vec: org.apache.spark.sql.Column) = array(cents.map { case (cid, cv) =>
+      struct(
+        round(Vectors.cosine(vec, array(cv.map(lit): _*)), 6).as("score"),
+        lit(-cid).as("ncid"),
+      )
+    }: _*)
+    val cells = corpus.withColumn(
+      "cell",
+      (lit(0L) - array_max(scoredCells(col("v"))).getField("ncid")).cast("long"),
+    )
+    val probed = queries
+      .withColumn("pc", slice(sort_array(scoredCells(col("qv")), asc = false), 1, nProbe))
+      .withColumn("cell", explode(transform(col("pc"), p => lit(0L) - p.getField("ncid"))))
+      .select(col("cell"), col("qid"), col("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    cells
+      .join(broadcast(probed), Seq("cell"))
+      .withColumn("score", round(Vectors.cosine(col("v"), col("qv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("score"))
+  }
+
   /** LSH-bucketed top-k: score only same-signature candidates. The
     * signature is computed INLINE on both sides (pure expression) — the
     * former id-self-joins re-shuffled the whole corpus just to attach it.

@@ -51,47 +51,54 @@ object IncrementalIngest {
     * are not double-counted.
     */
   private[graft] def bootstrapIndexes(store: SnapshotStore, spark: SparkSession): Unit = {
+    // disjoint output tables → concurrent Spark jobs (graft.io.Concurrent)
+    val tasks = Seq.newBuilder[() => Unit]
     if (store.exists("nodes_raw") && !store.exists("node_blocks"))
-      store.mergeBucketed(
-        "node_blocks",
-        Linking.blockingKeys(store.load("nodes_raw")),
-        Seq("key", "uuid"),
-        "bootstrap node_blocks",
-        bucketBy = Seq("key"),
-      )
+      tasks += (() =>
+        store.mergeBucketed(
+          "node_blocks",
+          Linking.blockingKeys(store.load("nodes_raw")),
+          Seq("key", "uuid"),
+          "bootstrap node_blocks",
+          bucketBy = Seq("key"),
+        ))
     if (store.exists("uuid_map") && !store.exists("uuid_map_by_uuid"))
-      store.mergeBucketed("uuid_map_by_uuid", store.load("uuid_map"), Seq("uuid"), "bootstrap uuid_map_by_uuid")
-    if (store.exists("raw_triples") && !store.exists("node_stats")) {
-      val m =
-        if (store.exists("uuid_map")) broadcast(store.load("uuid_map"))
-        else { import spark.implicits._; broadcast(Seq.empty[(String, String)].toDF("uuid", "canonical")) }
-      val stats = store
-        .load("raw_triples")
-        .select(col("group_id").as("g"), explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
-        .withColumn("uuid", md5(concat(lit("en|"), col("g"), lit("|"), col("name"))))
-        .join(m, Seq("uuid"), "left")
-        .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
-        .groupBy(col("cuuid"))
-        .agg(
-          min(col("fact")).as("summary"),
-          min(col("warc_ts")).as("created_at"),
-          count(lit(1)).as("mention_count"),
+      tasks += (() =>
+        store.mergeBucketed("uuid_map_by_uuid", store.load("uuid_map"), Seq("uuid"), "bootstrap uuid_map_by_uuid"))
+    if (store.exists("raw_triples") && !store.exists("node_stats"))
+      tasks += { () =>
+        val m =
+          if (store.exists("uuid_map")) broadcast(store.load("uuid_map"))
+          else { import spark.implicits._; broadcast(Seq.empty[(String, String)].toDF("uuid", "canonical")) }
+        val stats = store
+          .load("raw_triples")
+          .select(col("group_id").as("g"), explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+          .withColumn("uuid", md5(concat(lit("en|"), col("g"), lit("|"), col("name"))))
+          .join(m, Seq("uuid"), "left")
+          .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
+          .groupBy(col("cuuid"))
+          .agg(
+            min(col("fact")).as("summary"),
+            min(col("warc_ts")).as("created_at"),
+            count(lit(1)).as("mention_count"),
+          )
+        store.mergeBucketed("node_stats", stats, Seq("cuuid"), "bootstrap node_stats")
+      }
+    if (store.exists("edges") && !store.exists("edge_endpoints"))
+      tasks += { () =>
+        val idx = store
+          .load("edges")
+          .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
+          .distinct()
+        store.mergeBucketed(
+          "edge_endpoints",
+          idx,
+          Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
+          "bootstrap edge_endpoints",
+          bucketBy = Seq("endpoint_uuid"),
         )
-      store.mergeBucketed("node_stats", stats, Seq("cuuid"), "bootstrap node_stats")
-    }
-    if (store.exists("edges") && !store.exists("edge_endpoints")) {
-      val idx = store
-        .load("edges")
-        .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
-        .distinct()
-      store.mergeBucketed(
-        "edge_endpoints",
-        idx,
-        Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
-        "bootstrap edge_endpoints",
-        bucketBy = Seq("endpoint_uuid"),
-      )
-    }
+      }
+    graft.io.Concurrent.runAll(tasks.result())
   }
 
   /** Apply one batch of new pages to the store, scoped to `groupId` (the
@@ -130,11 +137,19 @@ object IncrementalIngest {
           .loadForKeys("episodes", episodes.select(col("uuid")), Seq("uuid"))
           .select(col("uuid").as("id"), col("content").as("text"))
       else episodes.select(col("uuid").as("id"), col("content").as("text")).limit(0)
-    timed("episodes merge")(store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes"))
-    timed("episodes idx refresh")(graft.search.SearchIndexes.refreshText(
-      store, "episodes", oldEpisodeDocs,
-      episodes.select(col("uuid").as("id"), col("content").as("text")),
-    ))
+    // the merge (episodes) and the index refresh (episodes_postings/
+    // _bm25stats) write disjoint tables; oldEpisodeDocs pinned its version
+    // dirs at plan construction, so both run as concurrent jobs
+    timed("episodes merge+idx") {
+      graft.io.Concurrent.runAll(Seq(
+        () => { store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes"); () },
+        () =>
+          graft.search.SearchIndexes.refreshText(
+            store, "episodes", oldEpisodeDocs,
+            episodes.select(col("uuid").as("id"), col("content").as("text")),
+          ),
+      ))
+    }
 
     // raw triples for the new pages (single extraction pass, materialized
     // once — reused by surfaces / stats / edges below)
@@ -200,8 +215,11 @@ object IncrementalIngest {
       .select(col("node").as("uuid"), col("component").as("canonical"))
       .localCheckpoint()
     timed("uuid_map merges") {
-      store.mergeBucketed("uuid_map", cc, Seq("canonical"), s"incremental batch=$batchId uuid_map", deleteKeys = Some(affCanon))
-      store.mergeBucketed("uuid_map_by_uuid", cc, Seq("uuid"), s"incremental batch=$batchId uuid_map_by_uuid")
+      // two bucketed copies of the same (checkpointed) map → concurrent
+      graft.io.Concurrent.runAll(Seq(
+        () => { store.mergeBucketed("uuid_map", cc, Seq("canonical"), s"incremental batch=$batchId uuid_map", deleteKeys = Some(affCanon)); () },
+        () => { store.mergeBucketed("uuid_map_by_uuid", cc, Seq("uuid"), s"incremental batch=$batchId uuid_map_by_uuid"); () },
+      ))
     }
 
     // the remap DELTA: entries whose canonical changed this batch, plus the
@@ -280,14 +298,23 @@ object IncrementalIngest {
           .select(col("uuid").as("id"), col("name").as("text"))
           .localCheckpoint()
       else rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")).limit(0)
-    store.mergeBucketed(
-      "nodes", rebuiltNodes, Seq("uuid"), s"incremental batch=$batchId nodes",
-      deleteKeys = Some(nodeDelKeys),
-    )
-    timed("nodes idx refresh")(graft.search.SearchIndexes.refreshText(
-      store, "nodes", oldNodeDocs,
-      rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")),
-    ))
+    // disjoint outputs (nodes vs nodes_postings/_bm25stats) → concurrent
+    timed("nodes merge+idx") {
+      graft.io.Concurrent.runAll(Seq(
+        () => {
+          store.mergeBucketed(
+            "nodes", rebuiltNodes, Seq("uuid"), s"incremental batch=$batchId nodes",
+            deleteKeys = Some(nodeDelKeys),
+          )
+          ()
+        },
+        () =>
+          graft.search.SearchIndexes.refreshText(
+            store, "nodes", oldNodeDocs,
+            rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")),
+          ),
+      ))
+    }
 
     // ---- episodic MENTIONS edges: remap only rows whose entity's
     // canonical changed (entity_uuid-bucketed probe), then merge the
@@ -431,37 +458,47 @@ object IncrementalIngest {
       deleteKeys = Some(affectedKeys),
     )
     // search-index refresh (no-ops unless SearchIndexes were built):
-    // replaced facts leave the postings/ANN buckets, rebuilt facts enter
+    // replaced facts leave the postings/ANN buckets, rebuilt facts enter.
+    // The four refreshes + the endpoint merge write DISJOINT tables over
+    // the same (checkpointed) oldRows/rebuilt frames → concurrent jobs
     val oldRows =
       if (affectedExisting == null) rebuilt.limit(0)
       else affectedExisting
-    graft.search.SearchIndexes.refreshText(
-      store, "edges",
-      oldRows.select(col("uuid").as("id"), col("fact").as("text")),
-      rebuilt.select(col("uuid").as("id"), col("fact").as("text")),
-    )
-    graft.search.SearchIndexes.refreshAnn(
-      store,
-      oldRows.select(col("uuid"), col("fact_embedding")),
-      rebuilt.select(col("uuid"), col("fact_embedding")),
-    )
-    graft.search.SearchIndexes.refreshGraph(
-      store,
-      oldRows.select(col("source_uuid"), col("target_uuid")),
-      rebuilt.select(col("source_uuid"), col("target_uuid")),
-    )
     val tCols = Seq("uuid", "valid_at", "group_id", "source_uuid", "name").map(col)
-    graft.search.SearchIndexes.refreshTemporal(store, oldRows.select(tCols: _*), rebuilt.select(tCols: _*))
-    // endpoint index upkeep: append rebuilt groups' endpoint rows (stale
-    // rows of moved endpoints only cause benign extra-probe hits)
-    val idx = rebuilt
-      .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
-      .distinct()
-    store.mergeBucketed(
-      "edge_endpoints", idx, Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
-      s"incremental batch=$batchId endpoints",
-      bucketBy = Seq("endpoint_uuid"),
-    )
+    graft.io.Concurrent.runAll(Seq(
+      () =>
+        graft.search.SearchIndexes.refreshText(
+          store, "edges",
+          oldRows.select(col("uuid").as("id"), col("fact").as("text")),
+          rebuilt.select(col("uuid").as("id"), col("fact").as("text")),
+        ),
+      () =>
+        graft.search.SearchIndexes.refreshAnn(
+          store,
+          oldRows.select(col("uuid"), col("fact_embedding")),
+          rebuilt.select(col("uuid"), col("fact_embedding")),
+        ),
+      () =>
+        graft.search.SearchIndexes.refreshGraph(
+          store,
+          oldRows.select(col("source_uuid"), col("target_uuid")),
+          rebuilt.select(col("source_uuid"), col("target_uuid")),
+        ),
+      () => graft.search.SearchIndexes.refreshTemporal(store, oldRows.select(tCols: _*), rebuilt.select(tCols: _*)),
+      // endpoint index upkeep: append rebuilt groups' endpoint rows (stale
+      // rows of moved endpoints only cause benign extra-probe hits)
+      () => {
+        val idx = rebuilt
+          .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
+          .distinct()
+        store.mergeBucketed(
+          "edge_endpoints", idx, Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
+          s"incremental batch=$batchId endpoints",
+          bucketBy = Seq("endpoint_uuid"),
+        )
+        ()
+      },
+    ))
     rebuilt
   }
 

@@ -42,6 +42,36 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: probed-cell subset of brute force, identically scored; full probe = exact") {
+    val corpus = (20 until 80).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val cents = (10 until 18).map(i => (i.toLong, vec(i))).toDF("cid", "cv")
+    val queries = (0 until 5).map(i => (i.toLong, vec(i))).toDF("qid", "qv")
+    val bf = Ann
+      .bruteForceTopK(queries, corpus, 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val ivf = Ann.ivfTopK(queries, corpus, cents, 5, 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bf.contains(key))
+      assert(math.abs(bf(key) - r.getDouble(3)) < 1e-9, s"score mismatch for $key")
+    }
+    // probing ALL cells recovers the exact brute-force top-k
+    val full = Ann
+      .ivfTopK(queries, corpus, cents, 5, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val exact = Ann
+      .bruteForceTopK(queries, corpus, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(full.toSeq == exact.toSeq)
+  }
+
   test("signatures are deterministic across invocations") {
     val vs = (0 until 20).map(i => (i.toLong, vec(i))).toDF("id", "v")
     val s1 = Ann.signature(spark, vs, "id", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
