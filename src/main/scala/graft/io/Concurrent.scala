@@ -13,7 +13,7 @@ package graft.io
 object Concurrent {
 
   def runAll(tasks: Seq[() => Unit]): Unit =
-    if (tasks.sizeIs <= 1) tasks.foreach(_())
+    if (tasks.sizeIs <= 1 || sys.env.get("SPARK_GRAFT_SEQ").contains("1")) tasks.foreach(_())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
       try {

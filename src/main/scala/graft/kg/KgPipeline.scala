@@ -108,6 +108,13 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
     } }
 
+    // ---- stages 5-9 all depend only on raw_triples + uuid_map (stage 9
+    // additionally on stage 6's edges) and write DISJOINT tables, so they
+    // run as concurrent Spark jobs (graft.io.Concurrent): nodes ∥
+    // (edges → episodes_ee) ∥ episodic_edges ∥ duplicate_of. Resume
+    // semantics unchanged — each stage still checks/commits its own
+    // fingerprint. ----
+
     // ---- stage 5: canonical nodes, full reference schema
     // (huggingface_driver.py:248-261): uuid, name, group_id, labels,
     // created_at, name_embedding, summary, attributes. The LLM-derived
@@ -116,7 +123,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // (extract_attributes_from_nodes contract, node_operations.py:302-391),
     // created_at = earliest mention timestamp, attributes = typed map. ----
     val nodesFp = fp("nodes", Seq(inputFingerprint, groupId))
-    timed("nodes") { if (!store.hasFingerprint("nodes", nodesFp)) {
+    def stageNodes(): Unit = timed("nodes") { if (!store.hasFingerprint("nodes", nodesFp)) {
       val raw = store.load("nodes_raw")
       val m = broadcast(store.load("uuid_map"))
       // per-canonical-node facts: fold the PER-SURFACE stats (stage 3, one
@@ -164,7 +171,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // ---- stage 6: edges (pointer remap → fact dedup → contradiction
     // invalidation → deterministic uuids) ----
     val edgesFp = fp("edges", Seq(inputFingerprint, groupId))
-    timed("edges") { if (!store.hasFingerprint("edges", edgesFp)) {
+    def stageEdges(): Unit = timed("edges") { if (!store.hasFingerprint("edges", edgesFp)) {
       val t = store.load("raw_triples")
       val m = store.load("uuid_map")
       val raw = t.select(
@@ -202,7 +209,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // ---- stage 7: episodic MENTIONS edges (build_episodic_edges,
     // edge_operations.py:48-65) ----
     val epeFp = fp("episodic_edges", Seq(inputFingerprint, groupId))
-    timed("episodic_edges") { if (!store.hasFingerprint("episodic_edges", epeFp)) {
+    def stageEpisodicEdges(): Unit = timed("episodic_edges") { if (!store.hasFingerprint("episodic_edges", epeFp)) {
       val t = store.load("raw_triples")
       val m = store.load("uuid_map")
       val mentions = t
@@ -225,7 +232,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // ---- stage 8: IS_DUPLICATE_OF edges (build_duplicate_of_edges,
     // edge_operations.py:68-91) ----
     val dupFp = fp("duplicate_of_edges", Seq(inputFingerprint, groupId))
-    timed("duplicate_of_edges") { if (!store.hasFingerprint("duplicate_of_edges", dupFp)) {
+    def stageDuplicateOf(): Unit = timed("duplicate_of_edges") { if (!store.hasFingerprint("duplicate_of_edges", dupFp)) {
       val m = store.load("uuid_map")
       val dupEdges = m
         .filter(col("uuid") =!= col("canonical"))
@@ -237,33 +244,11 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       store.commit(dupEdges, "duplicate_of_edges", "duplicate-of edges", dupFp)
     } }
 
-    // ---- stage 8.5: incremental-ingest indexes (node_blocks /
-    // uuid_map_by_uuid / node_stats / edge_endpoints), bucketed — so the
-    // FIRST micro-batch after a bulk load probes instead of re-scanning
-    // the corpus (IncrementalIngest; cheap byproducts of stages 3-6) ----
-    if (buildIndexes) {
-      timed("indexes") {
-        graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark)
-      }
-
-      // ---- stage 8.6: query-time search indexes (BM25 inverted index +
-      // corpus stats per text surface, ANN signature buckets) — committed
-      // at pipeline time so a query probes posting/signature buckets
-      // instead of scanning the corpus (prebuilt indices,
-      // performance_optimizer.py:184-237, vector_search.py:36-189).
-      val sidxFp = fp("search_indexes", Seq(inputFingerprint, groupId))
-      timed("search_indexes") { if (!store.hasFingerprint("edges_bm25stats", sidxFp)) {
-        graft.search.SearchIndexes.build(store)
-        // stamp resume fingerprint on the (tiny) stats table commit
-        store.commit(store.load("edges_bm25stats"), "edges_bm25stats", "search indexes built", sidxFp)
-      } }
-    }
-
     // ---- stage 9: back-fill episodes.entity_edges — the reference keeps
     // the edge uuids created from each episode on the episode row
     // (graphiti.py:549; schema huggingface_driver.py:284-299). Reverse
     // mapping of edges.episodes: one explode + groupBy on episode uuid. ----
-    timed("episodes_ee") { if (!store.hasFingerprint("episodes", episodesEeFp)) {
+    def stageEpisodesEe(): Unit = timed("episodes_ee") { if (!store.hasFingerprint("episodes", episodesEeFp)) {
       val byEpisode = store
         .load("edges")
         .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
@@ -276,5 +261,35 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
         .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
       store.commit(episodes, "episodes", "back-fill entity_edges", episodesEeFp)
     } }
+
+    graft.io.Concurrent.runAll(Seq(
+      () => stageNodes(),
+      () => { stageEdges(); stageEpisodesEe() },
+      () => stageEpisodicEdges(),
+      () => stageDuplicateOf(),
+    ))
+
+    // ---- stage 10: incremental-ingest indexes (node_blocks /
+    // uuid_map_by_uuid / node_stats / edge_endpoints), bucketed — so the
+    // FIRST micro-batch after a bulk load probes instead of re-scanning
+    // the corpus (IncrementalIngest; cheap byproducts of stages 3-6).
+    // Runs AFTER the concurrent group: it reads nodes/edges/node_stats. ----
+    if (buildIndexes) {
+      timed("indexes") {
+        graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark)
+      }
+
+      // ---- stage 10.5: query-time search indexes (BM25 inverted index +
+      // corpus stats per text surface, ANN signature buckets) — committed
+      // at pipeline time so a query probes posting/signature buckets
+      // instead of scanning the corpus (prebuilt indices,
+      // performance_optimizer.py:184-237, vector_search.py:36-189).
+      val sidxFp = fp("search_indexes", Seq(inputFingerprint, groupId))
+      timed("search_indexes") { if (!store.hasFingerprint("edges_bm25stats", sidxFp)) {
+        graft.search.SearchIndexes.build(store)
+        // stamp resume fingerprint on the (tiny) stats table commit
+        store.commit(store.load("edges_bm25stats"), "edges_bm25stats", "search indexes built", sidxFp)
+      } }
+    }
   }
 }
