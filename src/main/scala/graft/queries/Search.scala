@@ -13,6 +13,38 @@ object Search {
 
   private val QueryTerms = Seq("spark", "join", "filter")
 
+  /** DuckDB oracle for `q_mmr`: the λ=0.5 greedy MMR selection unrolled into
+    * 10 explicit steps (DuckDB 1.x cannot evaluate the recursive/correlated
+    * form — "Expression with depth > 1 detected in non-lateral join").
+    * Each step picks argmax(0.5·rel − 0.5·max_sim_to_selected) from the
+    * MATERIALIZED top-20 candidate set, ties to smaller vec_id — exactly
+    * `Rerank.mmr` / the reference greedy loop (search_utils.py:1972-2010).
+    */
+  private def mmrOracleSql: String = {
+    def cos(a: String, b: String) =
+      s"(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))))"
+    val head = s"""WITH cand AS MATERIALIZED (
+      SELECT e.vec_id, ${cos("e.emb", "q.qv")} AS rel, e.emb
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id <> 0) e,
+           (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+      ORDER BY rel DESC, vec_id LIMIT 20
+    ),
+    p1 AS (SELECT vec_id, 0.5*rel AS score, emb, rel FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+    s1 AS MATERIALIZED (SELECT 1 AS pos, * FROM p1)"""
+    val steps = (2 to 10).map { k =>
+      s"""p$k AS (
+      SELECT c.vec_id, 0.5*c.rel - 0.5*max(${cos("c.emb", "s.emb")}) AS score, c.emb, c.rel
+      FROM cand c CROSS JOIN s${k - 1} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM s${k - 1})
+      GROUP BY c.vec_id, c.rel, c.emb
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    s$k AS MATERIALIZED (SELECT * FROM s${k - 1} UNION ALL SELECT $k AS pos, * FROM p$k)"""
+    }
+    (head +: steps).mkString(",\n") +
+      "\nSELECT pos::INTEGER AS pos, vec_id, round(score, 6) AS mmr_score FROM s10 ORDER BY pos"
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---- BM25 keyword search over document corpus (hybrid_search.py:
     // 108-122) — relational tf/df/idf formulation ----
@@ -221,7 +253,7 @@ object Search {
           (i + 1, id, BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }).toDF("pos", "vec_id", "mmr_score")
       },
-      None,
+      Some(mmrOracleSql),
     ),
 
     // ---- episode-mentions reranker (search_utils.py:1939-1969):
