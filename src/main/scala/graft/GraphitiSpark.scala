@@ -84,6 +84,16 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     val epUuid = Ids.episode(groupId, url)
     val episodes = store.load("episodes").filter(col("uuid") =!= epUuid)
     store.commit(episodes, "episodes", s"remove episode $url")
+    if (store.exists("episode_entity_edges")) {
+      import spark.implicits._
+      store.mergeBucketed(
+        "episode_entity_edges",
+        store.load("episode_entity_edges").limit(0),
+        Seq("uuid"),
+        s"cascade remove episode $url",
+        deleteKeys = Some(Seq(epUuid).toDF("uuid")),
+      )
+    }
     val edges = store
       .load("edges")
       .withColumn("episodes", array_remove(col("episodes"), epUuid))
@@ -276,12 +286,31 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     * graph_data_operations.py:122-181): last n episodes with
     * valid_at <= referenceTime.
     */
-  def retrieveEpisodes(referenceTime: Timestamp, lastN: Int = 3): DataFrame =
-    store
+  def retrieveEpisodes(referenceTime: Timestamp, lastN: Int = 3): DataFrame = {
+    val picked = store
       .load("episodes")
       .filter(col("valid_at") <= lit(referenceTime))
       .orderBy(col("valid_at").desc, col("uuid"))
       .limit(lastN)
+    attachEntityEdges(picked)
+  }
+
+  /** The reference's episode schema (huggingface_driver.py:284-299) keeps
+    * `entity_edges` on the episode row; this engine stores it NORMALIZED in
+    * the bucketed `episode_entity_edges` side table (an edge rebuild must
+    * never rewrite the corpus-wide page text) and joins it back here.
+    */
+  def episodesWithEntityEdges: DataFrame = attachEntityEdges(store.load("episodes"))
+
+  private def attachEntityEdges(episodes: DataFrame): DataFrame = {
+    val empty = array().cast("array<string>")
+    if (!store.exists("episode_entity_edges"))
+      episodes.withColumn("entity_edges", empty)
+    else
+      episodes
+        .join(store.load("episode_entity_edges"), Seq("uuid"), "left")
+        .withColumn("entity_edges", coalesce(col("entity_edges"), empty))
+  }
 
   /** Graph state as of t (get_historical_state). */
   def historicalEdges(t: Timestamp): DataFrame = Invalidation.validAt(store.load("edges"), t)

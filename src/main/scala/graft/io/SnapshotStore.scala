@@ -317,6 +317,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       numBuckets: Int = DefaultBuckets,
       deleteKeys: Option[DataFrame] = None,
       bucketBy: Seq[String] = Nil,
+      fingerprint: String = "",
   ): Int = {
     // bucketBy (default = key) may be a SUBSET of the match key: rows with
     // equal match keys then still colocate, and the table is additionally
@@ -372,7 +373,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       val manifest = Manifest(numBuckets, m.buckets, m.deltas :+ (next -> updRows), key)
       Files.write(dir.resolve("_manifest.json"), manifestJson(manifest).getBytes(StandardCharsets.UTF_8))
       val commitJson =
-        s"""{"version":$next,"message":${jstr(message)},"fingerprint":"",
+        s"""{"version":$next,"message":${jstr(message)},"fingerprint":${jstr(fingerprint)},
            |"rows_written":$updRows,"delete_keys":$delRows,"delta":true,
            |"delta_chain":${manifest.deltas.size},"total_buckets":${m.buckets.size},
            |"committed_at":${System.currentTimeMillis()}}""".stripMargin
@@ -427,7 +428,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     if (bucketDirsIn(dir).isEmpty && (legacyAll || prevManifest.forall(m => m.buckets.forall { case (b, _) => affected.contains(b) }))) {
       merged.drop("__bucket").write.mode("overwrite").parquet(dir.toString)
       val commitJson =
-        s"""{"version":$next,"message":${jstr(message)},"fingerprint":"",
+        s"""{"version":$next,"message":${jstr(message)},"fingerprint":${jstr(fingerprint)},
            |"rows":0,"rewritten_buckets":${affected.size},"total_buckets":0,
            |"committed_at":${System.currentTimeMillis()}}""".stripMargin
       Files.write(dir.resolve("_commit.json"), commitJson.getBytes(StandardCharsets.UTF_8))
@@ -458,7 +459,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     )
     val rows = manifest.buckets.valuesIterator.map(_._2).sum
     val commitJson =
-      s"""{"version":$next,"message":${jstr(message)},"fingerprint":"",
+      s"""{"version":$next,"message":${jstr(message)},"fingerprint":${jstr(fingerprint)},
          |"rows":$rows,"rows_written":${writtenCounts.valuesIterator.map(_._2).sum},
          |"rewritten_buckets":${affected.size},"total_buckets":${manifest.buckets.size},
          |"committed_at":${System.currentTimeMillis()}}""".stripMargin

@@ -42,10 +42,8 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // ---- stage 1: episodes (one per page; valid_at = crawl time,
     // content = deterministic extracted text — graphiti.py:477-490) ----
     val episodesFp = fp("episodes", Seq(inputFingerprint, groupId))
-    // stage 9 re-commits episodes with entity_edges back-filled; either
-    // fingerprint means this corpus's episodes are already materialized
     val episodesEeFp = fp("episodes_ee", Seq(inputFingerprint, groupId))
-    timed("episodes") { if (!store.hasFingerprint("episodes", episodesFp) && !store.hasFingerprint("episodes", episodesEeFp)) {
+    timed("episodes") { if (!store.hasFingerprint("episodes", episodesFp)) {
       // HTML→text via the fused fast twin (byte-identical to the column
       // chain, HtmlTextSpec): 2 passes over the bytes instead of 12
       val gid = groupId
@@ -76,37 +74,71 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       store.commit(triples, "raw_triples", "extract triples", triplesFp)
     } }
 
-    // ---- stage 3: raw entity nodes (distinct surfaces → deterministic
-    // uuids + hashed-BoW name embeddings) ----
-    val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId))
-    timed("nodes_raw") { if (!store.hasFingerprint("nodes_raw", nodesRawFp)) {
-      val t = store.load("raw_triples")
-      // distinct surfaces only — a names-only shuffle; the per-surface
-      // stats aggregation stays in stage 5 where the (wider) fact strings
-      // are shuffled exactly once
-      val surfaces = t
-        .select(explode(array(col("subj"), col("obj"))).as("name"))
-        .distinct()
-      val gid = groupId
-      val nodesRaw = surfaces
-        .as[String]
-        .mapPartitions { it =>
-          it.map { name =>
-            (Ids.entity(gid, name), name, Extract.entityTypeOf(name), Embedder.embed(name).toSeq, gid)
-          }
-        }
-        .toDF("uuid", "name", "label", "name_embedding", "group_id")
-      store.commit(nodesRaw, "nodes_raw", "raw entity nodes", nodesRawFp)
-    } }
+    // One shared, persisted scan of raw_triples feeds stage 3, the
+    // surface-stats pre-aggregation and stages 5/6/7 (concurrent
+    // consumers): each executor caches the partitions it decodes, so the
+    // wide parquet decode happens once instead of five times.
+    // MEMORY_AND_DISK: at cluster scale a partition that doesn't fit
+    // spills instead of evicting (re-scan stays the fallback).
+    // Unpersisted right after the stage-5-9 group.
+    val rawTriples = store
+      .load("raw_triples")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ---- stage 4: linking + canonical map (LSH blocking → score →
-    // union-find min-uuid; dedupe_nodes_bulk semantics) ----
+    val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId))
     val mapFp = fp("uuid_map", Seq(inputFingerprint, groupId))
-    timed("uuid_map") { if (!store.hasFingerprint("uuid_map", mapFp)) {
-      val pairs = Linking.duplicatePairs(store.load("nodes_raw"))
-      val uuidMap = Linking.canonicalMap(pairs)
-      store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
-    } }
+    val nodesFp = fp("nodes", Seq(inputFingerprint, groupId))
+
+    // ---- stages 3+4 (raw entity nodes → linking + canonical map), run
+    // CONCURRENTLY with the per-SURFACE mention-stats aggregation (stage
+    // 5's heavy input): the stats depend only on raw_triples, and
+    // min/min/count are decomposable, so folding per-surface stats by
+    // canonical in stage 5 equals aggregating the raw mention rows
+    // directly. The linking chain is the longer thread, so the stats ride
+    // entirely in its shadow. ----
+    var surfaceStats: DataFrame = null
+    graft.io.Concurrent.runAll(Seq(
+      () => {
+        // stage 3: distinct surfaces → deterministic uuids + hashed-BoW
+        // name embeddings (a names-only shuffle)
+        timed("nodes_raw") { if (!store.hasFingerprint("nodes_raw", nodesRawFp)) {
+          val surfaces = rawTriples
+            .select(explode(array(col("subj"), col("obj"))).as("name"))
+            .distinct()
+          val gid = groupId
+          val nodesRaw = surfaces
+            .as[String]
+            .mapPartitions { it =>
+              it.map { name =>
+                (Ids.entity(gid, name), name, Extract.entityTypeOf(name), Embedder.embed(name).toSeq, gid)
+              }
+            }
+            .toDF("uuid", "name", "label", "name_embedding", "group_id")
+          store.commit(nodesRaw, "nodes_raw", "raw entity nodes", nodesRawFp)
+        } }
+        // stage 4: LSH blocking → score → union-find min-uuid
+        // (dedupe_nodes_bulk semantics)
+        timed("uuid_map") { if (!store.hasFingerprint("uuid_map", mapFp)) {
+          val pairs = Linking.duplicatePairs(store.load("nodes_raw"))
+          val uuidMap = Linking.canonicalMap(pairs)
+          store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
+        } }
+      },
+      () =>
+        timed("surface_stats") { if (!store.hasFingerprint("nodes", nodesFp)) {
+          surfaceStats = rawTriples
+            .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+            .groupBy(col("name"))
+            .agg(
+              min(col("fact")).as("summary"),
+              min(col("warc_ts")).as("created_at"),
+              count(lit(1)).as("mention_count"),
+            )
+            .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
+            .drop("name")
+            .localCheckpoint()
+        } },
+    ))
 
     // ---- stages 5-9 all depend only on raw_triples + uuid_map (stage 9
     // additionally on stage 6's edges) and write DISJOINT tables, so they
@@ -122,30 +154,29 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // lexicographically-first supporting fact mentioning the entity
     // (extract_attributes_from_nodes contract, node_operations.py:302-391),
     // created_at = earliest mention timestamp, attributes = typed map. ----
-    val nodesFp = fp("nodes", Seq(inputFingerprint, groupId))
     def stageNodes(): Unit = timed("nodes") { if (!store.hasFingerprint("nodes", nodesFp)) {
       val raw = store.load("nodes_raw")
       val m = broadcast(store.load("uuid_map"))
-      // per-canonical-node facts: fold the PER-SURFACE stats (stage 3, one
-      // pass) by canonical — min/min/sum are decomposable, so this equals
-      // aggregating the raw mention rows directly
-      val nodeFacts = store
-        .load("raw_triples")
-        .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
-        .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
+      // per-canonical-node facts: fold the PER-SURFACE stats (built above,
+      // overlapped with linking) by canonical — min/min/sum over ~|surfaces|
+      // rows instead of re-aggregating every raw mention
+      val nodeFacts = surfaceStats
         .join(m, Seq("uuid"), "left")
         .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
         .groupBy(col("cuuid"))
         .agg(
-          min(col("fact")).as("summary"),
-          min(col("warc_ts")).as("created_at"),
-          count(lit(1)).as("mention_count"),
+          min(col("summary")).as("summary"),
+          min(col("created_at")).as("created_at"),
+          sum(col("mention_count")).as("mention_count"),
         )
         .localCheckpoint()
       // node_stats doubles as the incremental-ingest stats index (all three
-      // aggregates are decomposable: min/min/sum) — committed here so
-      // IncrementalIngest never re-scans raw_triples to bootstrap it
-      store.mergeBucketed("node_stats", nodeFacts, Seq("cuuid"), "node mention stats index")
+      // aggregates are decomposable: min/min/sum) — committed here (free
+      // byproduct) when indexes are requested, so IncrementalIngest never
+      // re-scans raw_triples to bootstrap it; with buildIndexes=false the
+      // bootstrap path recomputes it on first incremental use
+      if (buildIndexes)
+        store.mergeBucketed("node_stats", nodeFacts, Seq("cuuid"), "node mention stats index")
       val canon = raw
         .join(m, Seq("uuid"), "left")
         .withColumn("canonical", coalesce(col("canonical"), col("uuid")))
@@ -172,7 +203,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // invalidation → deterministic uuids) ----
     val edgesFp = fp("edges", Seq(inputFingerprint, groupId))
     def stageEdges(): Unit = timed("edges") { if (!store.hasFingerprint("edges", edgesFp)) {
-      val t = store.load("raw_triples")
+      val t = rawTriples
       val m = store.load("uuid_map")
       val raw = t.select(
         md5(concat(lit(s"en|$groupId|"), col("subj"))).as("source_uuid"),
@@ -210,18 +241,22 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // edge_operations.py:48-65) ----
     val epeFp = fp("episodic_edges", Seq(inputFingerprint, groupId))
     def stageEpisodicEdges(): Unit = timed("episodic_edges") { if (!store.hasFingerprint("episodic_edges", epeFp)) {
-      val t = store.load("raw_triples")
+      val t = rawTriples
       val m = store.load("uuid_map")
-      val mentions = t
-        .select(col("url"), explode(array(col("subj"), col("obj"))).as("name"))
-        .distinct()
-        .withColumn("entity_uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
-      val remapped = mentions
-        .join(broadcast(m), col("entity_uuid") === col("uuid"), "left")
-        .withColumn("entity_uuid", coalesce(col("canonical"), col("entity_uuid")))
+      // uuids first (codegen'd md5), canonical remap via broadcast, then
+      // ONE distinct on the final fixed-width pair — the earlier
+      // (url, name)-string distinct was a second full exchange that the
+      // final distinct subsumes
+      val remapped = t
         .select(
           md5(concat(lit(s"ep|$groupId|"), col("url"))).as("episode_uuid"),
-          col("entity_uuid"),
+          explode(array(col("subj"), col("obj"))).as("name"),
+        )
+        .withColumn("entity_uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
+        .join(broadcast(m), col("entity_uuid") === col("uuid"), "left")
+        .select(
+          col("episode_uuid"),
+          coalesce(col("canonical"), col("entity_uuid")).as("entity_uuid"),
         )
         .distinct()
         .withColumn("name", lit("MENTIONS"))
@@ -244,22 +279,26 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       store.commit(dupEdges, "duplicate_of_edges", "duplicate-of edges", dupFp)
     } }
 
-    // ---- stage 9: back-fill episodes.entity_edges — the reference keeps
-    // the edge uuids created from each episode on the episode row
-    // (graphiti.py:549; schema huggingface_driver.py:284-299). Reverse
-    // mapping of edges.episodes: one explode + groupBy on episode uuid. ----
-    def stageEpisodesEe(): Unit = timed("episodes_ee") { if (!store.hasFingerprint("episodes", episodesEeFp)) {
+    // ---- stage 9: episodes.entity_edges — the reference keeps the edge
+    // uuids created from each episode on the episode row (graphiti.py:549;
+    // schema huggingface_driver.py:284-299). Stored NORMALIZED as the
+    // bucketed side table `episode_entity_edges(uuid, entity_edges)` and
+    // joined back at read time (GraphitiSpark.episodesWithEntityEdges):
+    // rewriting the episodes table itself would copy the full page text of
+    // the whole corpus to attach one array column — a full-corpus
+    // copy-on-write that cannot survive 100 TB. Reverse mapping of
+    // edges.episodes: one explode + groupBy on episode uuid. ----
+    def stageEpisodesEe(): Unit = timed("episodes_ee") { if (!store.hasFingerprint("episode_entity_edges", episodesEeFp)) {
       val byEpisode = store
         .load("edges")
         .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
         .groupBy(col("uuid"))
         .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
-      val episodes = store
-        .load("episodes")
-        .drop("entity_edges")
-        .join(byEpisode, Seq("uuid"), "left")
-        .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
-      store.commit(episodes, "episodes", "back-fill entity_edges", episodesEeFp)
+      store.mergeBucketed(
+        "episode_entity_edges", byEpisode, Seq("uuid"),
+        "episode → created-edge uuids (normalized entity_edges)",
+        fingerprint = episodesEeFp,
+      )
     } }
 
     graft.io.Concurrent.runAll(Seq(
@@ -268,6 +307,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       () => stageEpisodicEdges(),
       () => stageDuplicateOf(),
     ))
+    rawTriples.unpersist(blocking = false)
 
     // ---- stage 10: incremental-ingest indexes (node_blocks /
     // uuid_map_by_uuid / node_stats / edge_endpoints), bucketed — so the

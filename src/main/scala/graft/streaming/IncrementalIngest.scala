@@ -128,7 +128,6 @@ object IncrementalIngest {
       lit(gid).as("group_id"),
       col("warc_ts").as("created_at"),
       col("warc_ts").as("valid_at"),
-      array().cast("array<string>").as("entity_edges"),
     )
     val episodes = episodes0.localCheckpoint()
     val oldEpisodeDocs =
@@ -371,19 +370,22 @@ object IncrementalIngest {
     val rebuilt = timed("mergeEdges total")(mergeEdges(store, newRaw, batchId, delta))
 
     // back-fill entity_edges for this batch's episodes from the REBUILT
-    // groups only (every edge citing a batch episode is in a rebuilt group)
+    // groups (every edge citing a batch episode is in a rebuilt group; a
+    // NON-batch episode's edges may span untouched groups, so its row must
+    // not be replaced from this partial view). The merge hits the narrow
+    // normalized side table — never the wide episode text rows. Batch
+    // episodes that produced no edges get an explicit empty row so a
+    // re-ingest overwrites any stale list.
     val batchEpUuids = episodes.select(col("uuid"))
     val byEpisode = rebuilt
       .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
       .join(batchEpUuids, Seq("uuid"), "left_semi")
       .groupBy(col("uuid"))
       .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
-    val epUpdated = store
-      .loadForKeys("episodes", batchEpUuids, Seq("uuid"))
-      .drop("entity_edges")
+    val epUpdated = batchEpUuids
       .join(byEpisode, Seq("uuid"), "left")
       .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
-    timed("entity_edges backfill")(store.mergeBucketed("episodes", epUpdated, Seq("uuid"), s"incremental batch=$batchId entity_edges"))
+    timed("entity_edges backfill")(store.mergeBucketed("episode_entity_edges", epUpdated, Seq("uuid"), s"incremental batch=$batchId entity_edges"))
   }
 
   /** Merge raw fact rows (already canonical-uuid'd) into the edges

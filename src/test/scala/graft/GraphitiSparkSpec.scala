@@ -118,10 +118,12 @@ class GraphitiSparkSpec extends AnyFunSuite {
     val attrs = g.store.load("nodes").filter(col("uuid") === n2).collect()(0).getMap[String, String](7)
     assert(attrs("entity_type") == "Person")
     assert(attrs("mention_count").toInt >= 1)
-    // every episode that produced an edge lists it in entity_edges
+    // every episode that produced an edge lists it in entity_edges (served
+    // from the normalized episode_entity_edges side table via the view)
     val ep = Ids.episode("default", "https://t.example/c/1")
-    val ee = g.store.load("episodes").filter(col("uuid") === ep).collect()(0).getSeq[String](
-      g.store.load("episodes").schema.fieldIndex("entity_edges"),
+    val epView = g.episodesWithEntityEdges
+    val ee = epView.filter(col("uuid") === ep).collect()(0).getSeq[String](
+      epView.schema.fieldIndex("entity_edges"),
     )
     assert(ee.nonEmpty)
     val edgeUuids = g.store.load("edges").filter(array_contains(col("episodes"), ep)).collect().map(_.getAs[String]("uuid")).toSet
