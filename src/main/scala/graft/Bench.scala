@@ -117,6 +117,26 @@ object Bench {
     math.min(s1, s2)
   }
 
+  /** Host-speed calibration: a FIXED reference workload timed at bench
+    * start — (st) one core hashing 2M strings, (mt) an all-cores Spark
+    * aggregate over 200M longs (exercises memory bandwidth, the resource
+    * this VM shares with other tenants; measured swings of 1.5-4× between
+    * runs of identical code). Reported in the bench line so per-round
+    * numbers can be normalized to host speed before being compared.
+    */
+  def calibrate(spark: SparkSession): (Double, Double) = {
+    val t0 = System.nanoTime()
+    var i = 0
+    var acc = 0L
+    while (i < 2_000_000) { acc = acc ^ kg.Ids.entity("calib", i.toString).hashCode.toLong; i += 1 }
+    val st = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    spark.range(200_000_000L).select(sum(xxhash64(col("id")))).collect()
+    val mt = (System.nanoTime() - t1) / 1e9
+    if (acc == Long.MinValue) println("") // keep acc live
+    (st, mt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -135,6 +155,7 @@ object Bench {
     cleanBenchTmp()
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    val (calibSt, calibMt) = calibrate(spark)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -181,13 +202,15 @@ object Bench {
         s""""pipeline":{"pages":$nPages,"triples":$nTriples,"seconds":${fmt(pipeSec)},""" +
         s""""pages_per_sec":${pagesPerSec.round},"triples_per_sec":${triplesPerSec.round},"scale":$scale},""" +
         s""""incremental":{"batch_pages":100,"small_corpus_sec":${fmt(incSmall)},"big_corpus_sec":${fmt(incBig)},""" +
-        s""""big_over_small":${fmt(incBig / incSmall)},"corpus_ratio":$scale}}"""
+        s""""big_over_small":${fmt(incBig / incSmall)},"corpus_ratio":$scale},""" +
+        s""""calib":{"st_sec":${fmt(calibSt)},"mt_sec":${fmt(calibMt)}}}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir",""" +
         s""""pipeline":{"pages":$nPages,"triples":$nTriples,"seconds":$pipeSec,""" +
         s""""pages_per_sec":$pagesPerSec,"triples_per_sec":$triplesPerSec,"scale":$scale},""" +
         s""""incremental":{"batch_pages":100,"batch_reps":2,"small_corpus_sec":$incSmall,"big_corpus_sec":$incBig,""" +
-        s""""big_over_small":${incBig / incSmall},"corpus_ratio":$scale}}"""
+        s""""big_over_small":${incBig / incSmall},"corpus_ratio":$scale},""" +
+        s""""calib":{"st_sec":$calibSt,"mt_sec":$calibMt}}"""
     try Files.write(java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     spark.stop()

@@ -88,25 +88,68 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId))
     val mapFp = fp("uuid_map", Seq(inputFingerprint, groupId))
     val nodesFp = fp("nodes", Seq(inputFingerprint, groupId))
+    val edgesFp = fp("edges", Seq(inputFingerprint, groupId))
 
     // ---- stages 3+4 (raw entity nodes → linking + canonical map), run
-    // CONCURRENTLY with the per-SURFACE mention-stats aggregation (stage
-    // 5's heavy input): the stats depend only on raw_triples, and
-    // min/min/count are decomposable, so folding per-surface stats by
-    // canonical in stage 5 equals aggregating the raw mention rows
-    // directly. The linking chain is the longer thread, so the stats ride
-    // entirely in its shadow. ----
+    // CONCURRENTLY with (a) the per-SURFACE mention-stats aggregation
+    // (stage 5's heavy input) and (b) the IDENTITY-REMAP edge pre-build
+    // (stage 6's heavy input). Rationale for (b): dedupe + contradiction
+    // invalidation + fact embeddings + uuids are all *independent of the
+    // canonical map for every contention group the map does not touch* —
+    // and the map covers only duplicate components (usually a tiny
+    // fraction of surfaces). So the full edge build runs with uuid := raw
+    // entity uuid while linking runs, and stage 6 afterwards REBUILDS ONLY
+    // the contention groups holding an endpoint the canonical map moves
+    // (the same affected-group algebra as incremental mergeEdges). The
+    // expensive shuffle/window/embed work rides in linking's shadow
+    // instead of serializing after it. ----
     var surfaceStats: DataFrame = null
+    var edgesPre: DataFrame = null
+    val embedUdf = udf((s: String) => Embedder.embed(s).toSeq)
+    def edgeUuid(df: DataFrame): DataFrame = df.withColumn(
+      "uuid",
+      md5(
+        concat_ws(
+          "|",
+          lit("ed"),
+          col("group_id"),
+          col("source_uuid"),
+          col("name"),
+          col("target_uuid"),
+          col("valid_at").cast("string"),
+        ),
+      ),
+    )
+    // Fused surface aggregation: ONE groupBy over the exploded mentions
+    // yields both the distinct surface set (stage 3's input — the old
+    // separate `.distinct()` was a second full-width shuffle of the same
+    // exploded rows) and the per-surface stats stage 5 folds by canonical.
+    var surfaceAgg: DataFrame = null
     graft.io.Concurrent.runAll(Seq(
       () => {
-        // stage 3: distinct surfaces → deterministic uuids + hashed-BoW
-        // name embeddings (a names-only shuffle)
+        if (!store.hasFingerprint("nodes_raw", nodesRawFp) || !store.hasFingerprint("nodes", nodesFp)) {
+          timed("surface_agg") {
+            surfaceAgg = rawTriples
+              .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+              .groupBy(col("name"))
+              .agg(
+                min(col("fact")).as("summary"),
+                min(col("warc_ts")).as("created_at"),
+                count(lit(1)).as("mention_count"),
+              )
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            surfaceAgg.count()
+            surfaceStats = surfaceAgg
+              .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
+              .select(col("uuid"), col("summary"), col("created_at"), col("mention_count"))
+          }
+        }
+        // stage 3: surfaces → deterministic uuids + hashed-BoW name
+        // embeddings (map-only over the already-aggregated surface set)
         timed("nodes_raw") { if (!store.hasFingerprint("nodes_raw", nodesRawFp)) {
-          val surfaces = rawTriples
-            .select(explode(array(col("subj"), col("obj"))).as("name"))
-            .distinct()
           val gid = groupId
-          val nodesRaw = surfaces
+          val nodesRaw = surfaceAgg
+            .select(col("name"))
             .as[String]
             .mapPartitions { it =>
               it.map { name =>
@@ -117,26 +160,38 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
           store.commit(nodesRaw, "nodes_raw", "raw entity nodes", nodesRawFp)
         } }
         // stage 4: LSH blocking → score → union-find min-uuid
-        // (dedupe_nodes_bulk semantics)
+        // (dedupe_nodes_bulk semantics). Web-scale corpora commonly have
+        // ZERO duplicate surface pairs — checkpoint the pair set and skip
+        // the CC superstep machinery entirely when it is empty.
         timed("uuid_map") { if (!store.hasFingerprint("uuid_map", mapFp)) {
-          val pairs = Linking.duplicatePairs(store.load("nodes_raw"))
-          val uuidMap = Linking.canonicalMap(pairs)
+          val pairs = Linking
+            .duplicatePairs(store.load("nodes_raw"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val uuidMap =
+            if (pairs.isEmpty) pairs.select(col("u1").as("uuid"), col("u2").as("canonical")).limit(0)
+            else Linking.canonicalMap(pairs)
           store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
+          pairs.unpersist(blocking = false)
         } }
       },
       () =>
-        timed("surface_stats") { if (!store.hasFingerprint("nodes", nodesFp)) {
-          surfaceStats = rawTriples
-            .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
-            .groupBy(col("name"))
-            .agg(
-              min(col("fact")).as("summary"),
-              min(col("warc_ts")).as("created_at"),
-              count(lit(1)).as("mention_count"),
-            )
-            .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
-            .drop("name")
-            .localCheckpoint()
+        timed("edges_pre") { if (!store.hasFingerprint("edges", edgesFp)) {
+          val raw = rawTriples.select(
+            md5(concat(lit(s"en|$groupId|"), col("subj"))).as("source_uuid"),
+            col("pred").as("name"),
+            md5(concat(lit(s"en|$groupId|"), col("obj"))).as("target_uuid"),
+            col("fact"),
+            lit(groupId).as("group_id"),
+            col("warc_ts").as("valid_at"),
+            col("warc_ts").as("created_at"),
+            array(md5(concat(lit(s"ep|$groupId|"), col("url")))).as("episodes"),
+          )
+          edgesPre = edgeUuid(
+            Invalidation
+              .dedupeAndInvalidate(raw)
+              .withColumn("fact_embedding", embedUdf(col("fact"))),
+          ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          edgesPre.count() // materialize inside linking's shadow
         } },
     ))
 
@@ -199,43 +254,84 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       store.commit(canon, "nodes", "canonical entity nodes", nodesFp)
     } }
 
-    // ---- stage 6: edges (pointer remap → fact dedup → contradiction
-    // invalidation → deterministic uuids) ----
-    val edgesFp = fp("edges", Seq(inputFingerprint, groupId))
-    def stageEdges(): Unit = timed("edges") { if (!store.hasFingerprint("edges", edgesFp)) {
-      val t = rawTriples
-      val m = store.load("uuid_map")
-      val raw = t.select(
-        md5(concat(lit(s"en|$groupId|"), col("subj"))).as("source_uuid"),
-        col("pred").as("name"),
-        md5(concat(lit(s"en|$groupId|"), col("obj"))).as("target_uuid"),
-        col("fact"),
-        lit(groupId).as("group_id"),
-        col("warc_ts").as("valid_at"),
-        col("warc_ts").as("created_at"),
-        array(md5(concat(lit(s"ep|$groupId|"), col("url")))).as("episodes"),
+    // ---- stage 9: episodes.entity_edges — the reference keeps the edge
+    // uuids created from each episode on the episode row (graphiti.py:549;
+    // schema huggingface_driver.py:284-299). Stored NORMALIZED as the
+    // bucketed side table `episode_entity_edges(uuid, entity_edges)` and
+    // joined back at read time (GraphitiSpark.episodesWithEntityEdges):
+    // rewriting the episodes table itself would copy the full page text of
+    // the whole corpus to attach one array column — a full-corpus
+    // copy-on-write that cannot survive 100 TB. Reverse mapping of
+    // edges.episodes: one explode + groupBy on episode uuid. ----
+    def stageEpisodesEe(edgesInMem: Option[DataFrame]): Unit = timed("episodes_ee") { if (!store.hasFingerprint("episode_entity_edges", episodesEeFp)) {
+      // from the in-memory final frame when stage 6 just built it (runs
+      // concurrently with the edges commit — disjoint tables); falls back
+      // to the committed snapshot on resume
+      val byEpisode = edgesInMem
+        .getOrElse(store.load("edges"))
+        .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
+        .groupBy(col("uuid"))
+        .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
+      store.mergeBucketed(
+        "episode_entity_edges", byEpisode, Seq("uuid"),
+        "episode → created-edge uuids (normalized entity_edges)",
+        fingerprint = episodesEeFp,
       )
-      val remapped = Linking.remapPointers(raw, m)
-      val embed = udf((s: String) => Embedder.embed(s).toSeq)
-      val edges = Invalidation
-        .dedupeAndInvalidate(remapped)
-        .withColumn("fact_embedding", embed(col("fact")))
-        .withColumn(
-          "uuid",
-          md5(
-            concat_ws(
-              "|",
-              lit("ed"),
-              col("group_id"),
-              col("source_uuid"),
-              col("name"),
-              col("target_uuid"),
-              col("valid_at").cast("string"),
-            ),
-          ),
-        )
-      store.commit(edges, "edges", "bitemporal entity edges", edgesFp)
     } }
+
+    // ---- stage 6: edges — patch the identity-remap pre-build (built in
+    // linking's shadow above) for the contention groups the canonical map
+    // actually touches, then commit. When the map is empty (no duplicate
+    // surfaces — the common web-corpus case) the pre-build IS the final
+    // table and this stage is just the commit. Stage 9 (episodes_ee)
+    // derives from the same in-memory frame and writes a DISJOINT table,
+    // so it runs concurrently with the edges commit. ----
+    val GroupKey = Seq("group_id", "source_uuid", "name")
+    val rebuildCols =
+      Seq("group_id", "source_uuid", "name", "target_uuid", "fact", "valid_at", "created_at", "episodes", "manual_invalid_at")
+    def stageEdgesAndEe(): Unit = { if (!store.hasFingerprint("edges", edgesFp)) {
+      val edgesFinal = timed("edges_patch") {
+        if (store.approxRowCount("uuid_map").getOrElse(0L) == 0L) edgesPre
+        else {
+          // affected groups: old key ∪ new key of every row whose endpoint
+          // the map moves (a receiving group's own endpoints are unchanged,
+          // but its rows must re-dedupe/re-invalidate against the movers)
+          val m = broadcast(store.load("uuid_map"))
+          val flagged = edgesPre
+            .join(m.select(col("uuid").as("source_uuid"), col("canonical").as("src_c")), Seq("source_uuid"), "left")
+            .join(m.select(col("uuid").as("target_uuid"), col("canonical").as("dst_c")), Seq("target_uuid"), "left")
+          val changed = flagged.filter(
+            (col("src_c").isNotNull && col("src_c") =!= col("source_uuid")) ||
+              (col("dst_c").isNotNull && col("dst_c") =!= col("target_uuid")),
+          )
+          val affKeys = changed
+            .select(col("group_id"), col("source_uuid"), col("name"))
+            .unionByName(
+              changed.select(col("group_id"), coalesce(col("src_c"), col("source_uuid")).as("source_uuid"), col("name")),
+            )
+            .distinct()
+            .localCheckpoint()
+          // fact-granularity re-entry is idempotent (same algebra as
+          // incremental mergeEdges): rebuild affected groups from the
+          // pre-build's merged rows, remapped through the canonical map
+          val groupRows = edgesPre.join(broadcast(affKeys), GroupKey, "left_semi")
+          val rebuilt = edgeUuid(
+            Invalidation
+              .dedupeAndInvalidate(
+                Linking.remapPointers(groupRows, m).select(rebuildCols.map(col): _*),
+              )
+              .withColumn("fact_embedding", embedUdf(col("fact"))),
+          )
+          edgesPre
+            .join(broadcast(affKeys), GroupKey, "left_anti")
+            .unionByName(rebuilt.select(edgesPre.columns.map(col): _*))
+        }
+      }
+      graft.io.Concurrent.runAll(Seq(
+        () => timed("edges_commit")(store.commit(edgesFinal, "edges", "bitemporal entity edges", edgesFp)),
+        () => stageEpisodesEe(Some(edgesFinal)),
+      ))
+    } else stageEpisodesEe(None) }
 
     // ---- stage 7: episodic MENTIONS edges (build_episodic_edges,
     // edge_operations.py:48-65) ----
@@ -279,35 +375,15 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       store.commit(dupEdges, "duplicate_of_edges", "duplicate-of edges", dupFp)
     } }
 
-    // ---- stage 9: episodes.entity_edges — the reference keeps the edge
-    // uuids created from each episode on the episode row (graphiti.py:549;
-    // schema huggingface_driver.py:284-299). Stored NORMALIZED as the
-    // bucketed side table `episode_entity_edges(uuid, entity_edges)` and
-    // joined back at read time (GraphitiSpark.episodesWithEntityEdges):
-    // rewriting the episodes table itself would copy the full page text of
-    // the whole corpus to attach one array column — a full-corpus
-    // copy-on-write that cannot survive 100 TB. Reverse mapping of
-    // edges.episodes: one explode + groupBy on episode uuid. ----
-    def stageEpisodesEe(): Unit = timed("episodes_ee") { if (!store.hasFingerprint("episode_entity_edges", episodesEeFp)) {
-      val byEpisode = store
-        .load("edges")
-        .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
-        .groupBy(col("uuid"))
-        .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
-      store.mergeBucketed(
-        "episode_entity_edges", byEpisode, Seq("uuid"),
-        "episode → created-edge uuids (normalized entity_edges)",
-        fingerprint = episodesEeFp,
-      )
-    } }
-
     graft.io.Concurrent.runAll(Seq(
       () => stageNodes(),
-      () => { stageEdges(); stageEpisodesEe() },
+      () => stageEdgesAndEe(),
       () => stageEpisodicEdges(),
       () => stageDuplicateOf(),
     ))
     rawTriples.unpersist(blocking = false)
+    if (edgesPre != null) edgesPre.unpersist(blocking = false)
+    if (surfaceAgg != null) surfaceAgg.unpersist(blocking = false)
 
     // ---- stage 10: incremental-ingest indexes (node_blocks /
     // uuid_map_by_uuid / node_stats / edge_endpoints), bucketed — so the
