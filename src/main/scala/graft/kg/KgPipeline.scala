@@ -226,12 +226,12 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
         )
         .localCheckpoint()
       // node_stats doubles as the incremental-ingest stats index (all three
-      // aggregates are decomposable: min/min/sum) — committed here (free
-      // byproduct) when indexes are requested, so IncrementalIngest never
-      // re-scans raw_triples to bootstrap it; with buildIndexes=false the
-      // bootstrap path recomputes it on first incremental use
-      if (buildIndexes)
-        store.mergeBucketed("node_stats", nodeFacts, Seq("cuuid"), "node mention stats index")
+      // aggregates are decomposable: min/min/sum) — committed here
+      // UNCONDITIONALLY: nodeFacts is already checkpointed, so the commit
+      // is one small bucketed write, and it spares bootstrapIndexes a full
+      // re-aggregation of every raw mention later (index build or first
+      // incremental batch)
+      store.mergeBucketed("node_stats", nodeFacts, Seq("cuuid"), "node mention stats index")
       val canon = raw
         .join(m, Seq("uuid"), "left")
         .withColumn("canonical", coalesce(col("canonical"), col("uuid")))

@@ -247,5 +247,96 @@ object Kg {
         FROM m GROUP BY 1 ORDER BY "entityType"
       """),
     ),
+
+    // ---- per-edge quality scoring (EpisodeProcessor._calculate_edge_
+    // quality, episode_processor.py:727-750): fact-length band (10-50
+    // chars → 0.3, non-empty → 0.1) + has-embedding 0.3 + has-episodes
+    // 0.2 + has-valid_at 0.2. Every materialized edge carries an
+    // embedding, ≥1 episode and a valid_at, so those three terms are the
+    // constant 0.7; the fact-length band varies per fact. Aggregated per
+    // relation over the deduped fact set (resolve_extracted_edge merges
+    // re-assertions first). The oracle reconstructs the fact sentence
+    // from the relation grammar. ----
+    QueryDef(
+      "kg_edge_quality",
+      (s, dir) => {
+        val t = extractAll(s, dir)
+        t.groupBy(col("subj"), col("pred"), col("obj"))
+          .agg(first(col("fact")).as("fact")) // fact is a pure function of (subj,pred,obj)
+          .withColumn(
+            "q",
+            when(length(col("fact")).between(10, 50), lit(0.3))
+              .when(length(col("fact")) > 0, lit(0.1))
+              .otherwise(lit(0.0)) + lit(0.7),
+          )
+          .groupBy(col("pred"))
+          .agg(count(lit(1)).as("n_edges"), round(avg(col("q")), 6).as("avg_edge_quality"))
+          .orderBy(col("pred"))
+      },
+      Some(s"""
+        SELECT pred, count(*) AS n_edges,
+               round(avg(CASE WHEN length(fact) BETWEEN 10 AND 50 THEN 0.3
+                              WHEN length(fact) > 0 THEN 0.1 ELSE 0.0 END + 0.7), 6) AS avg_edge_quality
+        FROM (
+          SELECT subj, pred, obj,
+                 CASE pred
+                   WHEN 'lives_in' THEN subj || ' lives in ' || obj || '.'
+                   WHEN 'located_in' THEN subj || ' is located in ' || obj || '.'
+                   WHEN 'part_of' THEN subj || ' is part of ' || obj || '.'
+                   WHEN 'shops_in_segment' THEN subj || ' shops in the ' || obj || ' segment.'
+                   WHEN 'placed' THEN subj || ' placed order ' || obj || '.'
+                   WHEN 'supplies' THEN subj || ' supplies ' || obj || '.'
+                 END AS fact
+          FROM ($oracleTriples) t
+          GROUP BY 1, 2, 3
+        ) d
+        GROUP BY pred ORDER BY pred
+      """),
+    ),
+
+    // ---- per-entity quality scoring (EpisodeProcessor._calculate_
+    // entity_quality, episode_processor.py:699-725): name-word band
+    // (3-10 words → 0.3, non-empty → 0.1) + label-count band (our nodes
+    // carry exactly 1 label → 0.1) + has-embedding 0.2 + has-attributes
+    // 0.2, averaged per label over the canonical node set. ----
+    QueryDef(
+      "kg_entity_quality",
+      (s, dir) => {
+        val t = extractAll(s, dir)
+        t.select(col("subj").as("name"))
+          .unionByName(t.select(col("obj").as("name")))
+          .distinct()
+          .withColumn(
+            "label",
+            when(col("name").startsWith("Customer#"), lit("Person"))
+              .when(col("name").startsWith("Supplier#"), lit("Organization"))
+              .when(col("name").startsWith("NATION_") || col("name").startsWith("REGION_"), lit("Place"))
+              .otherwise(lit("Entity")),
+          )
+          .withColumn(
+            "q",
+            when(size(split(col("name"), " ")).between(3, 10), lit(0.3))
+              .when(length(col("name")) > 0, lit(0.1))
+              .otherwise(lit(0.0)) + lit(0.5),
+          )
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_entities"), round(avg(col("q")), 6).as("avg_entity_quality"))
+          .orderBy(col("label"))
+      },
+      Some(s"""
+        SELECT CASE WHEN name LIKE 'Customer#%' THEN 'Person'
+                    WHEN name LIKE 'Supplier#%' THEN 'Organization'
+                    WHEN name LIKE 'NATION!_%' ESCAPE '!'
+                      OR name LIKE 'REGION!_%' ESCAPE '!' THEN 'Place'
+                    ELSE 'Entity' END AS label,
+               count(*) AS n_entities,
+               round(avg(CASE WHEN len(string_split(name, ' ')) BETWEEN 3 AND 10 THEN 0.3
+                              WHEN length(name) > 0 THEN 0.1 ELSE 0.0 END + 0.5), 6) AS avg_entity_quality
+        FROM (SELECT DISTINCT subj AS name FROM ($oracleTriples) a
+              UNION
+              SELECT DISTINCT obj FROM ($oracleTriples) b) n
+        GROUP BY 1 ORDER BY label
+      """),
+    ),
   )
 }
