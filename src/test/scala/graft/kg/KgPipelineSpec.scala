@@ -80,6 +80,49 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(validMid.length == 1 && validMid(0).getAs[java.sql.Timestamp]("valid_at") == first.getAs[java.sql.Timestamp]("valid_at"))
   }
 
+  test("identity-prebuild + patch equals a full remap-then-rebuild edge set") {
+    // the fixture corpus HAS duplicate surfaces (padded/unpadded aliases),
+    // so stage 6's affected-group patch path is exercised; its output must
+    // be row-identical to the naive order (remap everything, then dedupe +
+    // invalidate once)
+    val store = freshStore()
+    runPipeline(store)
+    val t = store.load("raw_triples")
+    val m = store.load("uuid_map")
+    val raw = t.select(
+      md5(concat(lit("en|default|"), col("subj"))).as("source_uuid"),
+      col("pred").as("name"),
+      md5(concat(lit("en|default|"), col("obj"))).as("target_uuid"),
+      col("fact"),
+      lit("default").as("group_id"),
+      col("warc_ts").as("valid_at"),
+      col("warc_ts").as("created_at"),
+      array(md5(concat(lit("ep|default|"), col("url")))).as("episodes"),
+    )
+    val expected = Invalidation
+      .dedupeAndInvalidate(Linking.remapPointers(raw, m))
+      .select(
+        col("group_id"), col("source_uuid"), col("name"), col("target_uuid"),
+        col("valid_at"), col("invalid_at"), col("expired_at"),
+        col("episodes"),
+      )
+      .collect()
+      .map(_.toString)
+      .sorted
+    val got = store
+      .load("edges")
+      .select(
+        col("group_id"), col("source_uuid"), col("name"), col("target_uuid"),
+        col("valid_at"), col("invalid_at"), col("expired_at"),
+        col("episodes"),
+      )
+      .collect()
+      .map(_.toString)
+      .sorted
+    assert(got.length == expected.length, s"row count ${got.length} vs ${expected.length}")
+    assert(got.sameElements(expected))
+  }
+
   test("re-run resumes: no stage recommits when fingerprints match") {
     val store = freshStore()
     runPipeline(store)
