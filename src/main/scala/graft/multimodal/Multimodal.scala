@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: `javax.imageio` (PNG/BMP/GIF — ships in the JDK)
   * → width/height + 16-bin luminance histogram + per-channel means
-  * ([[decodeImage]]). Audio/video decode is STUBBED (no codec libraries
-  * ship in this environment): [[decodeStub]] produces a deterministic
-  * byte-histogram "feature vector" so the Spark-side plumbing — schema,
-  * url-hash partitioning, batch shape, feature column types — is real and
-  * tested end-to-end for every kind.
+  * ([[decodeImage]]). AUDIO decode is REAL: `javax.sound.sampled`
+  * (WAV/AIFF/AU — ships in the JDK) → rate/channels/duration/rms +
+  * amplitude histogram ([[decodeAudio]]). Video decode is STUBBED (no
+  * video codec libraries ship in this environment): [[decodeStub]]
+  * produces a deterministic byte-histogram "feature vector" so the
+  * Spark-side plumbing — schema, url-hash partitioning, batch shape,
+  * feature column types — is real and tested end-to-end for every kind.
   */
 object Multimodal {
 
@@ -56,6 +58,42 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode (WAV/AIFF/AU via `javax.sound.sampled` — ships in
+    * the JDK): decodes to 16-bit signed PCM and emits
+    * [sampleRate, channels, durationSec, rms, 16-bin amplitude histogram
+    * (L1-normalized)] — 20 floats. Returns None for undecodable bytes
+    * (caller falls back to [[decodeStub]]).
+    */
+  def decodeAudio(media: Array[Byte]): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(media))
+      try {
+        val fmt = ais.getFormat
+        val pcmFmt = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels, fmt.getSampleRate, false,
+        )
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, ais)
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2
+        var ss = 0.0
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < n) {
+          val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+          ss += s.toDouble * s
+          hist((s + 32768) >> 12) += 1f
+          i += 1
+        }
+        val rms = if (n > 0) math.sqrt(ss / n) / 32768.0 else 0.0
+        val dur = if (fmt.getChannels > 0) n.toFloat / fmt.getChannels / fmt.getSampleRate else 0f
+        val nf = n.max(1).toFloat
+        Some(Array(fmt.getSampleRate, fmt.getChannels.toFloat, dur, rms.toFloat) ++ hist.map(_ / nf))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
   /** STUB decode: 16-bin byte histogram, L1-normalized. Deterministic
     * pure function of the bytes — stands in for pixel/audio decoding.
     */
@@ -84,12 +122,15 @@ object Multimodal {
       .select(col("id"), col("kind"), col("media"))
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init point for a real decoder; images use the REAL
-        // ImageIO path, other kinds (audio/video) the disclosed stub
+        // per-partition init point for a real decoder; images decode via
+        // ImageIO, audio via javax.sound.sampled (both real, pure JDK);
+        // video keeps the disclosed stub (no codecs in this environment)
         it.map { case (id, kind, bytes) =>
-          val feats =
-            if (kind == "image") decodeImage(bytes).getOrElse(decodeStub(bytes))
-            else decodeStub(bytes)
+          val feats = kind match {
+            case "image" => decodeImage(bytes).getOrElse(decodeStub(bytes))
+            case "audio" => decodeAudio(bytes).getOrElse(decodeStub(bytes))
+            case _ => decodeStub(bytes)
+          }
           MediaFeatures(id, kind, bytes.length.toLong, feats)
         }
       }

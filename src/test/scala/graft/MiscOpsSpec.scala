@@ -116,4 +116,45 @@ class MiscOpsSpec extends AnyFunSuite {
       .collect()
     assert(fallback.head.features.length == 16)
   }
+
+  test("multimodal: REAL wav decode via javax.sound.sampled (rate/channels/duration/rms/histogram)") {
+    // 8000 Hz mono 16-bit WAV, 800 samples of a full-scale square wave
+    // (+16384/-16384 alternating every sample): rms = 0.5 exactly,
+    // duration 0.1 s, amplitude bins (16384+32768)>>12 = 12 and
+    // (-16384+32768)>>12 = 4, half the mass each
+    val n = 800
+    val pcm = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      val s: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong,
+    )
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val f = Multimodal.decodeAudio(wav).get
+    assert(f.length == 20)
+    assert(f(0) == 8000f && f(1) == 1f) // sample rate, channels
+    assert(math.abs(f(2) - 0.1f) < 1e-6) // duration
+    assert(math.abs(f(3) - 0.5f) < 1e-3) // rms of a half-scale square wave
+    assert(f(4 + 12) == 0.5f && f(4 + 4) == 0.5f) // amplitude bins
+    // audio kind flows through extractFeatures' real-decode branch;
+    // non-audio bytes fall back to the 16-bin stub
+    import spark.implicits._
+    val rows = Multimodal
+      .extractFeatures(
+        spark,
+        Seq(("a1", "audio", wav), ("a2", "audio", Array.fill[Byte](32)(7))).toDF("id", "kind", "media"),
+      )
+      .collect()
+      .map(r => r.id -> r.features)
+      .toMap
+    assert(rows("a1").length == 20 && rows("a1")(0) == 8000f)
+    assert(rows("a2").length == 16)
+  }
 }
