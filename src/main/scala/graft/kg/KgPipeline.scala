@@ -211,7 +211,10 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // created_at = earliest mention timestamp, attributes = typed map. ----
     def stageNodes(): Unit = timed("nodes") { if (!store.hasFingerprint("nodes", nodesFp)) {
       val raw = store.load("nodes_raw")
-      val m = broadcast(store.load("uuid_map"))
+      // same broadcast-size guard as stage 6: tiny duplicate maps
+      // broadcast, duplicate-heavy ones shuffle
+      val m0 = store.load("uuid_map")
+      val m = if (store.approxRowCount("uuid_map").getOrElse(0L) < 5_000_000L) broadcast(m0) else m0
       // per-canonical-node facts: fold the PER-SURFACE stats (built above,
       // overlapped with linking) by canonical — min/min/sum over ~|surfaces|
       // rows instead of re-aggregating every raw mention
@@ -290,13 +293,18 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     val rebuildCols =
       Seq("group_id", "source_uuid", "name", "target_uuid", "fact", "valid_at", "created_at", "episodes", "manual_invalid_at")
     def stageEdgesAndEe(): Unit = { if (!store.hasFingerprint("edges", edgesFp)) {
+      val mapRows = store.approxRowCount("uuid_map").getOrElse(0L)
+      // broadcast the canonical map only while it plausibly fits one
+      // executor (duplicate-heavy corpora: plain shuffled joins instead)
+      val bcastMap = mapRows < 5_000_000L
       val edgesFinal = timed("edges_patch") {
-        if (store.approxRowCount("uuid_map").getOrElse(0L) == 0L) edgesPre
+        if (mapRows == 0L) edgesPre
         else {
           // affected groups: old key ∪ new key of every row whose endpoint
           // the map moves (a receiving group's own endpoints are unchanged,
           // but its rows must re-dedupe/re-invalidate against the movers)
-          val m = broadcast(store.load("uuid_map"))
+          val m0 = store.load("uuid_map")
+          val m = if (bcastMap) broadcast(m0) else m0
           val flagged = edgesPre
             .join(m.select(col("uuid").as("source_uuid"), col("canonical").as("src_c")), Seq("source_uuid"), "left")
             .join(m.select(col("uuid").as("target_uuid"), col("canonical").as("dst_c")), Seq("target_uuid"), "left")
@@ -318,7 +326,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
           val rebuilt = edgeUuid(
             Invalidation
               .dedupeAndInvalidate(
-                Linking.remapPointers(groupRows, m).select(rebuildCols.map(col): _*),
+                Linking.remapPointers(groupRows, m0, hint = bcastMap).select(rebuildCols.map(col): _*),
               )
               .withColumn("fact_embedding", embedUdf(col("fact"))),
           )

@@ -137,10 +137,15 @@ object Linking {
       .select(col("node").as("uuid"), col("component").as("canonical"))
 
   /** Remap edge endpoint uuids through the canonical map
-    * (resolve_edge_pointers): broadcast map joins + coalesce.
+    * (resolve_edge_pointers): map joins + coalesce. The map covers only
+    * duplicate components, so it is usually tiny and broadcast; pass
+    * `hint = false` for duplicate-heavy corpora where the map outgrows a
+    * broadcast (callers can size it from commit metadata,
+    * SnapshotStore.approxRowCount) — the joins then plan as ordinary
+    * shuffled equi-joins.
     */
-  def remapPointers(edges: DataFrame, uuidMap: DataFrame): DataFrame = {
-    val m = broadcast(uuidMap)
+  def remapPointers(edges: DataFrame, uuidMap: DataFrame, hint: Boolean = true): DataFrame = {
+    val m = if (hint) broadcast(uuidMap) else uuidMap
     edges
       .join(m.withColumnRenamed("uuid", "source_uuid").withColumnRenamed("canonical", "src_c"), Seq("source_uuid"), "left")
       .join(m.withColumnRenamed("uuid", "target_uuid").withColumnRenamed("canonical", "dst_c"), Seq("target_uuid"), "left")
