@@ -331,20 +331,15 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
 
     val withB = updates.withColumn("__bucket", bucketExpr(bCols, numBuckets))
     val delB = deleteKeys.map(_.withColumn("__bucket", bucketExpr(bCols, numBuckets)))
-    // one pass gives both the affected-bucket set and the row counts the
-    // delta-vs-rewrite decision needs. On a FIRST build neither is needed
-    // (no prior buckets to carry, delta path requires a manifest) — skip
-    // the pass entirely so `updates` is traversed exactly once (callers
-    // then don't have to checkpoint a build-sized intermediate).
-    val updCounts =
-      if (prev.isEmpty) Array.empty[(Int, Long)]
-      else withB.groupBy(col("__bucket")).count().collect().map(r => r.getInt(0) -> r.getLong(1))
-    val delCounts =
-      if (prev.isEmpty) Seq.empty[(Int, Long)]
-      else delB.toSeq.flatMap(_.groupBy(col("__bucket")).count().collect().map(r => r.getInt(0) -> r.getLong(1)))
-    val affected: Set[Int] = (updCounts.map(_._1) ++ delCounts.map(_._1)).toSet
-    val updRows = updCounts.map(_._2).sum
-    val delRows = delCounts.map(_._2).sum
+    // The delta-vs-rewrite decision needs only TOTAL row counts (cheap
+    // map-side count); the per-bucket affected set is needed only on the
+    // (rare, compaction-sized) rewrite path and is computed there. On a
+    // FIRST build neither is needed (no prior buckets to carry, delta
+    // path requires a manifest) — skip so `updates` is traversed exactly
+    // once (callers then don't have to checkpoint a build-sized
+    // intermediate).
+    val updRows = if (prev.isEmpty) 0L else updates.count()
+    val delRows = if (prev.isEmpty) 0L else delB.map(_.count()).getOrElse(0L)
 
     // ---- DELTA path (merge-on-read): when the batch is small relative to
     // the base, append an update/tombstone delta instead of rewriting the
@@ -381,6 +376,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       publish(table, next)
       return next
     }
+
+    // rewrite path: NOW compute the affected-bucket set (one small
+    // shuffle over the batch — only paid on compaction-sized merges)
+    val affected: Set[Int] =
+      if (prev.isEmpty) Set.empty
+      else
+        (withB.select(col("__bucket")).distinct().collect().map(_.getInt(0)) ++
+          delB.toSeq.flatMap(_.select(col("__bucket")).distinct().collect().map(_.getInt(0)))).toSet
 
     // legacy plain table (no manifest / re-bucketed) or a pending delta
     // chain: fold ALL existing rows (chain applied by loadVersion) into

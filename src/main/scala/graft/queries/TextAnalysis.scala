@@ -164,5 +164,49 @@ object TextAnalysis {
         FROM documents ORDER BY doc_id LIMIT 100
       """),
     ),
+
+    // ---- exact TF-IDF (the oracle-checked twin of the spark.ml
+    // HashingTF+IDF vectorizer in text/TfIdf.scala, whose hash buckets a
+    // SQL engine cannot reproduce): explicit terms, spark.ml's smoothed
+    // idf = ln((N+1)/(df+1)) + 1, corpus-weight per term = idf * Σtf.
+    // One token explode → two aggregates; no shuffle beyond them. ----
+    QueryDef(
+      "q_tfidf",
+      (s, dir) => {
+        val d = T.load(s, dir, "documents")
+        val tf = d
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+          .filter(col("term").rlike("^[a-z]{4,}$"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val byTerm = tf
+          .groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"), sum(col("tf")).as("total_tf"))
+        val nDocs = d.agg(count(lit(1)).as("n"))
+        byTerm
+          .filter(col("df") >= 20)
+          .crossJoin(broadcast(nDocs))
+          .withColumn(
+            "tfidf_sum",
+            round((log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)) * col("total_tf"), 6),
+          )
+          .select(col("term"), col("df"), col("tfidf_sum"))
+          .orderBy(col("term"))
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+          WHERE regexp_matches(term, '^[a-z]{4,}$')
+          GROUP BY 1, 2
+        ), agg AS (
+          SELECT term, count(DISTINCT doc_id) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
+        )
+        SELECT term, df,
+               round((ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) + 1.0) * total_tf, 6)
+               AS tfidf_sum
+        FROM agg WHERE df >= 20 ORDER BY term
+      """),
+    ),
   )
 }

@@ -354,19 +354,20 @@ object IncrementalIngest {
     )
 
     // ---- edges: rebuild only affected contention groups ----
-    val newRaw = Linking.remapPointers(
-      triples.select(
-        md5(concat(lit(s"en|$gid|"), col("subj"))).as("source_uuid"),
-        col("pred").as("name"),
-        md5(concat(lit(s"en|$gid|"), col("obj"))).as("target_uuid"),
-        col("fact"),
-        lit(gid).as("group_id"),
-        col("warc_ts").as("valid_at"),
-        col("warc_ts").as("created_at"),
-        array(md5(concat(lit(s"ep|$gid|"), col("url")))).as("episodes"),
-      ),
-      remapMap,
+    val newRawBase = triples.select(
+      md5(concat(lit(s"en|$gid|"), col("subj"))).as("source_uuid"),
+      col("pred").as("name"),
+      md5(concat(lit(s"en|$gid|"), col("obj"))).as("target_uuid"),
+      col("fact"),
+      lit(gid).as("group_id"),
+      col("warc_ts").as("valid_at"),
+      col("warc_ts").as("created_at"),
+      array(md5(concat(lit(s"ep|$gid|"), col("url")))).as("episodes"),
     )
+    // a batch of entirely-new unique surfaces has an empty remap map
+    // (checkpointed above) — the two canonical joins are identity then
+    val newRaw =
+      if (remapMap.isEmpty) newRawBase else Linking.remapPointers(newRawBase, remapMap)
     val rebuilt = timed("mergeEdges total")(mergeEdges(store, newRaw, batchId, delta))
 
     // back-fill entity_edges for this batch's episodes from the REBUILT
@@ -403,6 +404,10 @@ object IncrementalIngest {
     val delta =
       if (remapDelta != null) remapDelta
       else Seq.empty[(String, String)].toDF("uuid", "canonical")
+    // steady batches usually change NO canonicals: the endpoint-index
+    // probe and both remap joins are then identity work — skip them
+    // (delta is checkpointed by the caller, so isEmpty is O(1))
+    val deltaEmpty = delta.isEmpty
     val embedUdf = udf((s: String) => Embedder.embed(s).toSeq)
     // manual_invalid_at rides along so explicit invalidate_edges() calls
     // survive group rebuilds (the window pass never overwrites it)
@@ -419,7 +424,7 @@ object IncrementalIngest {
     // own endpoints are unchanged, but its row set must be re-deduped
     // against the rows moving in)
     val remapKeys =
-      if (store.exists("edge_endpoints")) {
+      if (!deltaEmpty && store.exists("edge_endpoints")) {
         val probe = delta
           .select(col("uuid").as("endpoint_uuid"))
           .unionByName(delta.select(col("canonical").as("endpoint_uuid")))
@@ -432,12 +437,10 @@ object IncrementalIngest {
     val affectedKeys = batchKeys.unionByName(remapKeys).distinct().localCheckpoint()
 
     val affectedExisting =
-      if (store.exists("edges"))
-        Linking.remapPointers(
-          withManual(store.loadForKeys("edges", affectedKeys, GroupKey)),
-          delta,
-        )
-      else null
+      if (store.exists("edges")) {
+        val existing = withManual(store.loadForKeys("edges", affectedKeys, GroupKey))
+        if (deltaEmpty) existing else Linking.remapPointers(existing, delta)
+      } else null
     // existing edges re-enter at fact granularity: the stored episodes
     // array already carries all supporting episodes, so dedupe+invalidate
     // over (affected existing ∪ new) is idempotent
