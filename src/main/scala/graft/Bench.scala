@@ -131,7 +131,8 @@ object Bench {
     while (i < 2_000_000) { acc = acc ^ kg.Ids.entity("calib", i.toString).hashCode.toLong; i += 1 }
     val st = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    spark.range(200_000_000L).select(sum(xxhash64(col("id")))).collect()
+    // modulo keeps the 200M-row sum far from Long.Max (ANSI overflow)
+    spark.range(200_000_000L).select(sum(pmod(xxhash64(col("id")), lit(1000000L)))).collect()
     val mt = (System.nanoTime() - t1) / 1e9
     if (acc == Long.MinValue) println("") // keep acc live
     (st, mt)
@@ -184,6 +185,11 @@ object Bench {
     results("inc_batch_small_corpus") = incSmall
     results("inc_batch_big_corpus") = incBig
 
+    // second calibration at run END: this VM's throughput can collapse
+    // MID-RUN (measured 3-4× within one bench); start/end probes bound
+    // the host state each phase actually saw
+    val (calibSt2, calibMt2) = calibrate(spark)
+
     // The driver keeps only the last 2000 chars of output and JSON-parses
     // the bench line out of that tail (BENCH_r01.json captured a truncated
     // line → parsed:null). So: compact per-query seconds (2-3 significant
@@ -203,14 +209,14 @@ object Bench {
         s""""pages_per_sec":${pagesPerSec.round},"triples_per_sec":${triplesPerSec.round},"scale":$scale},""" +
         s""""incremental":{"batch_pages":100,"small_corpus_sec":${fmt(incSmall)},"big_corpus_sec":${fmt(incBig)},""" +
         s""""big_over_small":${fmt(incBig / incSmall)},"corpus_ratio":$scale},""" +
-        s""""calib":{"st_sec":${fmt(calibSt)},"mt_sec":${fmt(calibMt)}}}"""
+        s""""calib":{"st_sec":${fmt(calibSt)},"mt_sec":${fmt(calibMt)},"st_sec_end":${fmt(calibSt2)},"mt_sec_end":${fmt(calibMt2)}}}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir",""" +
         s""""pipeline":{"pages":$nPages,"triples":$nTriples,"seconds":$pipeSec,""" +
         s""""pages_per_sec":$pagesPerSec,"triples_per_sec":$triplesPerSec,"scale":$scale},""" +
         s""""incremental":{"batch_pages":100,"batch_reps":2,"small_corpus_sec":$incSmall,"big_corpus_sec":$incBig,""" +
         s""""big_over_small":${incBig / incSmall},"corpus_ratio":$scale},""" +
-        s""""calib":{"st_sec":$calibSt,"mt_sec":$calibMt}}"""
+        s""""calib":{"st_sec":$calibSt,"mt_sec":$calibMt,"st_sec_end":$calibSt2,"mt_sec_end":$calibMt2}}"""
     try Files.write(java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     spark.stop()
