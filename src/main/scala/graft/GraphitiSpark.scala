@@ -136,6 +136,42 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     * contention-group rebuilds carry through (IncrementalIngest.mergeEdges)
     * — so it survives later batches touching the same group.
     */
+  /** Set the temporal validity range of one edge row (set_validity_period,
+    * temporal_manager.py:137-189): valid_at ← `validFrom`; an explicit end
+    * additionally caps invalid_at and is recorded as a manual invalidation
+    * so it survives later contention-group rebuilds (the reference writes
+    * valid_at / invalidated_at directly on the stored row). The start
+    * bound holds until the group is next rebuilt from raw assertions —
+    * rebuilds re-derive valid_at from the surviving raw facts.
+    */
+  def setValidityPeriod(edgeUuid: String, validFrom: Timestamp, validTo: Option[Timestamp] = None): Unit = {
+    val base = store.load("edges")
+    val withManual =
+      if (base.columns.contains("manual_invalid_at")) base
+      else base.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
+    val hit = col("uuid") === lit(edgeUuid)
+    val withFrom = withManual.withColumn("valid_at", when(hit, lit(validFrom)).otherwise(col("valid_at")))
+    val edges = validTo match {
+      case Some(to) =>
+        withFrom
+          .withColumn("manual_invalid_at", when(hit, lit(to)).otherwise(col("manual_invalid_at")))
+          .withColumn("invalid_at", when(hit, lit(to)).otherwise(col("invalid_at")))
+          .withColumn("expired_at", when(hit, least(lit(to), col("expired_at"))).otherwise(col("expired_at")))
+      case None => withFrom
+    }
+    store.commit(edges, "edges", s"set validity period for $edgeUuid")
+  }
+
+  /** The edge row if (and only if) it is valid at `t` (get_valid_at,
+    * temporal_manager.py:288-318): point lookup + the point-in-time
+    * validity predicate.
+    */
+  def getValidAt(edgeUuid: String, t: Timestamp): Option[org.apache.spark.sql.Row] =
+    Invalidation
+      .validAt(store.load("edges").filter(col("uuid") === lit(edgeUuid)), t)
+      .collect()
+      .headOption
+
   def invalidateEdges(uuids: Seq[String], at: Timestamp, reason: String): Unit = {
     val base = store.load("edges")
     val withManual =

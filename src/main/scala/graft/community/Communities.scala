@@ -99,6 +99,41 @@ object Communities {
     )
   }
 
+  /** Community-structure statistics (analyze_community_structure,
+    * community_detector.py:398-460): total communities, average / largest
+    * / smallest size, and graph modularity of the partition. One
+    * aggregation over the membership table + [[Louvain.modularity]]
+    * (which the reference computes via NetworkX on the same partition).
+    * `labels` = (node, label); `edges` = (src, dst).
+    */
+  def analyzeStructure(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+    val stats = sizes
+      .agg(
+        count(lit(1)).as("total_communities"),
+        avg(col("sz")).as("average_size"),
+        max(col("sz")).as("largest_community_size"),
+        min(col("sz")).as("smallest_community_size"),
+      )
+      .collect()
+      .headOption
+    val mod = Louvain.modularity(
+      Louvain.canonical(edges.select(col("src"), col("dst"))),
+      labels.select(col("node"), col("label").as("community")),
+    )
+    stats match {
+      case Some(r) if r.getLong(0) > 0 =>
+        Seq((r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), mod))
+          .toDF("total_communities", "average_size", "largest_community_size", "smallest_community_size", "modularity")
+      case _ =>
+        // reference returns all-zero stats on an empty partition (:413-420)
+        Seq((0L, 0.0, 0L, 0L, 0.0))
+          .toDF("total_communities", "average_size", "largest_community_size", "smallest_community_size", "modularity")
+    }
+  }
+
   /** Incremental placement (update_community, community_operations.py:
     * 252-340): a (new) node joins the plurality community of its
     * neighbors — one join + groupBy + argmax window, no global rerun.

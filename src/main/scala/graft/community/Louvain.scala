@@ -34,7 +34,7 @@ object Louvain {
   /** Canonical undirected weighted edge list: (u, v, w), u ≤ v, parallel
     * edges merged. Self-loops kept (internal weight of contracted nodes).
     */
-  private def canonical(edges: DataFrame): DataFrame = {
+  private[community] def canonical(edges: DataFrame): DataFrame = {
     val w = if (edges.columns.contains("weight")) col("weight").cast("double") else lit(1.0)
     edges
       .select(

@@ -246,9 +246,14 @@ object IncrementalIngest {
         min(col("warc_ts")).as("created_at"),
         count(lit(1)).as("mention_count"),
       )
+    // affCanon misses a member that was never in uuid_map (no prior
+    // duplicates) yet loses canonical status this batch — its stats row is
+    // keyed by its OWN uuid, so the moved members (delta.uuid) must also be
+    // probed (and deleted) or their counts silently drop out of the merge
     val statKeys = partial
       .select(col("cuuid"))
       .unionByName(affCanon.select(col("canonical").as("cuuid")))
+      .unionByName(delta.select(col("uuid").as("cuuid")))
       .distinct()
       .localCheckpoint()
     val existingStats =

@@ -89,6 +89,26 @@ class LifecycleSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { g.resolveConflicts("majority_vote", now) }
   }
 
+  test("setValidityPeriod rewrites the interval; getValidAt honors it (temporal_manager.py:137-189,288-318)") {
+    val g = freshStore()
+    // e4 starts [150, 400); move it to [120, 250)
+    g.setValidityPeriod("e4", ts(120), Some(ts(250)))
+    val row = g.store.load("edges").filter(col("uuid") === "e4").collect().head
+    assert(row.getAs[Timestamp]("valid_at") == ts(120))
+    assert(row.getAs[Timestamp]("invalid_at") == ts(250))
+    assert(row.getAs[Timestamp]("manual_invalid_at") == ts(250)) // durable across rebuilds
+    // point queries: inside → the row; before start / after end → None
+    assert(g.getValidAt("e4", ts(200)).exists(_.getAs[String]("uuid") == "e4"))
+    assert(g.getValidAt("e4", ts(100)).isEmpty)
+    assert(g.getValidAt("e4", ts(250)).isEmpty) // end-exclusive
+    // open-ended: no validTo leaves invalid_at untouched
+    g.setValidityPeriod("e3", ts(290))
+    val e3 = g.store.load("edges").filter(col("uuid") === "e3").collect().head
+    assert(e3.getAs[Timestamp]("valid_at") == ts(290) && e3.getAs[Timestamp]("invalid_at") == null)
+    // other rows untouched
+    assert(g.store.load("edges").filter(col("uuid") === "e1").collect().head.getAs[Timestamp]("valid_at") == ts(100))
+  }
+
   test("cleanupAged soft archives in place; hard deletes; records newer than cutoff kept") {
     val g = freshStore()
     val archived = g.cleanupAged("soft", ts(250)) // e1 (invalid_at 200) is old

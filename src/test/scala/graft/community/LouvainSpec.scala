@@ -34,6 +34,28 @@ class LouvainSpec extends AnyFunSuite {
     assert(math.abs(q - 2.0 * (6.0 / 13.0 - 0.25)) < 1e-9, s"Q=$q")
   }
 
+  test("analyzeStructure: sizes + modularity of a partition (community_detector.py:398-460)") {
+    val es = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+ (4L, 5L))
+      .toDF("src", "dst")
+    val labels = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"), (7L, "b"),
+      (8L, "c"),
+    ).toDF("node", "label")
+    val r = Communities.analyzeStructure(labels, es).collect().head
+    assert(r.getAs[Long]("total_communities") == 3L)
+    assert(math.abs(r.getAs[Double]("average_size") - 8.0 / 3.0) < 1e-9)
+    assert(r.getAs[Long]("largest_community_size") == 4L)
+    assert(r.getAs[Long]("smallest_community_size") == 1L)
+    // Q for {1-4},{5-7},{8}: e_a=6, e_b=3, e_c=0; Σk_a=13, Σk_b=10 (node 5
+    // carries the bridge), Σk_c=3; m=13
+    val want = (6.0 / 13 - math.pow(13.0 / 26, 2)) + (3.0 / 13 - math.pow(10.0 / 26, 2)) + (0.0 - math.pow(3.0 / 26, 2))
+    assert(math.abs(r.getAs[Double]("modularity") - want) < 1e-9)
+    // empty partition → all-zero stats (reference :413-420)
+    val empty = Communities.analyzeStructure(labels.limit(0), es.limit(0)).collect().head
+    assert(empty.getAs[Long]("total_communities") == 0L && empty.getAs[Double]("modularity") == 0.0)
+  }
+
   test("local moving never decreases tracked modularity vs singletons") {
     val es = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(4L, 5L, 6L)) :+ (3L, 4L)).toDF("src", "dst")
     val (_, q) = Louvain.localMove(es)

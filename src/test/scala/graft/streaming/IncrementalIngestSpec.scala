@@ -67,4 +67,37 @@ class IncrementalIngestSpec extends AnyFunSuite {
     store.rollback("edges", v)
     assert(store.currentVersion("edges").contains(v))
   }
+
+  test("random 3-batch arrival schedule == batch rebuild (edges, nodes, canonical map)") {
+    // the fixture corpus mixes aliases (late re-canonicalization) and
+    // contradictions (late invalidation); a seeded RANDOM page→batch
+    // assignment exercises arrival interleavings the two hand-picked
+    // splits above do not
+    val rnd = new scala.util.Random(11L)
+    val assign = Fixtures.pages.map(p => p.url -> rnd.nextInt(3)).toMap
+    val assignUdf = udf((url: String) => assign(url))
+    val pages = Fixtures.pagesDf().withColumn("b", assignUdf(col("url")))
+
+    val inc = new SnapshotStore(spark, Files.createTempDirectory("g6").toString)
+    for (b <- 0 until 3)
+      IncrementalIngest.ingestBatch(inc, pages.filter(col("b") === b).drop("b"), b.toLong)
+    val full = new SnapshotStore(spark, Files.createTempDirectory("g7").toString)
+    new KgPipeline(full).run(Fixtures.pagesDf(), "all")
+
+    assert(edgesKey(inc) == edgesKey(full))
+    def nodesKey(store: SnapshotStore) =
+      store
+        .load("nodes")
+        .select(
+          col("uuid"), col("name"), col("summary"), col("created_at"),
+          col("attributes")("mention_count").as("mc"),
+        )
+        .collect()
+        .map(_.toString)
+        .toSet
+    assert(nodesKey(inc) == nodesKey(full))
+    def mapKey(store: SnapshotStore) =
+      store.load("uuid_map").select("uuid", "canonical").collect().map(_.toString).toSet
+    assert(mapKey(inc) == mapKey(full))
+  }
 }
