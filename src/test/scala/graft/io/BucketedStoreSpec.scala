@@ -136,6 +136,34 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(rowsOf(bs, "t")(1L) == "a")
   }
 
+  test("random merge/delete history ≡ in-memory map; loadForKeys agrees after every batch") {
+    // seeded random op sequences drive the delta-append / bucket-rewrite /
+    // chain-fold decision through states the hand-written cases don't:
+    // upserts + deletes in one merge, deletes of absent keys, probes for
+    // keys that were deleted mid-chain
+    for (seed <- Seq(7L, 31L)) {
+      val rnd = new scala.util.Random(seed)
+      val (bs, _) = freshStore()
+      var model = (0L until 200L).map(i => i -> s"v$i").toMap
+      bs.mergeBucketed("t", model.toSeq.toDF("k", "v"), Seq("k"), "base", numBuckets = 8)
+      for (batch <- 0 until 8) {
+        val upserts = (0 until 1 + rnd.nextInt(5)).map(_ => rnd.nextLong(260) -> s"b$batch-${rnd.nextInt(100)}").toMap
+        val deletes = (0 until rnd.nextInt(4)).map(_ => rnd.nextLong(260)).toSet -- upserts.keySet
+        model = (model -- deletes) ++ upserts
+        bs.mergeBucketed(
+          "t", upserts.toSeq.toDF("k", "v"), Seq("k"), s"batch $batch", numBuckets = 8,
+          deleteKeys = if (deletes.isEmpty) None else Some(deletes.toSeq.map(Tuple1(_)).toDF("k")),
+        )
+        assert(rowsOf(bs, "t") == model, s"seed=$seed batch=$batch: full load drifted")
+        val probeKeys = (0 until 12).map(_ => rnd.nextLong(280)) // present, absent, deleted
+        val probed = bs
+          .loadForKeys("t", probeKeys.map(Tuple1(_)).toDF("k"), Seq("k"))
+          .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+        assert(probed == probeKeys.flatMap(k => model.get(k).map(k -> _)).toMap, s"seed=$seed batch=$batch: probe drifted")
+      }
+    }
+  }
+
   test("non-unique keys: all old rows of a matching key are replaced (group-replace)") {
     val (bs, _) = freshStore()
     val base = Seq((1L, "g1-a"), (1L, "g1-b"), (2L, "g2-a")).toDF("k", "v")

@@ -173,6 +173,42 @@ class SearchIndexesSpec extends AnyFunSuite {
     assert(stats2.getAs[Long]("total_dl") == wantStats1.getAs[Long]("total_dl") - 3L)
   }
 
+  test("text delta log survives a random multi-batch history (adds/updates/deletes, compaction folds included)") {
+    // differential against the live corpus after EVERY batch: any drift in
+    // the signed delta-log algebra (append, net-presence reconcile, df
+    // recount, fold-into-base compaction) shows up as a probe mismatch
+    val vocab = (0 until 8).map(i => s"t$i")
+    def text(rnd: scala.util.Random) =
+      Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (seed <- Seq(13L, 29L)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"gtextrand$seed").toString
+      val s = new SnapshotStore(spark, dir)
+      var live = (0 until 6).map(i => s"d$i" -> text(rnd)).toMap
+      def docsDf(m: Map[String, String]) = m.toSeq.toDF("id", "text")
+      s.mergeBucketed("edges_postings", graft.search.Bm25.postings(docsDf(live)), Seq("term", "id"), "seed", bucketBy = Seq("term"))
+      s.commit(graft.search.Bm25.corpusStats(docsDf(live)), "edges_bm25stats", "seed stats")
+      for (batch <- 0 until 5) {
+        // random touched set: some existing ids (update or delete), some new
+        val touched = live.keys.toSeq.sorted.filter(_ => rnd.nextBoolean()).take(3)
+        val olds = touched.map(id => id -> live(id)).toMap
+        val updated = touched.filter(_ => rnd.nextInt(4) > 0).map(id => id -> text(rnd)).toMap
+        val added = (0 until rnd.nextInt(3)).map(i => s"d$batch-n$i" -> text(rnd)).toMap
+        live = (live -- touched) ++ updated ++ added
+        SearchIndexes.refreshText(s, "edges", docsDf(olds), docsDf(updated ++ added))
+        val want = graft.search.Bm25.postings(docsDf(live))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+        val got = SearchIndexes.postingsForTerms(s, "edges", vocab.toDF("term"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Int]("dl"), r.getAs[Long]("tf"), r.getAs[Long]("df"))).toSet
+        assert(got == want, s"seed=$seed batch=$batch: probed postings drifted from live corpus")
+        val stats = s.load("edges_bm25stats").collect()(0)
+        val wantStats = graft.search.Bm25.corpusStats(docsDf(live)).collect()(0)
+        assert(stats.getAs[Long]("n_docs") == wantStats.getAs[Long]("n_docs"), s"seed=$seed batch=$batch n_docs")
+        assert(stats.getAs[Long]("total_dl") == wantStats.getAs[Long]("total_dl"), s"seed=$seed batch=$batch total_dl")
+      }
+    }
+  }
+
   test("ann delta log: probe matches the live vector set") {
     val dir = Files.createTempDirectory("gann").toString
     val s = new SnapshotStore(spark, dir)
