@@ -60,12 +60,24 @@ object Kg {
     """
 
 
-  /** Shared: corpus → (url, subj, pred, obj, fact, warc_ts), single-pass. */
-  private def extractAll(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val pages = Pages.corpus(s, dir)
-      .withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
-    Extract.triplesTs(s, pages)
-  }
+  /** Shared: corpus → (url, subj, pred, obj, fact, warc_ts), single-pass —
+    * memoized per (session, dir) and persisted. In the engine proper,
+    * queries read the pipeline's committed `raw_triples` snapshot and
+    * never re-extract (KgPipeline stage 2); the seven kg_* registry
+    * entries share that one materialization the same way instead of each
+    * re-running HTML→text + extraction over the corpus.
+    */
+  private val extractCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def extractAll(s: org.apache.spark.sql.SparkSession, dir: String) =
+    extractCache.getOrElseUpdate(
+      (s, dir), {
+        val pages = Pages.corpus(s, dir)
+          .withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
+        Extract.triplesTs(s, pages).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      },
+    )
 
   def defs: Seq[QueryDef] = Seq(
     // ---- flagship: raw html bytes → deterministic text → SVO triple
