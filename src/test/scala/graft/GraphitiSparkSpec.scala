@@ -16,6 +16,67 @@ class GraphitiSparkSpec extends AnyFunSuite {
     g
   }
 
+  test("random addTriplet/invalidateEdges interleavings match the bitemporal model") {
+    // differential over facade op SEQUENCES: every addTriplet re-runs the
+    // dedupe+invalidate rebuild of its contention group, and every manual
+    // invalidation must survive all later rebuilds (ADVICE round 1) —
+    // expected state is an in-memory replay of the reference rules:
+    // valid = min assertion time per (s,p,o); invalid = min(first strictly
+    // later contradicting assertion in the (s,p) group, earliest manual)
+    val rnd = new scala.util.Random(41L)
+    val g = new GraphitiSpark(spark, Files.createTempDirectory("gseq").toString)
+    val times = (0 until 4).map(i => Fixtures.ts(i * 1000L))
+    val srcs = Seq("SrcA", "SrcB")
+    val objs = Seq("ObjX", "ObjY", "ObjZ")
+    var asserted = Map.empty[(String, String), Long] // (src,obj) → min valid
+    var manual = Map.empty[(String, String), Long] // (src,obj) → min manual at
+    for (_ <- 0 until 10) {
+      val src = srcs(rnd.nextInt(srcs.size))
+      val obj = objs(rnd.nextInt(objs.size))
+      if (asserted.nonEmpty && rnd.nextInt(10) < 3) {
+        // manual invalidation of a random existing edge, by uuid lookup
+        val (s, o) = asserted.keys.toSeq.sorted.apply(rnd.nextInt(asserted.size))
+        val at = Fixtures.ts(1500L + rnd.nextInt(3) * 1000L)
+        val uuid = g.store
+          .load("edges")
+          .filter(
+            col("source_uuid") === Ids.entity("default", s) &&
+              col("name") === "rel" && col("target_uuid") === Ids.entity("default", o),
+          )
+          .collect()
+          .head
+          .getAs[String]("uuid")
+        g.invalidateEdges(Seq(uuid), at, "test")
+        manual = manual.updated((s, o), manual.get((s, o)).fold(at.getTime)(math.min(_, at.getTime)))
+      } else {
+        val t = times(rnd.nextInt(times.size))
+        g.addTriplet(src, "rel", obj, t)
+        asserted = asserted.updated((src, obj), asserted.get((src, obj)).fold(t.getTime)(math.min(_, t.getTime)))
+      }
+    }
+    val got = g.store
+      .load("edges")
+      .collect()
+      .map { r =>
+        val k = (r.getAs[String]("source_uuid"), r.getAs[String]("target_uuid"))
+        k -> ((r.getAs[Timestamp]("valid_at").getTime, Option(r.getAs[Timestamp]("invalid_at")).map(_.getTime)))
+      }
+      .toMap
+    val want = asserted.map { case ((s, o), v) =>
+      val contradiction = asserted.collect { case ((s2, o2), v2) if s2 == s && o2 != o && v2 > v => v2 } match {
+        case vs if vs.isEmpty => None
+        case vs => Some(vs.min)
+      }
+      val m = manual.get((s, o))
+      val invalid = (contradiction, m) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      ((Ids.entity("default", s), Ids.entity("default", o)), (v, invalid))
+    }
+    assert(got == want)
+  }
+
   test("addEpisode ingests a single page incrementally") {
     val g = fresh()
     val before = g.store.load("edges").count()
