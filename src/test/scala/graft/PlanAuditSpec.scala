@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural plan audits for the headline operators — scale discipline
+  * asserted on the PLAN, not the wall clock (this VM's bandwidth swings
+  * 1.5–4× between runs, so "it ran fast once" proves nothing; "the filter
+  * reached the parquet scan" is true at every scale).
+  *
+  * Each test executes the query (so AQE finalizes its plan), then asserts
+  * on the formatted physical plan:
+  *   - pushdown:  filters/projections reach the `FileScan` (PushedFilters /
+  *     ReadSchema) — at 100 TB this is the difference between reading a
+  *     column chunk and reading the corpus;
+  *   - broadcast: dimension joins stay `BroadcastHashJoin`, never a
+  *     shuffled join of a 60k-row dim against the fact table;
+  *   - no single-partition funnels: nothing moves the full table to one
+  *     partition (`Exchange SinglePartition` feeding a sort/window);
+  *   - extraction is shuffle-free: the page→triple map has zero Exchange.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute (finalizes AQE) and return the formatted physical plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def run(name: String): String = {
+    val q = SparkEntry.queries(name)
+    finalPlan(q(spark, sf))
+  }
+
+  test("q_filter_project: predicate and projection reach the parquet scan") {
+    val p = run("q_filter_project")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), "filter not pushed to scan:\n" + p)
+    // projection pruned: the scan must not read unprojected lineitem columns
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      "scan reads unprojected columns:\n" + readSchema)
+  }
+
+  test("q_point_lookup: point predicate pushed to the scan") {
+    val p = run("q_point_lookup")
+    assert(p.contains("EqualTo(o_orderkey,42)"), "point filter not pushed:\n" + p)
+  }
+
+  test("q_star_join: all three dimension joins broadcast; aggregation is partial+final") {
+    val p = run("q_star_join")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n" + p)
+    // map-side combine: partial HashAggregate before the exchange, final after
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation:\n" + p)
+  }
+
+  test("q_rrf: no full-table single-partition move (top-k before the window)") {
+    val p = run("q_rrf")
+    assert(!p.contains("Exchange SinglePartition"),
+      "global single-partition funnel in rrf plan:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k not distributed:\n" + p)
+  }
+
+  test("q_topk_per_group: per-group window partitions by the group key") {
+    val p = run("q_topk_per_group")
+    assert(!p.contains("Exchange SinglePartition"),
+      "per-group top-k moved the table to one partition:\n" + p)
+  }
+
+  test("extraction is shuffle-free: pages→triples has zero Exchange") {
+    // In production pages arrive as a parquet scan; the synthesis joins in
+    // Pages.corpus are test-fixture generation, not the path under audit.
+    // Materialize once, then assert extraction adds no Exchange on top of
+    // the scan.
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit-pages").toString
+    graft.kg.Pages.corpus(spark, sf).write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir)
+    val t = graft.kg.Extract.triples(spark, pages).toDF()
+    val p = finalPlan(t)
+    assert(!p.contains("Exchange"), "extraction path shuffles:\n" + p)
+  }
+
+  test("q1_agg: aggregation pushes partial combine below the shuffle") {
+    val p = run("q1_agg")
+    // exactly one shuffle (on the grouping key) for a single groupBy
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation:\n" + p)
+  }
+}
