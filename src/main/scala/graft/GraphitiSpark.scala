@@ -235,14 +235,13 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
         // only when EVERY record is open, mirroring the reference's
         // max(..., default=None))
         marked
-          .withColumn("__anyOpen", max(when(col("invalid_at").isNull, 1).otherwise(0)).over(wAll))
           .withColumn("__maxInv", max(col("invalid_at")).over(wAll))
           .filter(col("__rn_first") === 1)
           .withColumn(
             "invalid_at",
             when(col("__n") > 1, when(col("__maxInv").isNotNull, col("__maxInv"))).otherwise(col("invalid_at")),
           )
-          .drop("__anyOpen", "__maxInv")
+          .drop("__maxInv")
     }
     store.commit(
       resolved.drop("__n", "__rn_first", "__rn_last"),
