@@ -85,6 +85,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "extraction path shuffles:\n" + p)
   }
 
+  test("q_dedup_minhash_lsh: banded join stays an equi-join (no all-pairs product)") {
+    val p = run("q_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH path degenerated to a cartesian product:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "LSH path degenerated to a nested-loop join:\n" + p)
+  }
+
+  test("q_ann_lsh / q_ann_ivf: bucket pruning stays an equi-join (no all-pairs product)") {
+    for (q <- Seq("q_ann_lsh", "q_ann_ivf")) {
+      val p = run(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product:\n" + p)
+    }
+  }
+
+  test("q_dedup_exact: one shuffle on the fingerprint, partial combine, pruned scan") {
+    val p = run("q_dedup_exact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, "extra shuffle in exact dedup:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation:\n" + p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchema.contains("lang"), "scan reads unprojected documents columns:\n" + readSchema)
+  }
+
+  test("q_lang_id / q_quality_score: single-scan, one shuffle on the grouping key") {
+    for (q <- Seq("q_lang_id", "q_quality_score")) {
+      val p = run(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, s"$q: extra shuffle:\n" + p)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q: no partial aggregation:\n" + p)
+    }
+  }
+
   test("q1_agg: aggregation pushes partial combine below the shuffle") {
     val p = run("q1_agg")
     // exactly one shuffle (on the grouping key) for a single groupBy
