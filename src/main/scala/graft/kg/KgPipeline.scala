@@ -105,7 +105,9 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // instead of serializing after it. ----
     var surfaceStats: DataFrame = null
     var edgesPre: DataFrame = null
-    val embedUdf = udf((s: String) => Embedder.embed(s).toSeq)
+    // native codegen expression, not a UDF: no per-row encoder boundary in
+    // the hottest stage (see graft.functions.EmbedText)
+    val embedUdf = (c: org.apache.spark.sql.Column) => graft.functions.Functions.embedText(c)
     def edgeUuid(df: DataFrame): DataFrame = df.withColumn(
       "uuid",
       md5(

@@ -98,6 +98,14 @@ object Ids {
 object Embedder {
   val Dim = 64
 
+  /** Codegen entry point for [[graft.functions.EmbedText]]: UTF8String in,
+    * UnsafeArrayData out — no boxing, callable from generated Java.
+    */
+  def embedArrayData(
+      s: org.apache.spark.unsafe.types.UTF8String,
+  ): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(embed(s.toString))
+
   def embed(text: String): Array[Float] = {
     val v = new Array[Double](Dim)
     val norm = text.replace('\n', ' ').toLowerCase

@@ -413,7 +413,8 @@ object IncrementalIngest {
     // probe and both remap joins are then identity work — skip them
     // (delta is checkpointed by the caller, so isEmpty is O(1))
     val deltaEmpty = delta.isEmpty
-    val embedUdf = udf((s: String) => Embedder.embed(s).toSeq)
+    // native codegen expression, not a UDF (graft.functions.EmbedText)
+    val embedUdf = (c: org.apache.spark.sql.Column) => graft.functions.Functions.embedText(c)
     // manual_invalid_at rides along so explicit invalidate_edges() calls
     // survive group rebuilds (the window pass never overwrites it)
     val rebuildCols =
