@@ -3,20 +3,21 @@ package graft.search
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math as higher-order column functions — codegen-friendly, no
-  * UDFs. Mirrors the reference's cosine / L2-normalize helpers
+/** Vector math as native column expressions — no UDFs. Mirrors the
+  * reference's cosine / L2-normalize helpers
   * (`graphiti_core/search/search_utils.py:75-86`,
   * `graphiti_core/helpers.py:99-102`). Elements are cast to double before
   * arithmetic so float32 storage doesn't leak precision differences.
+  *
+  * The dot product is a custom codegen'd expression
+  * ([[graft.functions.DotProduct]]): Spark's higher-order lambdas
+  * (`aggregate`/`zip_with`) run interpreted per element, which made every
+  * cosine lane's inner loop a boxed-eval path. Values are bit-identical
+  * to the HOF form (same element order, same double casts).
   */
 object Vectors {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v,
-    )
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
