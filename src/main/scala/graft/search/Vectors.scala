@@ -23,8 +23,9 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** L2-normalized copy of the vector (normalize_l2, helpers.py:99-102). */
-  def l2normalize(a: Column): Column = {
-    transform(a, x => x.cast("double") / norm(a))
-  }
+  /** L2-normalized copy of the vector (normalize_l2, helpers.py:99-102) —
+    * native single-pass expression; the HOF `transform(a, x / norm(a))`
+    * re-ran the norm aggregate per element.
+    */
+  def l2normalize(a: Column): Column = graft.functions.L2Normalize.l2normalize(a)
 }
