@@ -40,13 +40,14 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** MinHash signature: for seed k, min over shingles of
-    * hash60(k || ':' || shingle). Returns an array column of `n` hashes.
+  /** MinHash signature: hash k = min over shingles of (h1 + k·h2) mod
+    * 2^60, with h1/h2 the two 60-bit halves of ONE md5 per shingle
+    * (Kirsch–Mitzenmacher double hashing) — a native single-pass
+    * expression; the previous form ran n separate md5s per shingle. See
+    * [[graft.functions.MinhashSignature]].
     */
   def minhashSignature(shingleCol: Column, n: Int): Column =
-    array((0 until n).map { k =>
-      array_min(transform(shingleCol, s => hash60(concat(lit(s"$k:"), s))))
-    }: _*)
+    graft.functions.MinhashSignature.minhash(shingleCol, n)
 
   /** All-pairs n-gram Jaccard dedup (the verification path): docs
     * (id, text) → pairs (i, j, jac) with jac ≥ threshold > 0, i < j.

@@ -64,10 +64,19 @@ object Ids {
   )
   private val HEX = "0123456789abcdef".toCharArray
 
-  private[kg] def md5bytes(s: String): Array[Byte] = {
+  private[graft] def md5bytes(s: String): Array[Byte] = {
     val d = md.get()
     d.reset()
     d.digest(s.getBytes("UTF-8"))
+  }
+
+  /** md5 over raw UTF-8 bytes (same digest as [[md5bytes]] without the
+    * String round-trip) — used by the native MinhashSignature expression.
+    */
+  private[graft] def md5raw(utf8: Array[Byte]): Array[Byte] = {
+    val d = md.get()
+    d.reset()
+    d.digest(utf8)
   }
 
   private def md5hex(s: String): String = {
