@@ -58,10 +58,9 @@ object Ann {
   def signatureCol(vec: org.apache.spark.sql.Column, nPlanes: Int = 8): org.apache.spark.sql.Column =
     planeCoefs(nPlanes).zipWithIndex.map { case (coefs, p) =>
       val coefArr = array(coefs.map(lit): _*)
-      when(
-        aggregate(zip_with(vec, coefArr, (x, c) => x.cast("double") * c), lit(0.0), (acc, v) => acc + v) > 0,
-        lit(1 << p),
-      ).otherwise(lit(0))
+      // native codegen'd dot (bit-identical to the HOF aggregate/zip_with
+      // form, same element order) — 8 of these run per vector
+      when(graft.search.Vectors.dot(vec, coefArr) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 
   /** 8-bit signature of a vector under deterministic hyperplanes. */
