@@ -75,7 +75,7 @@ class LifecycleDifferentialSpec extends AnyFunSuite {
 
   test("random lifecycle op sequences match the in-memory bitemporal model") {
     import spark.implicits._
-    val rnd = new Random(20260818L)
+    val rnd = new Random(20260818L + TestSeeds.offset)
     val groups = Seq("g1", "g2")
     val srcs = Seq("s1", "s2")
     val names = Seq("likes", "lives_in")

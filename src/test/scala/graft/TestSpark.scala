@@ -17,3 +17,11 @@ object TestSpark {
     s
   }
 }
+
+/** Seed offset for the randomized differential suites: set
+  * GRAFT_TEST_SEED_OFFSET=k to re-run every seeded differential on a fresh
+  * deterministic universe (CI sweeps; default 0 keeps runs reproducible).
+  */
+object TestSeeds {
+  val offset: Long = sys.env.getOrElse("GRAFT_TEST_SEED_OFFSET", "0").toLong
+}

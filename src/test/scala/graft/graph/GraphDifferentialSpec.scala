@@ -20,7 +20,7 @@ class GraphDifferentialSpec extends AnyFunSuite {
 
   test("bfs matches a queue-based multi-source model on random graphs") {
     import spark.implicits._
-    val rnd = new Random(7L)
+    val rnd = new Random(7L + graft.TestSeeds.offset)
     for (round <- 0 until 4) {
       val edges = randomGraph(rnd, 14, 28)
       val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
@@ -48,7 +48,7 @@ class GraphDifferentialSpec extends AnyFunSuite {
 
   test("dfs matches a recursive preorder model on random graphs") {
     import spark.implicits._
-    val rnd = new Random(11L)
+    val rnd = new Random(11L + graft.TestSeeds.offset)
     for (round <- 0 until 4) {
       val edges = randomGraph(rnd, 12, 24)
       val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct.sorted }
@@ -79,7 +79,7 @@ class GraphDifferentialSpec extends AnyFunSuite {
 
   test("findPaths matches exhaustive simple-path enumeration on random graphs") {
     import spark.implicits._
-    val rnd = new Random(13L)
+    val rnd = new Random(13L + graft.TestSeeds.offset)
     for (round <- 0 until 4) {
       val edges = randomGraph(rnd, 10, 20)
       val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }

@@ -40,7 +40,7 @@ class BranchesDifferentialSpec extends AnyFunSuite {
 
   test("random branch create/commit/merge/delete sequences match the in-memory model") {
     import spark.implicits._
-    val rnd = new Random(424242L)
+    val rnd = new Random(424242L + graft.TestSeeds.offset)
     val store = new SnapshotStore(spark, Files.createTempDirectory("branches-diff").toString)
     val b = new Branches(store)
 

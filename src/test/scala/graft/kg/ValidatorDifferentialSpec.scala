@@ -48,7 +48,7 @@ class ValidatorDifferentialSpec extends AnyFunSuite {
 
   test("validateAll failure counts match an in-memory model on randomly corrupted tables") {
     import spark.implicits._
-    val rnd = new Random(90125L)
+    val rnd = new Random(90125L + graft.TestSeeds.offset)
 
     for (round <- 0 until 2) {
       val epIds = (0 until 5).map(i => s"ep$i")

@@ -24,7 +24,7 @@ class StreamDifferentialSpec extends AnyFunSuite {
   test("entityMentionState update history matches prefix aggregates under random batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val rnd = new Random(31L)
+    val rnd = new Random(31L + graft.TestSeeds.offset)
     val entities = Seq("Acme", "Globex", "Initech", "Umbrella", "Hooli")
 
     for (round <- 0 until 3) {
