@@ -47,4 +47,12 @@ object Functions {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(EmbedText(GraftColumnBridge.expression(c)))
   }
+
+  /** Per-document `struct<dl, counts map<term, tf>>` with the engine's
+    * tokenizer contract — one codegen'd pass, no token explode/shuffle.
+    */
+  def tokenCounts(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(TokenCounts(GraftColumnBridge.expression(c)))
+  }
 }

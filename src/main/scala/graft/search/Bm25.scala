@@ -54,14 +54,20 @@ object Bm25 {
   // time; a query probes only its terms' posting lists)
   // ------------------------------------------------------------------
 
-  /** Per-(doc, term) frequencies with doc length: (term, id, tf, dl). */
+  /** Per-(doc, term) frequencies with doc length: (term, id, dl, tf).
+    *
+    * tf is a ROW-LOCAL fact, so it is computed inside the scan by the
+    * native [[graft.functions.TokenCounts]] expression (one codegen'd pass
+    * per document) and exploded at one row per DISTINCT term — the former
+    * explode-every-occurrence + corpus-wide `groupBy(term, id, dl)` form
+    * shuffled one row per token on every index build and refresh. Identical
+    * output (Bm25DifferentialSpec cross-checks the tokenizer contract).
+    */
   def termFreqs(docs: DataFrame): DataFrame =
     docs
-      .select(col("id"), split(lower(col("text")), " ").as("tokens"))
-      .withColumn("dl", size(col("tokens")))
-      .select(col("id"), col("dl"), explode(col("tokens")).as("term"))
-      .groupBy(col("term"), col("id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("id"), graft.functions.Functions.tokenCounts(col("text")).as("tc"))
+      .select(col("id"), col("tc.dl").as("dl"), explode(col("tc.counts")).as(Seq("term", "tf")))
+      .select(col("term"), col("id"), col("dl"), col("tf").cast("long").as("tf"))
 
   /** Full inverted index (term, id, tf, dl, df) — df denormalized per row
     * so scoring needs no query-time aggregation join.

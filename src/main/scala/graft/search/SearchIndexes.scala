@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * (`performance_optimizer.py:184-237` builds BM25/embedding indexes up
   * front; `vector_search.py:36-189` persists FAISS indexes):
   *
-  *  - `<t>_postings`  (term, id, tf, dl, df): BM25 inverted index,
+  *  - `<t>_postings`  (term, id, tf, dl): BM25 inverted index,
   *    BUCKETED BY TERM — a query probes only the hash buckets its terms
   *    fall in instead of re-tokenizing the corpus (Bm25.scoreIndexed);
   *  - `<t>_bm25stats` (n_docs, total_dl): the two corpus scalars BM25
@@ -53,8 +53,12 @@ object SearchIndexes {
     // FIRST build is single-traversal (mergeBucketed skips its count pass
     // when no prior version exists) — checkpoint the tokenized index only
     // when a REbuild must reuse it for the gone-rows anti-join too
+    // stored rows are (term, id, tf, dl) — df is NOT materialized: every
+    // probe recounts it live over the reconciled posting list
+    // (postingsForTerms), so storing it would only add a corpus-wide
+    // window shuffle per build and a stale column per refresh
     val rebuild = store.exists(s"${table}_postings")
-    val fresh = if (rebuild) Bm25.postings(docs).localCheckpoint() else Bm25.postings(docs)
+    val fresh = if (rebuild) Bm25.termFreqs(docs).localCheckpoint() else Bm25.termFreqs(docs)
     // full (re)build folds the delta log: rows gone from the corpus leave
     val gone =
       if (!rebuild) None

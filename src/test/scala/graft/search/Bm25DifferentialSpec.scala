@@ -53,6 +53,37 @@ class Bm25DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("native termFreqs == explode+groupBy over split(lower(text), ' '), tokenizer edge cases included") {
+    // the shuffle-free TokenCounts expression must be byte-exact with the
+    // relational tokenizer contract, INCLUDING Java split(-1) edge
+    // semantics: empty input → one empty token, consecutive spaces yield
+    // empty tokens, trailing empties kept, uppercase folds, non-ASCII
+    val edge = Seq(
+      ("e0", ""),
+      ("e1", " "),
+      ("e2", "a  b "),
+      ("e3", "  "),
+      ("e4", "MiXeD CaSe MIXED mixed"),
+      ("e5", "héllo wörld héllo"),
+      ("e6", "singleton"),
+    )
+    val rnd = new scala.util.Random(41L)
+    val fuzz = (0 until 30).map { i =>
+      val chars = "ab C  dé "
+      (s"f$i", Seq.fill(rnd.nextInt(12))(chars(rnd.nextInt(chars.length))).mkString)
+    }
+    val docs = (edge ++ fuzz).toDF("id", "text")
+    val got = Bm25.termFreqs(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    val want = docs
+      .select(col("id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("df inside postings equals the per-term distinct-doc count") {
     val docs = randomCorpus(23L).toDF("id", "text")
     val fromPostings = Bm25
