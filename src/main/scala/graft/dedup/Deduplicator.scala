@@ -1,0 +1,379 @@
+package graft.dedup
+
+import graft.graph.GraphOps
+import graft.search.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Configurable weighted deduplication — the distributed analog of the
+  * reference's `Deduplicator` (`graphiti_hf/processing/deduplicator.py`):
+  * a weighted similarity matrix (name/fact text sim + embedding cosine +
+  * attribute overlap + structural boost) over entities or edges, duplicate
+  * detection at a configurable threshold, and conflict resolution by
+  * strategy (`merge`, `keep_newer`, `keep_older`, `keep_better`,
+  * `keep_first`, deduplicator.py:563-597).
+  *
+  * Deliberate re-expressions for a distributed engine (each disclosed):
+  *
+  *  - the reference materializes an O(n²) numpy similarity matrix
+  *    (deduplicator.py:221-258); here candidates come from recall-exact
+  *    blocking (shared name/fact token ∪ same endpoints) and only
+  *    candidates are scored. With the default weights a pair can reach
+  *    threshold 0.8 only if the text term is positive — embedding 0.4 +
+  *    attribute 0.2 (entities) or embedding 0.4 + structural 0.3 (edges)
+  *    cannot reach 0.8 alone — so token blocking loses nothing. For
+  *    configs where the non-text terms alone can cross the threshold,
+  *    [[Deduplicator.duplicateEntityPairs]] adds an embedding-LSH block
+  *    (hyperplane signatures) and edges add the endpoint block.
+  *  - text similarity is the deterministic token-set cosine
+  *    |A∩B|/√(|A|·|B|) over `lower().split()` tokens, standing in for the
+  *    reference's sklearn TF-IDF cosine (deduplicator.py:56-59) — same
+  *    contract as every other deterministic stand-in in this engine.
+  *  - attribute similarity: mean over common keys of 1.0 if equal else
+  *    0.0 (the reference scores unequal strings by nested TF-IDF cosine,
+  *    deduplicator.py:367-408 — a refinement of the same [0,1] term).
+  *  - the reference's conflict loop is input-ORDER-dependent (pairs are
+  *    consumed in row order, deduplicator.py:487-561); row order does not
+  *    distribute, so resolution here is per CONNECTED COMPONENT of
+  *    duplicate pairs with a deterministic member order
+  *    (created_at asc, uuid asc — "original" = earliest), which is also
+  *    how the engine's pipeline canonicalizes (Linking.canonicalMap).
+  */
+final case class DeduplicationConfig(
+    similarityThreshold: Double = 0.8,
+    nameWeight: Double = 0.6,
+    embeddingWeight: Double = 0.4,
+    attributeWeight: Double = 0.2,
+    conflictResolution: String = "merge",
+) {
+  require(
+    Set("merge", "keep_newer", "keep_older", "keep_better", "keep_first")(conflictResolution),
+    s"unknown conflict_resolution '$conflictResolution'",
+  )
+}
+
+/** Result of a dedup pass: the resolved table + the reference's stats
+  * counters (deduplicator.py:62-68).
+  */
+final case class DedupResult(
+    resolved: DataFrame,
+    duplicatesFound: Long,
+    itemsDeduplicated: Long,
+    conflictsResolved: Long,
+)
+
+object Deduplicator {
+
+  /** Structural boost for edges sharing a (source, target) pair
+    * (deduplicator.py:351-365).
+    */
+  val StructuralBoost = 0.3
+
+  private def tokens(c: Column) = array_distinct(split(lower(c), "\\s+"))
+
+  /** Token-set cosine |A∩B|/√(|A|·|B|) — deterministic stand-in for the
+    * TF-IDF cosine; 0 when either side is empty.
+    */
+  def tokenCosine(a: Column, b: Column): Column = {
+    val ta = tokens(a)
+    val tb = tokens(b)
+    when(size(ta) === 0 || size(tb) === 0, lit(0.0)).otherwise(
+      size(array_intersect(ta, tb)).cast("double") /
+        sqrt(size(ta).cast("double") * size(tb).cast("double")),
+    )
+  }
+
+  /** Mean over common keys of exact-value agreement
+    * (deduplicator.py:367-408); 0 when no keys are shared.
+    */
+  def attributeSim(a: Column, b: Column): Column = {
+    val common = array_intersect(map_keys(a), map_keys(b))
+    when(a.isNull || b.isNull || size(common) === 0, lit(0.0)).otherwise(
+      aggregate(
+        common,
+        lit(0.0),
+        (acc, k) => acc + when(element_at(a, k) === element_at(b, k), lit(1.0)).otherwise(lit(0.0)),
+      ) / size(common).cast("double"),
+    )
+  }
+
+  /** Entity quality score (deduplicator.py:683-709 — same formula as
+    * EpisodeProcessor._calculate_entity_quality): name-word band + label
+    * count band + has-embedding + has-attributes.
+    */
+  def entityQuality(name: Column, labels: Column, embedding: Column, attributes: Column): Column = {
+    val words = size(split(name, "\\s+"))
+    val nameTerm = when(name.isNotNull && words.between(3, 10), lit(0.3))
+      .when(name.isNotNull && length(name) > 0, lit(0.1))
+      .otherwise(lit(0.0))
+    val labelTerm = when(size(labels).between(2, 5), lit(0.3))
+      .when(size(labels) > 0, lit(0.1))
+      .otherwise(lit(0.0))
+    val embTerm = when(embedding.isNotNull && size(embedding) > 0, lit(0.2)).otherwise(lit(0.0))
+    val attrTerm = when(attributes.isNotNull && size(map_keys(attributes)) > 0, lit(0.2)).otherwise(lit(0.0))
+    least(nameTerm + labelTerm + embTerm + attrTerm, lit(1.0))
+  }
+
+  /** Edge quality score (deduplicator.py:711-733): fact-length band +
+    * has-embedding + has-episodes + has-valid_at.
+    */
+  def edgeQuality(fact: Column, embedding: Column, episodes: Column, validAt: Column): Column = {
+    val factTerm = when(fact.isNotNull && length(fact).between(10, 50), lit(0.3))
+      .when(fact.isNotNull && length(fact) > 0, lit(0.1))
+      .otherwise(lit(0.0))
+    val embTerm = when(embedding.isNotNull && size(embedding) > 0, lit(0.3)).otherwise(lit(0.0))
+    val epTerm = when(episodes.isNotNull && size(episodes) > 0, lit(0.2)).otherwise(lit(0.0))
+    val vTerm = when(validAt.isNotNull, lit(0.2)).otherwise(lit(0.0))
+    least(factTerm + embTerm + epTerm + vTerm, lit(1.0))
+  }
+
+  /** Weighted entity similarity of two node rows (columns prefixed a_/b_). */
+  private def entityScore(cfg: DeduplicationConfig): Column =
+    lit(cfg.nameWeight) * tokenCosine(col("a_name"), col("b_name")) +
+      lit(cfg.embeddingWeight) * when(
+        col("a_emb").isNotNull && col("b_emb").isNotNull && size(col("a_emb")) > 0 && size(col("b_emb")) > 0,
+        Vectors.cosine(col("a_emb"), col("b_emb")),
+      ).otherwise(lit(0.0)) +
+      lit(cfg.attributeWeight) * attributeSim(col("a_attrs"), col("b_attrs"))
+
+  /** Candidate duplicate entity pairs with their weighted similarity:
+    * (u1, u2, similarity), u1 < u2, similarity ≥ threshold. Blocking =
+    * shared name token ∪ (when the config's non-text weights alone could
+    * cross the threshold) shared embedding-LSH signature.
+    */
+  def duplicateEntityPairs(nodes: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DataFrame = {
+    val base = nodes.select(
+      col("uuid"),
+      col("name"),
+      coalesce(col("name_embedding"), array().cast("array<float>")).as("emb"),
+      coalesce(col("attributes"), map().cast("map<string,string>")).as("attrs"),
+    )
+    val tok = base.select(col("uuid"), explode(tokens(col("name"))).as("key"))
+    val blocks =
+      if (cfg.embeddingWeight + cfg.attributeWeight < cfg.similarityThreshold) tok
+      else {
+        // non-text terms alone can cross the threshold: add an embedding
+        // block so token-disjoint near-identical vectors still collide
+        val sig = base
+          .filter(size(col("emb")) > 0)
+          .select(col("uuid"), concat(lit("sig:"), graft.sim.Ann.signatureCol(col("emb"))).as("key"))
+        tok.unionByName(sig)
+      }
+    val cand = blocks
+      .select(col("key"), col("uuid").as("u1"))
+      .join(blocks.select(col("key"), col("uuid").as("u2")), Seq("key"))
+      .filter(col("u1") < col("u2"))
+      .select("u1", "u2")
+      .dropDuplicates("u1", "u2")
+    cand
+      .join(base.select(col("uuid").as("u1"), col("name").as("a_name"), col("emb").as("a_emb"), col("attrs").as("a_attrs")), Seq("u1"))
+      .join(base.select(col("uuid").as("u2"), col("name").as("b_name"), col("emb").as("b_emb"), col("attrs").as("b_attrs")), Seq("u2"))
+      .withColumn("similarity", round(entityScore(cfg), 6))
+      .filter(col("similarity") >= lit(cfg.similarityThreshold))
+      .select(col("u1"), col("u2"), col("similarity"))
+  }
+
+  /** Weighted edge similarity (fact text + fact embedding + structural). */
+  private def edgeScore(cfg: DeduplicationConfig): Column =
+    lit(cfg.nameWeight) * tokenCosine(col("a_fact"), col("b_fact")) +
+      lit(cfg.embeddingWeight) * when(
+        col("a_emb").isNotNull && col("b_emb").isNotNull && size(col("a_emb")) > 0 && size(col("b_emb")) > 0,
+        Vectors.cosine(col("a_emb"), col("b_emb")),
+      ).otherwise(lit(0.0)) +
+      when(
+        col("a_src") === col("b_src") && col("a_dst") === col("b_dst"),
+        lit(StructuralBoost),
+      ).otherwise(lit(0.0))
+
+  /** Candidate duplicate edge pairs: blocking = shared fact token ∪ same
+    * (source, target) endpoints (the structural-boost space,
+    * deduplicator.py:351-365).
+    */
+  def duplicateEdgePairs(edges: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DataFrame = {
+    val base = edges.select(
+      col("uuid"),
+      col("fact"),
+      col("source_uuid").as("src"),
+      col("target_uuid").as("dst"),
+      coalesce(col("fact_embedding"), array().cast("array<float>")).as("emb"),
+    )
+    val tok = base.select(col("uuid"), explode(tokens(col("fact"))).as("key"))
+    val structural = base.select(col("uuid"), concat(lit("st:"), col("src"), lit("->"), col("dst")).as("key"))
+    val blocks = tok.unionByName(structural)
+    val cand = blocks
+      .select(col("key"), col("uuid").as("u1"))
+      .join(blocks.select(col("key"), col("uuid").as("u2")), Seq("key"))
+      .filter(col("u1") < col("u2"))
+      .select("u1", "u2")
+      .dropDuplicates("u1", "u2")
+    cand
+      .join(
+        base.select(col("uuid").as("u1"), col("fact").as("a_fact"), col("src").as("a_src"), col("dst").as("a_dst"), col("emb").as("a_emb")),
+        Seq("u1"),
+      )
+      .join(
+        base.select(col("uuid").as("u2"), col("fact").as("b_fact"), col("src").as("b_src"), col("dst").as("b_dst"), col("emb").as("b_emb")),
+        Seq("u2"),
+      )
+      .withColumn("similarity", round(edgeScore(cfg), 6))
+      .filter(col("similarity") >= lit(cfg.similarityThreshold))
+      .select(col("u1"), col("u2"), col("similarity"))
+  }
+
+  /** (uuid → component) map over duplicate pairs + per-component member
+    * rank in the deterministic "original first" order.
+    */
+  private def componentRanked(items: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = GraphOps
+      .connectedComponents(pairs.select(col("u1").as("src"), col("u2").as("dst")))
+      .select(col("node").as("uuid"), col("component"))
+    val w = Window.partitionBy(col("component")).orderBy(col("created_at").asc_nulls_last, col("uuid").asc)
+    items
+      .join(comp, Seq("uuid"))
+      .withColumn("rk", row_number().over(w))
+  }
+
+  /** Deduplicate an entity table (uuid, name, group_id, labels,
+    * created_at, name_embedding, summary, attributes). Rows in no
+    * duplicate component pass through untouched; each component collapses
+    * to one row by the configured strategy.
+    */
+  def deduplicateEntities(nodes: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DedupResult = {
+    val pairs = duplicateEntityPairs(nodes, cfg).persist()
+    val nPairs = pairs.count()
+    if (nPairs == 0) { pairs.unpersist(); return DedupResult(nodes, 0, 0, 0) }
+
+    val ranked = componentRanked(nodes, pairs).persist()
+    val nMembers = ranked.count()
+    val nComponents = ranked.filter(col("rk") === 1).count()
+
+    val resolvedDupes: DataFrame = cfg.conflictResolution match {
+      case "keep_first" =>
+        ranked.filter(col("rk") === 1).drop("component", "rk")
+      case "keep_newer" =>
+        val w = Window.partitionBy(col("component")).orderBy(col("created_at").desc_nulls_last, col("uuid").asc)
+        ranked.withColumn("pick", row_number().over(w)).filter(col("pick") === 1).drop("component", "rk", "pick")
+      case "keep_older" =>
+        val w = Window.partitionBy(col("component")).orderBy(col("created_at").asc_nulls_last, col("uuid").asc)
+        ranked.withColumn("pick", row_number().over(w)).filter(col("pick") === 1).drop("component", "rk", "pick")
+      case "keep_better" =>
+        val q = entityQuality(col("name"), col("labels"), col("name_embedding"), col("attributes"))
+        val w = Window.partitionBy(col("component")).orderBy(q.desc, col("created_at").asc_nulls_last, col("uuid").asc)
+        ranked.withColumn("pick", row_number().over(w)).filter(col("pick") === 1).drop("component", "rk", "pick")
+      case "merge" =>
+        // representative (rk=1) carries uuid/name/group_id/summary; labels
+        // union (member order, first occurrence wins), attributes merged
+        // per key — conflicting values join with " | " in member order
+        // (the reference builds a value list, deduplicator.py:599-629;
+        // our attribute map is string→string); created_at = earliest;
+        // embedding from the first member that has one.
+        val exAttrs = ranked
+          .select(col("component"), col("rk"), explode_outer(col("attributes")).as(Seq("k", "v")))
+          .filter(col("k").isNotNull)
+          .groupBy(col("component"), col("k"))
+          .agg(array_join(array_distinct(sort_array(collect_list(struct(col("rk"), col("v")))).getField("v")), " | ").as("v"))
+          .groupBy(col("component"))
+          .agg(map_from_entries(sort_array(collect_list(struct(col("k"), col("v"))))).as("m_attrs"))
+        val agg = ranked
+          .groupBy(col("component"))
+          .agg(
+            min_by(struct(col("uuid"), col("name"), col("group_id"), col("summary")), col("rk")).as("rep"),
+            array_distinct(flatten(sort_array(collect_list(struct(col("rk"), col("labels")))).getField("labels"))).as("m_labels"),
+            min(col("created_at")).as("m_created"),
+            // embedding from the first member that has one (rk offset keeps
+            // the ordering key unique, so ties can't pick nondeterministically)
+            min_by(col("name_embedding"), when(size(col("name_embedding")) > 0, col("rk")).otherwise(col("rk") + lit(1000000000))).as("m_emb"),
+          )
+        agg
+          .join(exAttrs, Seq("component"), "left")
+          .select(
+            col("rep.uuid").as("uuid"),
+            col("rep.name").as("name"),
+            col("rep.group_id").as("group_id"),
+            col("m_labels").as("labels"),
+            col("m_created").as("created_at"),
+            col("m_emb").as("name_embedding"),
+            col("rep.summary").as("summary"),
+            coalesce(col("m_attrs"), map().cast("map<string,string>")).as("attributes"),
+          )
+    }
+
+    val untouched = nodes.join(ranked.select("uuid"), Seq("uuid"), "left_anti")
+    val resolved = untouched.unionByName(resolvedDupes.select(nodes.columns.map(col): _*))
+    pairs.unpersist()
+    ranked.unpersist()
+    DedupResult(resolved, nPairs, nMembers - nComponents, nComponents)
+  }
+
+  /** Deduplicate an edge table (EntityEdge schema). Same component fold;
+    * merge combines facts with " | " (member order), unions episodes, and
+    * keeps the earliest created_at (deduplicator.py:631-667).
+    */
+  def deduplicateEdges(edges: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DedupResult = {
+    val pairs = duplicateEdgePairs(edges, cfg).persist()
+    val nPairs = pairs.count()
+    if (nPairs == 0) { pairs.unpersist(); return DedupResult(edges, 0, 0, 0) }
+
+    val ranked = componentRanked(edges, pairs).persist()
+    val nMembers = ranked.count()
+    val nComponents = ranked.filter(col("rk") === 1).count()
+
+    val repCols = edges.columns.filterNot(Set("fact", "episodes", "created_at", "fact_embedding"))
+    val resolvedDupes: DataFrame = cfg.conflictResolution match {
+      case "keep_first" =>
+        ranked.filter(col("rk") === 1).drop("component", "rk")
+      case "keep_newer" =>
+        val w = Window.partitionBy(col("component")).orderBy(col("created_at").desc_nulls_last, col("uuid").asc)
+        ranked.withColumn("pick", row_number().over(w)).filter(col("pick") === 1).drop("component", "rk", "pick")
+      case "keep_older" =>
+        val w = Window.partitionBy(col("component")).orderBy(col("created_at").asc_nulls_last, col("uuid").asc)
+        ranked.withColumn("pick", row_number().over(w)).filter(col("pick") === 1).drop("component", "rk", "pick")
+      case "keep_better" =>
+        val q = edgeQuality(col("fact"), col("fact_embedding"), col("episodes"), col("valid_at"))
+        val w = Window.partitionBy(col("component")).orderBy(q.desc, col("created_at").asc_nulls_last, col("uuid").asc)
+        ranked.withColumn("pick", row_number().over(w)).filter(col("pick") === 1).drop("component", "rk", "pick")
+      case "merge" =>
+        val agg = ranked
+          .groupBy(col("component"))
+          .agg(
+            min_by(struct(repCols.map(col): _*), col("rk")).as("rep"),
+            array_join(sort_array(collect_list(struct(col("rk"), col("fact")))).getField("fact"), " | ").as("m_fact"),
+            array_distinct(flatten(sort_array(collect_list(struct(col("rk"), col("episodes")))).getField("episodes"))).as("m_episodes"),
+            min(col("created_at")).as("m_created"),
+            min_by(col("fact_embedding"), when(size(col("fact_embedding")) > 0, col("rk")).otherwise(col("rk") + lit(1000000000))).as("m_emb"),
+          )
+        val rep = repCols.map(c => col(s"rep.$c").as(c))
+        agg.select(
+          rep ++ Seq(
+            col("m_fact").as("fact"),
+            col("m_episodes").as("episodes"),
+            col("m_created").as("created_at"),
+            col("m_emb").as("fact_embedding"),
+          ): _*
+        )
+    }
+
+    val untouched = edges.join(ranked.select("uuid"), Seq("uuid"), "left_anti")
+    val resolved = untouched.unionByName(resolvedDupes.select(edges.columns.map(col): _*))
+    pairs.unpersist()
+    ranked.unpersist()
+    DedupResult(resolved, nPairs, nMembers - nComponents, nComponents)
+  }
+
+  /** Incremental form (deduplicate_incremental, deduplicator.py:155-204):
+    * dedupe new items against the existing table. Existing rows sort
+    * before new ones in the component order whenever their created_at is
+    * earlier (the usual case), so resolution prefers the established row;
+    * rows of `existing` untouched by any duplicate pass through verbatim.
+    */
+  def deduplicateIncremental(
+      existing: DataFrame,
+      incoming: DataFrame,
+      cfg: DeduplicationConfig = DeduplicationConfig(),
+      edges: Boolean = false,
+  ): DedupResult = {
+    val all = existing.unionByName(incoming)
+    if (edges) deduplicateEdges(all, cfg) else deduplicateEntities(all, cfg)
+  }
+}

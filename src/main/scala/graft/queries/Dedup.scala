@@ -89,6 +89,65 @@ object Dedup {
       """),
     ),
 
+    // ---- configurable weighted dedup (Deduplicator analog,
+    // deduplicator.py:221-293): 0.6·name-token-cosine + 0.4·embedding-
+    // cosine + 0.2·attribute-agreement over a synthetic entity table
+    // (documents as names, embeddings joined by id, lang/source as the
+    // attribute map). Engine side blocks on shared tokens (recall-exact at
+    // threshold 0.8 > 0.4+0.2); oracle scores all pairs ----
+    QueryDef(
+      "q_dedup_weighted",
+      (s, dir) => {
+        val docs = T.load(s, dir, "documents").filter(col("doc_id") < 300)
+        val emb = T.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val nodes = docs
+          .join(emb, docs("doc_id") === emb("vec_id"), "left")
+          .select(
+            lpad(col("doc_id").cast("string"), 6, "0").as("uuid"),
+            col("text").as("name"),
+            lit("default").as("group_id"),
+            array(lit("Entity")).as("labels"),
+            lit(null).cast("timestamp").as("created_at"),
+            col("embedding").as("name_embedding"),
+            lit("").as("summary"),
+            map(lit("lang"), col("lang"), lit("source"), col("source")).as("attributes"),
+          )
+        graft.dedup.Deduplicator
+          .duplicateEntityPairs(nodes, graft.dedup.DeduplicationConfig(similarityThreshold = 0.8))
+          .orderBy(col("u1"), col("u2"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT lpad(doc_id::VARCHAR, 6, '0') AS uuid,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+                 lang, source, e.embedding
+          FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+          WHERE doc_id < 300),
+        pairs AS (
+          SELECT a.uuid u1, b.uuid u2,
+                 list_distinct(a.toks) ta, list_distinct(b.toks) tb,
+                 a.lang la, b.lang lb, a.source sa, b.source sb,
+                 a.embedding ea, b.embedding eb
+          FROM docs a JOIN docs b ON a.uuid < b.uuid),
+        emb AS (
+          SELECT u1, u2,
+                 CASE WHEN ea IS NOT NULL AND eb IS NOT NULL THEN
+                   (SELECT sum(x.a * x.b) / (sqrt(sum(x.a * x.a)) * sqrt(sum(x.b * x.b)))
+                    FROM (SELECT unnest(ea)::DOUBLE AS a, unnest(eb)::DOUBLE AS b) x)
+                 ELSE 0.0 END AS emb_cos
+          FROM pairs),
+        scored AS (
+          SELECT p.u1, p.u2,
+                 round(0.6 * (len(list_intersect(ta, tb))::DOUBLE / sqrt(len(ta)::DOUBLE * len(tb)::DOUBLE))
+                     + 0.4 * e.emb_cos
+                     + 0.2 * ((CASE WHEN la = lb THEN 1.0 ELSE 0.0 END
+                             + CASE WHEN sa = sb THEN 1.0 ELSE 0.0 END) / 2.0), 6) AS similarity
+          FROM pairs p JOIN emb e ON p.u1 = e.u1 AND p.u2 = e.u2)
+        SELECT u1, u2, similarity FROM scored
+        WHERE similarity >= 0.8 ORDER BY u1, u2
+      """),
+    ),
+
     // ---- embedding-cosine near-dup candidates: top-50 most similar
     // pairs (brute force over the small corpus; LSH-bucketed variant in
     // Similarity module) ----

@@ -70,13 +70,26 @@ object Kg {
   private val extractCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  // HTML→text runs ONCE per (session, dir): both the triple and the mention
+  // extraction consume this persisted (url, warc_ts, text) frame — in the
+  // engine proper this is the committed `episodes` snapshot both read.
+  private val pagesTextCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def pagesWithText(s: org.apache.spark.sql.SparkSession, dir: String) =
+    pagesTextCache.getOrElseUpdate(
+      (s, dir), {
+        Pages.corpus(s, dir)
+          .withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
+          .select("url", "warc_ts", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      },
+    )
+
   private def extractAll(s: org.apache.spark.sql.SparkSession, dir: String) =
     extractCache.getOrElseUpdate(
-      (s, dir), {
-        val pages = Pages.corpus(s, dir)
-          .withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
-        Extract.triplesTs(s, pages).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      },
+      (s, dir),
+      Extract.triplesTs(s, pagesWithText(s, dir)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
     )
 
   def defs: Seq[QueryDef] = Seq(
@@ -203,8 +216,7 @@ object Kg {
     QueryDef(
       "kg_mention_stats",
       (s, dir) => {
-        val pages = Pages.corpus(s, dir)
-        val m = Extract.mentions(s, pages.withColumn("text", HtmlText.textOf(col("html"))))
+        val m = Extract.mentions(s, pagesWithText(s, dir))
         m.groupBy(col("entityType"))
           .agg(count(lit(1)).as("n_mentions"), countDistinct(col("surface")).as("n_distinct"))
           .orderBy(col("entityType"))

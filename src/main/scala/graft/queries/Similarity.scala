@@ -129,16 +129,13 @@ object Similarity {
         val e = T.load(s, dir, "embeddings")
         val cents = e
           .filter(col("vec_id").between(10, 17))
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         val corpus = e.filter(col("vec_id") > 17).select(col("vec_id").as("id"), col("embedding").as("v"))
-        val top1 = Ann.bruteForceTopK(cents, corpus, Int.MaxValue)
-        // per corpus vector: best centroid = highest score (tie → smaller qid)
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("qid"))
-        top1
-          .withColumn("best", row_number().over(w))
-          .filter(col("best") === 1)
-          .groupBy(col("qid").as("centroid"))
+        // argmax over 8 literal centroids inside codegen (Ann.assignCells):
+        // one corpus scan, partial agg below the only shuffle (8 groups) —
+        // the former crossJoin + per-id window shuffled corpus×8 rows
+        Ann.assignCells(corpus, cents)
+          .groupBy(col("cell").as("centroid"))
           .agg(count(lit(1)).as("n"), round(avg(col("score")), 6).as("mean_sim"))
           .orderBy(col("centroid"))
       },

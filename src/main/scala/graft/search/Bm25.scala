@@ -27,16 +27,28 @@ object Bm25 {
     * (id, score) for docs with score > 0.
     */
   def score(docs: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String]): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("tokens"))
-      .withColumn("dl", size(col("tokens")))
-    val corpus = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks
-      .select(col("id"), col("dl"), explode(col("tokens")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
+    // tf is row-local: the native TokenCounts expression computes the
+    // (dl, term→tf) summary inside the scan, and only the query's own
+    // terms are exploded — the former form exploded EVERY token occurrence
+    // and recovered tf with a corpus-wide groupBy(id, dl, term) shuffle.
+    // Identical values: TokenCounts is byte-exact with split(lower, " ")
+    // and (id, term) is unique here by construction.
+    val qt = array(queryTerms.map(lit): _*)
+    val base = docs.select(col(idCol).as("id"), graft.functions.Functions.tokenCounts(col(textCol)).as("tc"))
+    // stats scan reads only token COUNTS — size(split) is cheaper than
+    // materializing the per-doc term map (identical dl by contract)
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(split(lower(col(textCol)), " "))).as("avgdl"),
+    )
+    val tf = base
+      .select(
+        col("id"),
+        col("tc.dl").as("dl"),
+        explode(map_filter(col("tc.counts"), (k, _) => array_contains(qt, k))).as(Seq("term", "tf")),
+      )
+      .withColumn("tf", col("tf").cast("long"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

@@ -115,6 +115,34 @@ object Ann {
       .select(col("qid"), col("rk"), col("id"), col("score"))
   }
 
+  /** Nearest-centroid assignment as ONE projection: the centroid table is
+    * tiny by construction (same contract as [[ivfTopK]]'s coarse
+    * quantizer), so each centroid becomes a literal coefficient array and
+    * the argmax runs inside codegen — no crossJoin materialization of
+    * corpus×centroids and no per-vector window shuffle. Returns
+    * (id, cell, score) with ties to the smaller centroid id.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col("cid").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
+    require(cents.nonEmpty, "assignCells needs at least one centroid")
+    val scoredCells = array(cents.map { case (cid, cv) =>
+      struct(
+        round(Vectors.cosine(col("v"), array(cv.map(lit): _*)), 6).as("score"),
+        lit(-cid).as("ncid"),
+      )
+    }: _*)
+    corpus
+      .withColumn("best", array_max(scoredCells))
+      .select(
+        col("id"),
+        (lit(0L) - col("best").getField("ncid")).cast("long").as("cell"),
+        col("best").getField("score").as("score"),
+      )
+  }
+
   /** LSH-bucketed top-k: score only same-signature candidates. The
     * signature is computed INLINE on both sides (pure expression) — the
     * former id-self-joins re-shuffled the whole corpus just to attach it.
