@@ -128,48 +128,62 @@ object Deduplicator {
     least(factTerm + embTerm + epTerm + vTerm, lit(1.0))
   }
 
-  /** Weighted entity similarity of two node rows (columns prefixed a_/b_). */
-  private def entityScore(cfg: DeduplicationConfig): Column =
-    lit(cfg.nameWeight) * tokenCosine(col("a_name"), col("b_name")) +
-      lit(cfg.embeddingWeight) * when(
-        col("a_emb").isNotNull && col("b_emb").isNotNull && size(col("a_emb")) > 0 && size(col("b_emb")) > 0,
-        Vectors.cosine(col("a_emb"), col("b_emb")),
-      ).otherwise(lit(0.0)) +
-      lit(cfg.attributeWeight) * attributeSim(col("a_attrs"), col("b_attrs"))
-
   /** Candidate duplicate entity pairs with their weighted similarity:
     * (u1, u2, similarity), u1 < u2, similarity ≥ threshold. Blocking =
     * shared name token ∪ (when the config's non-text weights alone could
     * cross the threshold) shared embedding-LSH signature.
+    *
+    * The text term is computed as an exploded-token EQUI-JOIN aggregate
+    * (|A∩B| from a groupBy over shared tokens, sizes joined back) — the
+    * same shape as [[Dedup.ngramJaccardPairs]] — so candidate pair rows
+    * never carry token arrays and names are tokenized once per row, not
+    * once per pair. Identical values to scoring tokenCosine per pair.
     */
   def duplicateEntityPairs(nodes: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DataFrame = {
     val base = nodes.select(
       col("uuid"),
-      col("name"),
       coalesce(col("name_embedding"), array().cast("array<float>")).as("emb"),
       coalesce(col("attributes"), map().cast("map<string,string>")).as("attrs"),
     )
-    val tok = base.select(col("uuid"), explode(tokens(col("name"))).as("key"))
-    val blocks =
-      if (cfg.embeddingWeight + cfg.attributeWeight < cfg.similarityThreshold) tok
+    val tokSets = nodes.select(col("uuid"), tokens(col("name")).as("toks"))
+    val sizes = tokSets.select(col("uuid"), size(col("toks")).as("n"))
+    val ex = tokSets.select(col("uuid"), explode(col("toks")).as("tok"))
+    // |A∩B| per pair sharing ≥1 token — this IS the token block
+    val overlap = ex
+      .select(col("tok"), col("uuid").as("u1"))
+      .join(ex.select(col("tok"), col("uuid").as("u2")), Seq("tok"))
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("c"))
+    val cand =
+      if (cfg.embeddingWeight + cfg.attributeWeight < cfg.similarityThreshold) overlap
       else {
         // non-text terms alone can cross the threshold: add an embedding
         // block so token-disjoint near-identical vectors still collide
-        val sig = base
-          .filter(size(col("emb")) > 0)
-          .select(col("uuid"), concat(lit("sig:"), graft.sim.Ann.signatureCol(col("emb"))).as("key"))
-        tok.unionByName(sig)
+        val sig = nodes
+          .filter(size(col("name_embedding")) > 0)
+          .select(col("uuid"), graft.sim.Ann.signatureCol(col("name_embedding")).as("sig"))
+        val sigPairs = sig
+          .select(col("sig"), col("uuid").as("u1"))
+          .join(sig.select(col("sig"), col("uuid").as("u2")), Seq("sig"))
+          .filter(col("u1") < col("u2"))
+          .select(col("u1"), col("u2"))
+        overlap.join(sigPairs, Seq("u1", "u2"), "full_outer").na.fill(0L, Seq("c"))
       }
-    val cand = blocks
-      .select(col("key"), col("uuid").as("u1"))
-      .join(blocks.select(col("key"), col("uuid").as("u2")), Seq("key"))
-      .filter(col("u1") < col("u2"))
-      .select("u1", "u2")
-      .dropDuplicates("u1", "u2")
+    val nameSim = col("c").cast("double") / sqrt(col("n1").cast("double") * col("n2").cast("double"))
+    val score =
+      lit(cfg.nameWeight) * when(col("n1") > 0 && col("n2") > 0, nameSim).otherwise(lit(0.0)) +
+        lit(cfg.embeddingWeight) * when(
+          size(col("a_emb")) > 0 && size(col("b_emb")) > 0,
+          Vectors.cosine(col("a_emb"), col("b_emb")),
+        ).otherwise(lit(0.0)) +
+        lit(cfg.attributeWeight) * attributeSim(col("a_attrs"), col("b_attrs"))
     cand
-      .join(base.select(col("uuid").as("u1"), col("name").as("a_name"), col("emb").as("a_emb"), col("attrs").as("a_attrs")), Seq("u1"))
-      .join(base.select(col("uuid").as("u2"), col("name").as("b_name"), col("emb").as("b_emb"), col("attrs").as("b_attrs")), Seq("u2"))
-      .withColumn("similarity", round(entityScore(cfg), 6))
+      .join(sizes.select(col("uuid").as("u1"), col("n").as("n1")), Seq("u1"))
+      .join(sizes.select(col("uuid").as("u2"), col("n").as("n2")), Seq("u2"))
+      .join(base.select(col("uuid").as("u1"), col("emb").as("a_emb"), col("attrs").as("a_attrs")), Seq("u1"))
+      .join(base.select(col("uuid").as("u2"), col("emb").as("b_emb"), col("attrs").as("b_attrs")), Seq("u2"))
+      .withColumn("similarity", round(score, 6))
       .filter(col("similarity") >= lit(cfg.similarityThreshold))
       .select(col("u1"), col("u2"), col("similarity"))
   }

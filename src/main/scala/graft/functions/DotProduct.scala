@@ -64,20 +64,25 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val xGet = if (isFloat(left)) "getFloat" else "getDouble"
     val yGet = if (isFloat(right)) "getFloat" else "getDouble"
+    // freshName per instance: two dot products in one generated function
+    // (e.g. cosine = dot(a,b)/sqrt(dot(a,a)*dot(b,b))) must not collide.
+    val n = ctx.freshName("dotN")
+    val acc = ctx.freshName("dotAcc")
+    val i = ctx.freshName("dotI")
     nullSafeCodeGen(
       ctx,
       ev,
       (a, b) => s"""
-        |int dotN = $a.numElements();
-        |if (dotN != $b.numElements()) {
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
         |  ${ev.isNull} = true;
         |} else {
-        |  double dotAcc = 0.0;
-        |  for (int dotI = 0; dotI < dotN; dotI++) {
-        |    if ($a.isNullAt(dotI) || $b.isNullAt(dotI)) { ${ev.isNull} = true; break; }
-        |    dotAcc += (double) $a.$xGet(dotI) * (double) $b.$yGet(dotI);
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $acc += (double) $a.$xGet($i) * (double) $b.$yGet($i);
         |  }
-        |  if (!${ev.isNull}) ${ev.value} = dotAcc;
+        |  if (!${ev.isNull}) ${ev.value} = $acc;
         |}
       """.stripMargin,
     )

@@ -50,24 +50,31 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (isFloat) "getFloat" else "getDouble"
+    // freshName per instance so two l2_normalize calls can share a
+    // generated function without local-variable redefinition.
+    val n = ctx.freshName("l2N")
+    val xs = ctx.freshName("l2Xs")
+    val ss = ctx.freshName("l2Ss")
+    val i = ctx.freshName("l2I")
+    val norm = ctx.freshName("l2Norm")
     nullSafeCodeGen(
       ctx,
       ev,
       a => s"""
-        |int l2N = $a.numElements();
-        |double[] l2Xs = new double[l2N];
-        |double l2Ss = 0.0;
-        |for (int l2I = 0; l2I < l2N; l2I++) {
-        |  if ($a.isNullAt(l2I)) { ${ev.isNull} = true; break; }
-        |  l2Xs[l2I] = (double) $a.$get(l2I);
-        |  l2Ss += l2Xs[l2I] * l2Xs[l2I];
+        |int $n = $a.numElements();
+        |double[] $xs = new double[$n];
+        |double $ss = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |  $xs[$i] = (double) $a.$get($i);
+        |  $ss += $xs[$i] * $xs[$i];
         |}
         |if (!${ev.isNull}) {
-        |  double l2Norm = java.lang.Math.sqrt(l2Ss);
-        |  if (l2Norm != 0.0) {
-        |    for (int l2I = 0; l2I < l2N; l2I++) { l2Xs[l2I] = l2Xs[l2I] / l2Norm; }
+        |  double $norm = java.lang.Math.sqrt($ss);
+        |  if ($norm != 0.0) {
+        |    for (int $i = 0; $i < $n; $i++) { $xs[$i] = $xs[$i] / $norm; }
         |  }
-        |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(l2Xs);
+        |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($xs);
         |}
       """.stripMargin,
     )

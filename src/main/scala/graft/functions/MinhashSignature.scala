@@ -39,16 +39,20 @@ case class MinhashSignature(child: Expression, n: Int) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     MinhashSignature.signature(input.asInstanceOf[ArrayData], n)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName per instance: avoids local-variable redefinition when two
+    // signatures land in one generated function.
+    val sig = ctx.freshName("mhSig")
     nullSafeCodeGen(
       ctx,
       ev,
       a => s"""
-        |org.apache.spark.sql.catalyst.util.ArrayData mhSig =
+        |org.apache.spark.sql.catalyst.util.ArrayData $sig =
         |  graft.functions.MinhashSignature.signature($a, $n);
-        |if (mhSig == null) { ${ev.isNull} = true; } else { ${ev.value} = mhSig; }
+        |if ($sig == null) { ${ev.isNull} = true; } else { ${ev.value} = $sig; }
       """.stripMargin,
     )
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature = copy(child = newChild)
   override def prettyName: String = "minhash_signature"

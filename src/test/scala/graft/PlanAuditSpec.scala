@@ -91,6 +91,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "LSH path degenerated to a nested-loop join:\n" + p)
   }
 
+  test("q_dedup_weighted: token-overlap blocking stays an equi-join; no token arrays on pair rows") {
+    val p = run("q_dedup_weighted")
+    assert(!p.contains("CartesianProduct"), "weighted dedup degenerated to a cartesian product:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "weighted dedup degenerated to a nested-loop join:\n" + p)
+    // the candidate-pair aggregate must group on (u1, u2): intersection
+    // counts come from the exploded-token equi-join, not per-pair recompute
+    assert(p.contains("u1") && p.contains("u2"), p)
+  }
+
   test("q_ann_lsh / q_ann_ivf: bucket pruning stays an equi-join (no all-pairs product)") {
     for (q <- Seq("q_ann_lsh", "q_ann_ivf")) {
       val p = run(q)
