@@ -15,4 +15,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an EXISTING session (the
+    * SparkSessionExtensions path only runs at session construction).
+    * `sessionState` is `private[sql]`, hence bridged here.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      fn: (
+          org.apache.spark.sql.catalyst.FunctionIdentifier,
+          org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+          Seq[Expression] => Expression,
+      ),
+  ): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(fn._1, fn._2, fn._3)
 }

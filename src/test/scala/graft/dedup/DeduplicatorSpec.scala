@@ -293,6 +293,36 @@ class DeduplicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: LSH-block config — no false positives; token-sharing pairs recall-exact") {
+    // With threshold 1.2 / weights (0.6, 1.0, 0.4) the non-text terms can
+    // cross alone, so the engine adds the embedding-LSH block. LSH recall
+    // on token-DISJOINT pairs is probabilistic by design; the exact
+    // guarantees are: (a) every emitted pair matches the model's score
+    // (precision), (b) every model pair that shares a name token is
+    // emitted (the token block stays recall-exact).
+    val cfg = DeduplicationConfig(similarityThreshold = 1.2, embeddingWeight = 1.0, attributeWeight = 0.4)
+    for (seed <- 10L to 12L) {
+      val nodes = randomNodes(seed + TestSeeds.offset * 100, 35)
+      val model = (for {
+        a <- nodes; b <- nodes if a.uuid < b.uuid
+        s = entityScore(a, b, cfg) if s >= cfg.similarityThreshold
+      } yield (a.uuid, b.uuid) -> s).toMap
+      val got = Deduplicator
+        .duplicateEntityPairs(nodes.toDF(), cfg)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+      got.foreach { case (k, s) =>
+        assert(model.get(k).contains(s), s"false positive or score drift at seed $seed: $k -> $s vs ${model.get(k)}")
+      }
+      val byId = nodes.map(n => n.uuid -> n).toMap
+      model.foreach { case (k @ (u1, u2), s) =>
+        if (toks(byId(u1).name).intersect(toks(byId(u2).name)).nonEmpty)
+          assert(got.get(k).contains(s), s"token-sharing pair missed at seed $seed: $k")
+      }
+    }
+  }
+
   test("blocking adds the embedding-LSH block when non-text weights can cross the threshold") {
     // two token-disjoint nodes with IDENTICAL embeddings and attributes:
     // emb 1.0 + attr 0.4 ≥ threshold 1.2 only via non-text terms
