@@ -21,7 +21,15 @@ object Concurrent {
           pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() })
         }
         try futures.foreach(_.get())
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // don't let siblings keep writing while the caller unwinds:
+            // cancel what hasn't run and WAIT for in-flight tasks to end
+            futures.foreach(_.cancel(true))
+            pool.shutdownNow()
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+            throw e.getCause
+        }
       } finally pool.shutdown()
     }
 }
