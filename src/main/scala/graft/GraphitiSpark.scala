@@ -138,11 +138,11 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     */
   /** Set the temporal validity range of one edge row (set_validity_period,
     * temporal_manager.py:137-189): valid_at ← `validFrom`; an explicit end
-    * additionally caps invalid_at and is recorded as a manual invalidation
-    * so it survives later contention-group rebuilds (the reference writes
-    * valid_at / invalidated_at directly on the stored row). The start
-    * bound holds until the group is next rebuilt from raw assertions —
-    * rebuilds re-derive valid_at from the surviving raw facts.
+    * OVERWRITES invalid_at (the reference assigns the period directly on
+    * the stored row) and is recorded as the manual invalidation so it
+    * survives later contention-group rebuilds. Both bounds hold until the
+    * group is next rebuilt from raw assertions — rebuilds re-derive
+    * valid_at from the surviving facts and apply least(derived, manual).
     */
   def setValidityPeriod(edgeUuid: String, validFrom: Timestamp, validTo: Option[Timestamp] = None): Unit = {
     val base = store.load("edges")
@@ -153,6 +153,14 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     val withFrom = withManual.withColumn("valid_at", when(hit, lit(validFrom)).otherwise(col("valid_at")))
     val edges = validTo match {
       case Some(to) =>
+        // the explicit end OVERWRITES invalid_at (an explicit user
+        // override of the validity interval — the reference assigns the
+        // period directly, temporal_manager.py:137-189) and becomes the
+        // manual invalidation; expired_at is capped (least). NOTE: a later
+        // contention-group rebuild re-derives the window value and applies
+        // least(derived, manual=to) — a contradiction-derived invalid_at
+        // earlier than `to` reappears then (facts outrank the override on
+        // rebuild; LifecycleDifferentialSpec pins the pre-rebuild state).
         withFrom
           .withColumn("manual_invalid_at", when(hit, lit(to)).otherwise(col("manual_invalid_at")))
           .withColumn("invalid_at", when(hit, lit(to)).otherwise(col("invalid_at")))
@@ -261,11 +269,13 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     val old = col("invalid_at").isNotNull && col("invalid_at") < lit(cutoff)
     strategy match {
       case "soft" =>
-        val withFlag =
-          (if (edges.columns.contains("archived")) edges else edges.withColumn("archived", lit(false)))
-            .withColumn("archived", col("archived") || old)
+        val withPrev = if (edges.columns.contains("archived")) edges else edges.withColumn("archived", lit(false))
+        val withFlag = withPrev.withColumn("archived", col("archived") || old)
         store.commit(withFlag, "edges", s"soft cleanup before $cutoff")
-        withFlag.filter(col("archived")).count()
+        // records_cleaned = rows MATCHING this call's cutoff (the reference
+        // re-counts already-archived matches, temporal_manager.py:1282) —
+        // neither the cumulative archived total nor a newly-archived delta
+        edges.filter(old).count()
       case "hard" =>
         val kept = edges.filter(!coalesce(old, lit(false)))
         val removed = edges.count() - kept.count()

@@ -200,9 +200,20 @@ object Deduplicator {
         lit(StructuralBoost),
       ).otherwise(lit(0.0))
 
-  /** Candidate duplicate edge pairs: blocking = shared fact token ∪ same
-    * (source, target) endpoints (the structural-boost space,
-    * deduplicator.py:351-365).
+  /** Candidate duplicate edge pairs: blocking = shared PREFIX fact token
+    * ∪ same (source, target) endpoints (the structural-boost space,
+    * deduplicator.py:351-365) ∪ shared embedding-LSH signature when the
+    * embedding weight alone can cross the threshold.
+    *
+    * The token block uses PREFIX FILTERING (Bayardo, Ma & Srikant,
+    * "Scaling Up All Pairs Similarity Search", WWW'07): a pair with
+    * different endpoints can reach `threshold` only if its token cosine
+    * is ≥ tMin = (θ − w_emb)/w_text, and a pair with cosine ≥ tMin must
+    * share a token among each side's FIRST n − ⌈tMin²·n⌉ + 1 tokens in a
+    * global rarest-first (df asc) order — recall-EXACT for the bound,
+    * while corpus-wide template tokens ("is", "in", "the"), which would
+    * otherwise pair every sentence fact with every other (a quadratic
+    * candidate set), fall out of every prefix.
     */
   def duplicateEdgePairs(edges: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DataFrame = {
     val base = edges.select(
@@ -212,9 +223,31 @@ object Deduplicator {
       col("target_uuid").as("dst"),
       coalesce(col("fact_embedding"), array().cast("array<float>")).as("emb"),
     )
-    val tok = base.select(col("uuid"), explode(tokens(col("fact"))).as("key"))
+    // minimal token cosine a DIFFERENT-endpoint pair needs (same-endpoint
+    // pairs are fully covered by the structural block)
+    val tMin = (cfg.similarityThreshold - cfg.embeddingWeight) / cfg.nameWeight
+    val toksAll = base.select(col("uuid"), explode(tokens(col("fact"))).as("key"))
+    val tok =
+      if (tMin > 1.0) toksAll.limit(0) // w_text + w_emb < θ: text can never cross
+      else if (tMin <= 0.0) toksAll // embedding alone can cross: keep all + LSH block below
+      else {
+        val dfs = toksAll.groupBy(col("key")).agg(count(lit(1)).as("__df"))
+        val w = Window.partitionBy(col("uuid")).orderBy(col("__df").asc, col("key").asc)
+        toksAll
+          .join(dfs, Seq("key"))
+          .withColumn("__rk", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("uuid"))))
+          .filter(col("__rk") <= col("__n") - ceil(lit(tMin * tMin) * col("__n")) + lit(1))
+          .select(col("uuid"), col("key"))
+      }
     val structural = base.select(col("uuid"), concat(lit("st:"), col("src"), lit("->"), col("dst")).as("key"))
-    val blocks = tok.unionByName(structural)
+    val sig =
+      if (cfg.embeddingWeight < cfg.similarityThreshold) structural.limit(0)
+      else
+        base
+          .filter(size(col("emb")) > 0)
+          .select(col("uuid"), concat(lit("sig:"), graft.sim.Ann.signatureCol(col("emb"))).as("key"))
+    val blocks = tok.unionByName(structural).unionByName(sig)
     val cand = blocks
       .select(col("key"), col("uuid").as("u1"))
       .join(blocks.select(col("key"), col("uuid").as("u2")), Seq("key"))

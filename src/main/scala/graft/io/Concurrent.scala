@@ -17,14 +17,17 @@ object Concurrent {
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
       try {
+        // take results in COMPLETION order: a fast failure must not sit
+        // unobserved behind a slow sibling's get()
+        val ecs = new java.util.concurrent.ExecutorCompletionService[Unit](pool)
         val futures = tasks.map { t =>
-          pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() })
+          ecs.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() })
         }
-        try futures.foreach(_.get())
+        try (1 to tasks.size).foreach(_ => ecs.take().get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
             // don't let siblings keep writing while the caller unwinds:
-            // cancel what hasn't run and WAIT for in-flight tasks to end
+            // cancel what hasn't run, interrupt in-flight tasks, and WAIT
             futures.foreach(_.cancel(true))
             pool.shutdownNow()
             pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)

@@ -348,7 +348,10 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     val epeFp = fp("episodic_edges", Seq(inputFingerprint, groupId))
     def stageEpisodicEdges(): Unit = timed("episodic_edges") { if (!store.hasFingerprint("episodic_edges", epeFp)) {
       val t = rawTriples
-      val m = store.load("uuid_map")
+      val m0 = store.load("uuid_map")
+      // same broadcast-size guard as stages 5/6: tiny duplicate maps
+      // broadcast, duplicate-heavy ones shuffle
+      val m = if (store.approxRowCount("uuid_map").getOrElse(0L) < 5_000_000L) broadcast(m0) else m0
       // uuids first (codegen'd md5), canonical remap via broadcast, then
       // ONE distinct on the final fixed-width pair — the earlier
       // (url, name)-string distinct was a second full exchange that the
@@ -359,7 +362,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
           explode(array(col("subj"), col("obj"))).as("name"),
         )
         .withColumn("entity_uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
-        .join(broadcast(m), col("entity_uuid") === col("uuid"), "left")
+        .join(m, col("entity_uuid") === col("uuid"), "left")
         .select(
           col("episode_uuid"),
           coalesce(col("canonical"), col("entity_uuid")).as("entity_uuid"),

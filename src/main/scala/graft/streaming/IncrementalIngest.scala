@@ -68,8 +68,11 @@ object IncrementalIngest {
     if (store.exists("raw_triples") && !store.exists("node_stats"))
       tasks += { () =>
         val m =
-          if (store.exists("uuid_map")) broadcast(store.load("uuid_map"))
-          else { import spark.implicits._; broadcast(Seq.empty[(String, String)].toDF("uuid", "canonical")) }
+          if (store.exists("uuid_map")) {
+            // same 5M-row broadcast guard as the pipeline stages
+            val m0 = store.load("uuid_map")
+            if (store.approxRowCount("uuid_map").getOrElse(0L) < 5_000_000L) broadcast(m0) else m0
+          } else { import spark.implicits._; broadcast(Seq.empty[(String, String)].toDF("uuid", "canonical")) }
         val stats = store
           .load("raw_triples")
           .select(col("group_id").as("g"), explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
@@ -130,6 +133,25 @@ object IncrementalIngest {
       col("warc_ts").as("valid_at"),
     )
     val episodes = episodes0.localCheckpoint()
+
+    // ---- re-ingest support: when a batch url already has an episode, its
+    // PRIOR facts are re-derived by re-running extraction on the STORED
+    // episode content (extraction is deterministic, so this equals exactly
+    // the rows the earlier ingest produced) — a bucketed probe plus
+    // re-extraction of the replaced pages only, never a corpus scan.
+    // Evaluated BEFORE the episodes merge replaces the stored content.
+    val oldPages =
+      if (store.exists("episodes"))
+        store
+          .loadForKeys("episodes", episodes.select(col("uuid")), Seq("uuid"))
+          .select(col("name").as("url"), col("content").as("text"), col("created_at").as("warc_ts"))
+      else withText.select(col("url"), col("text"), col("warc_ts")).limit(0)
+    val oldTriples = Extract
+      .triplesTs(spark, oldPages)
+      .withColumn("group_id", lit(gid))
+      .localCheckpoint()
+    val reIngest = !oldTriples.isEmpty
+
     val oldEpisodeDocs =
       if (store.exists("episodes") && store.exists("episodes_postings"))
         store
@@ -156,10 +178,19 @@ object IncrementalIngest {
       .triplesTs(spark, withText)
       .withColumn("group_id", lit(gid))
       .localCheckpoint()
+    // replace semantics per page: facts the new version no longer asserts
+    // are DELETED (the old rows are the delete keys), re-asserted facts are
+    // replaced by the update rows
     store.mergeBucketed(
       "raw_triples", triples, Seq("group_id", "url", "subj", "pred", "obj"),
       s"incremental batch=$batchId triples",
+      deleteKeys = if (reIngest) Some(oldTriples.select("group_id", "url", "subj", "pred", "obj")) else None,
     )
+    // facts the re-ingested pages RETRACTED (asserted before, not now)
+    val retractedTriples =
+      if (reIngest)
+        oldTriples.join(triples, Seq("group_id", "url", "subj", "pred", "obj"), "left_anti").localCheckpoint()
+      else oldTriples
 
     // new surfaces → nodes_raw merge (batch-sized)
     val surfaces = triples
@@ -233,6 +264,9 @@ object IncrementalIngest {
     val batchEntries = cc.join(surfaces.select(col("uuid")), Seq("uuid"), "left_semi")
     val remapMap = delta.unionByName(batchEntries).distinct().localCheckpoint()
 
+    def canonicalNow(df: DataFrame, uuidCol: String): DataFrame =
+      IncrementalIngest.canonicalNow(store, df, uuidCol)
+
     // ---- canonical nodes: decomposable stats (min/min/sum) combine batch
     // partials with the stored rows of affected canonicals only ----
     val partial = triples
@@ -246,12 +280,32 @@ object IncrementalIngest {
         min(col("warc_ts")).as("created_at"),
         count(lit(1)).as("mention_count"),
       )
+    // re-ingested pages: SUBTRACT the prior contributions of their old
+    // mentions (counts are decomposable; summary/created_at are mins,
+    // which nulls leave untouched — created_at keeps the earliest-ever
+    // assertion, matching the reference's immutable node created_at; a
+    // retracted lexicographic-min summary can persist until a full rebuild)
+    val negPartial =
+      if (!reIngest) partial.limit(0)
+      else
+        canonicalNow(
+          oldTriples
+            .select(explode(array(col("subj"), col("obj"))).as("name"))
+            .withColumn("cuuid", md5(concat(lit(s"en|$gid|"), col("name")))),
+          "cuuid",
+        )
+          .groupBy(col("cuuid"))
+          .agg((-count(lit(1))).as("mention_count"))
+          .withColumn("summary", lit(null).cast("string"))
+          .withColumn("created_at", lit(null).cast("timestamp"))
+          .select(col("cuuid"), col("summary"), col("created_at"), col("mention_count"))
     // affCanon misses a member that was never in uuid_map (no prior
     // duplicates) yet loses canonical status this batch — its stats row is
     // keyed by its OWN uuid, so the moved members (delta.uuid) must also be
     // probed (and deleted) or their counts silently drop out of the merge
     val statKeys = partial
       .select(col("cuuid"))
+      .unionByName(negPartial.select(col("cuuid")))
       .unionByName(affCanon.select(col("canonical").as("cuuid")))
       .unionByName(delta.select(col("uuid").as("cuuid")))
       .distinct()
@@ -265,8 +319,9 @@ object IncrementalIngest {
           .withColumn("cuuid", coalesce(col("new_c"), col("cuuid")))
           .drop("new_c")
       else partial.limit(0)
-    val combined = existingStats
+    val combinedAll = existingStats
       .unionByName(partial)
+      .unionByName(negPartial)
       .groupBy(col("cuuid"))
       .agg(
         min(col("summary")).as("summary"),
@@ -274,6 +329,11 @@ object IncrementalIngest {
         sum(col("mention_count")).as("mention_count"),
       )
       .localCheckpoint()
+    // an entity whose every mention was retracted leaves the stats AND the
+    // nodes table (a bulk rebuild over the final corpus would never have
+    // created it); deletion rides deleteKeys = statKeys / nodeDelKeys
+    val combined = combinedAll.filter(col("mention_count") > 0)
+    val goneStats = combinedAll.filter(col("mention_count") <= 0).select(col("cuuid"))
     timed("node_stats merge")(store.mergeBucketed("node_stats", combined, Seq("cuuid"), s"incremental batch=$batchId node_stats", deleteKeys = Some(statKeys)))
 
     // rebuild node rows ONLY for canonicals whose stats or membership
@@ -294,7 +354,7 @@ object IncrementalIngest {
           lit("mention_count"), coalesce(col("mention_count"), lit(0L)).cast("string"),
         ).as("attributes"),
       )
-    val nodeDelKeys = cc.select(col("uuid"))
+    val nodeDelKeys = cc.select(col("uuid")).unionByName(goneStats.select(col("cuuid").as("uuid")))
     val oldNodeDocs =
       if (store.exists("nodes") && store.exists("nodes_postings"))
         store
@@ -352,9 +412,27 @@ object IncrementalIngest {
       .distinct()
       .withColumn("name", lit("MENTIONS"))
       .withColumn("group_id", lit(gid))
+    // re-ingested pages: their OLD mention rows (keyed by canonical-now —
+    // the per-batch remap block keeps stored rows re-keyed) are deleted;
+    // current mentions re-insert below
+    val oldMentionKeys =
+      if (!reIngest) None
+      else
+        Some(
+          canonicalNow(
+            oldTriples
+              .select(col("url"), explode(array(col("subj"), col("obj"))).as("name"))
+              .distinct()
+              .withColumn("entity_uuid", md5(concat(lit(s"en|$gid|"), col("name")))),
+            "entity_uuid",
+          )
+            .select(md5(concat(lit(s"ep|$gid|"), col("url"))).as("episode_uuid"), col("entity_uuid"))
+            .distinct(),
+        )
     store.mergeBucketed(
       "episodic_edges", mentionRows, Seq("episode_uuid", "entity_uuid"),
       s"incremental batch=$batchId mentions",
+      deleteKeys = oldMentionKeys,
       bucketBy = Seq("entity_uuid"),
     )
 
@@ -373,26 +451,56 @@ object IncrementalIngest {
     // (checkpointed above) — the two canonical joins are identity then
     val newRaw =
       if (remapMap.isEmpty) newRawBase else Linking.remapPointers(newRawBase, remapMap)
-    val rebuilt = timed("mergeEdges total")(mergeEdges(store, newRaw, batchId, delta))
+    // retracted fact assertions (canonical-NOW endpoints + the retracting
+    // episode): mergeEdges excludes the stored rows of these facts from the
+    // rebuild and re-derives them from their remaining supporters
+    val retractedKeyed =
+      if (!reIngest) null
+      else {
+        val base = retractedTriples.select(
+          col("group_id"),
+          md5(concat(lit(s"en|$gid|"), col("subj"))).as("source_uuid"),
+          col("pred").as("name"),
+          md5(concat(lit(s"en|$gid|"), col("obj"))).as("target_uuid"),
+          md5(concat(lit(s"ep|$gid|"), col("url"))).as("episode_uuid"),
+        )
+        canonicalNow(canonicalNow(base, "source_uuid"), "target_uuid").localCheckpoint()
+      }
+    val rebuilt = timed("mergeEdges total")(mergeEdges(store, newRaw, batchId, delta, retractedKeyed, gid))
 
-    // back-fill entity_edges for this batch's episodes from the REBUILT
-    // groups (every edge citing a batch episode is in a rebuilt group; a
-    // NON-batch episode's edges may span untouched groups, so its row must
-    // not be replaced from this partial view). The merge hits the narrow
-    // normalized side table — never the wide episode text rows. Batch
-    // episodes that produced no edges get an explicit empty row so a
-    // re-ingest overwrites any stale list.
-    val batchEpUuids = episodes.select(col("uuid"))
-    val byEpisode = rebuilt
-      .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
-      .join(batchEpUuids, Seq("uuid"), "left_semi")
-      .groupBy(col("uuid"))
-      .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
-    val epUpdated = batchEpUuids
-      .join(byEpisode, Seq("uuid"), "left")
-      .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
-    timed("entity_edges backfill")(store.mergeBucketed("episode_entity_edges", epUpdated, Seq("uuid"), s"incremental batch=$batchId entity_edges"))
+    // entity_edges rows for every episode cited by replaced/rebuilt edges
+    // are patched inside mergeEdges (uuid changes from remaps/retractions
+    // propagate to NON-batch supporting episodes too). Here: only ensure
+    // batch episodes that produced no edges at all still get an explicit
+    // empty row (a re-ingest must overwrite any stale list).
+    timed("entity_edges backfill") {
+      val batchEpUuids = episodes.select(col("uuid"))
+      val present =
+        if (store.exists("episode_entity_edges"))
+          store.loadForKeys("episode_entity_edges", batchEpUuids, Seq("uuid")).select(col("uuid"))
+        else batchEpUuids.limit(0)
+      val cited = rebuilt.select(explode(col("episodes")).as("uuid")).distinct()
+      val missing = batchEpUuids
+        .join(present, Seq("uuid"), "left_anti")
+        .join(cited, Seq("uuid"), "left_anti")
+        .withColumn("entity_edges", array().cast("array<string>"))
+      store.mergeBucketed("episode_entity_edges", missing, Seq("uuid"), s"incremental batch=$batchId entity_edges empties")
+    }
   }
+
+  /** Canonical-NOW rewrite of a uuid column: bucketed probe of the
+    * post-merge by-uuid map (covers entities outside a batch's surfaces,
+    * e.g. mentions of a re-ingested page's OLD version).
+    */
+  private[streaming] def canonicalNow(store: SnapshotStore, df: DataFrame, uuidCol: String): DataFrame =
+    if (store.exists("uuid_map_by_uuid")) {
+      val m = store
+        .loadForKeys("uuid_map_by_uuid", df.select(col(uuidCol).as("uuid")), Seq("uuid"))
+        .select(col("uuid").as(uuidCol), col("canonical").as("__canon"))
+      df.join(broadcast(m), Seq(uuidCol), "left")
+        .withColumn(uuidCol, coalesce(col("__canon"), col(uuidCol)))
+        .drop("__canon")
+    } else df
 
   /** Merge raw fact rows (already canonical-uuid'd) into the edges
     * snapshot, rebuilding only affected contention groups:
@@ -403,7 +511,14 @@ object IncrementalIngest {
     * `add_triplet`-style manual inserts run the exact same resolution
     * algebra as extraction output (graphiti.py:1021-1085).
     */
-  def mergeEdges(store: SnapshotStore, newRaw: DataFrame, batchId: Long, remapDelta: DataFrame = null): DataFrame = {
+  def mergeEdges(
+      store: SnapshotStore,
+      newRaw: DataFrame,
+      batchId: Long,
+      remapDelta: DataFrame = null,
+      retracted: DataFrame = null,
+      groupId: String = "default",
+  ): DataFrame = {
     val spark = newRaw.sparkSession
     import spark.implicits._
     val delta =
@@ -440,22 +555,80 @@ object IncrementalIngest {
           .select(GroupKey.map(col): _*)
           .distinct()
       } else batchKeys.limit(0)
-    val affectedKeys = batchKeys.unionByName(remapKeys).distinct().localCheckpoint()
+    // retraction-affected fact groups must also rebuild (a re-ingested
+    // page's dropped facts can live in groups the new batch never touches)
+    val retractKeys =
+      if (retracted == null) batchKeys.limit(0)
+      else retracted.select(GroupKey.map(col): _*).distinct()
+    val affectedKeys = batchKeys.unionByName(remapKeys).unionByName(retractKeys).distinct().localCheckpoint()
 
+    // PRE-remap stored rows: this is what the search indexes were built
+    // from, so delta removal must use these endpoints/keys verbatim.
+    // Checkpointed because the frame feeds the rebuild AND four
+    // concurrent index refreshes.
+    val existingStored =
+      if (store.exists("edges"))
+        withManual(store.loadForKeys("edges", affectedKeys, GroupKey)).localCheckpoint()
+      else null
     val affectedExisting =
-      if (store.exists("edges")) {
-        val existing = withManual(store.loadForKeys("edges", affectedKeys, GroupKey))
-        if (deltaEmpty) existing else Linking.remapPointers(existing, delta)
-      } else null
+      if (existingStored == null) null
+      else if (deltaEmpty) existingStored
+      else Linking.remapPointers(existingStored, delta)
+    // ---- retraction handling (re-ingested pages that DROPPED facts):
+    // the stored collapsed rows for retracted fact keys are EXCLUDED from
+    // the rebuild; the facts re-derive at per-assertion granularity from
+    // their remaining supporters' re-extracted episode content (exact
+    // valid_at/created_at/episodes — the retracting assertion's timestamp
+    // contribution disappears), inheriting the excluded rows'
+    // manual_invalid_at. A fact whose only supporter retracted vanishes.
+    val factKey = Seq("group_id", "source_uuid", "name", "target_uuid")
+    val hasRetractions = retracted != null && affectedExisting != null
+    val retractedFacts =
+      if (hasRetractions) retracted.select(factKey.map(col): _*).distinct() else null
+    val cleanedExisting =
+      if (!hasRetractions) affectedExisting
+      else affectedExisting.join(retractedFacts, factKey, "left_anti")
+    val supportRows =
+      if (!hasRetractions) null
+      else {
+        val affectedFactRows = affectedExisting.join(retractedFacts, factKey, "left_semi")
+        val supporters = affectedFactRows
+          .select(factKey.map(col) :+ explode(col("episodes")).as("episode_uuid"): _*)
+          .join(retracted.select((factKey :+ "episode_uuid").map(col): _*), factKey :+ "episode_uuid", "left_anti")
+        // re-extract only the supporter episodes' current content
+        val supPages = store
+          .loadForKeys("episodes", supporters.select(col("episode_uuid").as("uuid")), Seq("uuid"))
+          .select(col("name").as("url"), col("content").as("text"), col("created_at").as("warc_ts"))
+        val supRaw = graft.kg.Extract
+          .triplesTs(spark, supPages)
+          .select(
+            lit(groupId).as("group_id"),
+            md5(concat(lit(s"en|$groupId|"), col("subj"))).as("source_uuid"),
+            col("pred").as("name"),
+            md5(concat(lit(s"en|$groupId|"), col("obj"))).as("target_uuid"),
+            col("fact"),
+            col("warc_ts").as("valid_at"),
+            col("warc_ts").as("created_at"),
+            array(md5(concat(lit(s"ep|$groupId|"), col("url")))).as("episodes"),
+          )
+        val supCanon = canonicalNow(store, canonicalNow(store, supRaw, "source_uuid"), "target_uuid")
+          .join(retractedFacts, factKey, "left_semi")
+        val manualByFact = affectedFactRows
+          .groupBy(factKey.map(col): _*)
+          .agg(min(col("manual_invalid_at")).as("manual_invalid_at"))
+        supCanon.join(manualByFact, factKey, "left").select(rebuildCols.map(col): _*)
+      }
     // existing edges re-enter at fact granularity: the stored episodes
     // array already carries all supporting episodes, so dedupe+invalidate
     // over (affected existing ∪ new) is idempotent
-    val toRebuild =
-      if (affectedExisting == null) newRawM.select(rebuildCols.map(col): _*)
+    val toRebuildBase =
+      if (cleanedExisting == null) newRawM.select(rebuildCols.map(col): _*)
       else
-        affectedExisting
+        cleanedExisting
           .select(rebuildCols.map(col): _*)
           .unionByName(newRawM.select(rebuildCols.map(col): _*))
+    val toRebuild =
+      if (supportRows == null) toRebuildBase else toRebuildBase.unionByName(supportRows)
     val rebuilt = Invalidation
       .dedupeAndInvalidate(toRebuild)
       .withColumn("fact_embedding", embedUdf(col("fact")))
@@ -471,10 +644,14 @@ object IncrementalIngest {
     // search-index refresh (no-ops unless SearchIndexes were built):
     // replaced facts leave the postings/ANN buckets, rebuilt facts enter.
     // The four refreshes + the endpoint merge write DISJOINT tables over
-    // the same (checkpointed) oldRows/rebuilt frames → concurrent jobs
+    // the same (checkpointed) oldRows/rebuilt frames → concurrent jobs.
+    // oldRows MUST be the PRE-remap stored rows: a canonical remap changes
+    // source/target uuids, and removing the remapped pair from graph_adj /
+    // edge_months would leave the stored pre-remap pair in place forever
+    // (the remapped old row cancels against the rebuilt row → zero delta).
     val oldRows =
-      if (affectedExisting == null) rebuilt.limit(0)
-      else affectedExisting
+      if (existingStored == null) rebuilt.limit(0)
+      else existingStored
     val tCols = Seq("uuid", "valid_at", "group_id", "source_uuid", "name").map(col)
     graft.io.Concurrent.runAll(Seq(
       () =>
@@ -507,6 +684,33 @@ object IncrementalIngest {
           s"incremental batch=$batchId endpoints",
           bucketBy = Seq("endpoint_uuid"),
         )
+        ()
+      },
+      // episodes.entity_edges upkeep (normalized side table): SURGICAL
+      // patch for every episode cited by a replaced or rebuilt row —
+      // edge-uuid changes (valid_at re-derivation, canonical remaps) must
+      // propagate to NON-batch supporting episodes, whose lists also span
+      // untouched groups and therefore can't be recomputed from this
+      // partial view: drop exactly the replaced uuids, add the rebuilt ones
+      () => {
+        val oldByEp = oldRows.select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
+        val newByEp = rebuilt.select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
+        val touched = oldByEp.select("uuid").unionByName(newByEp.select("uuid")).distinct()
+        val stored =
+          if (store.exists("episode_entity_edges"))
+            store
+              .loadForKeys("episode_entity_edges", touched, Seq("uuid"))
+              .select(col("uuid"), explode(col("entity_edges")).as("edge_uuid"))
+          else newByEp.limit(0)
+        val patched = stored
+          .join(oldByEp, Seq("uuid", "edge_uuid"), "left_anti")
+          .unionByName(newByEp)
+          .groupBy(col("uuid"))
+          .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
+        val rowsOut = touched
+          .join(patched, Seq("uuid"), "left")
+          .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
+        store.mergeBucketed("episode_entity_edges", rowsOut, Seq("uuid"), s"incremental batch=$batchId entity_edges")
         ()
       },
     ))

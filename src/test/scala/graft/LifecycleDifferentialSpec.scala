@@ -25,8 +25,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *    uuid; merge keeps the earliest row widened to max non-null
   *    invalid_at (null only when every record is open);
   *  - cleanupAged: "old" = invalid_at non-null and < cutoff; soft flags
-  *    archived in place (returns TOTAL archived), hard deletes (returns
-  *    removed count);
+  *    archived in place, hard deletes; both return the count of rows
+  *    MATCHING this call's cutoff (temporal_manager.py:1282 re-counts
+  *    already-archived matches);
   *  - getValidAt: valid_at <= t < invalid_at (end-exclusive, null = open).
   */
 class LifecycleDifferentialSpec extends AnyFunSuite {
@@ -175,8 +176,11 @@ class LifecycleDifferentialSpec extends AnyFunSuite {
           val old = (e: M) => e.invalidAt.exists(_ < cutoff)
           if (rnd.nextBoolean()) {
             val archived = g.cleanupAged("soft", ts(cutoff))
+            // records_cleaned = rows matching THIS cutoff (the reference
+            // re-counts already-archived matches, temporal_manager.py:1282)
+            val expectMatched = model.count(old).toLong
             model = model.map(e => if (old(e)) e.copy(archived = true) else e)
-            assert(archived == model.count(_.archived).toLong, s"step $step: soft count")
+            assert(archived == expectMatched, s"step $step: soft count")
           } else {
             val removed = g.cleanupAged("hard", ts(cutoff))
             val expectRemoved = model.count(old).toLong

@@ -323,6 +323,56 @@ class DeduplicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized edge-pair differential: prefix-filtered blocking == all-pairs model") {
+    // sentence-like facts share template tokens ("lives", "in") — the
+    // prefix filter must drop none of the ≥-threshold pairs the O(n²)
+    // model finds, while never blocking on corpus-wide tokens beyond the
+    // rarest-first prefix
+    val cfg = DeduplicationConfig(similarityThreshold = 0.8)
+    for (seed <- 21L to 24L) {
+      val rnd = new scala.util.Random(seed + TestSeeds.offset * 100)
+      val mids = Seq("lives in", "works at", "is part of")
+      val edges = (0 until 40).map { i =>
+        val extra = if (rnd.nextBoolean()) " " + vocab(rnd.nextInt(vocab.length)) else ""
+        TEdge(
+          f"e$i%03d",
+          s"s${rnd.nextInt(6)}",
+          s"t${rnd.nextInt(6)}",
+          "r",
+          s"${vocab(rnd.nextInt(vocab.length))} ${mids(rnd.nextInt(3))} ${vocab(rnd.nextInt(vocab.length))}$extra",
+          "g",
+          ts(rnd.nextInt(50)),
+          if (rnd.nextBoolean()) Array.fill(4)(rnd.nextFloat() * 2 - 1).toSeq else Seq.empty[Float],
+          Seq(s"ep$i"),
+          None,
+          Some(ts(i % 50)),
+          None,
+        )
+      }
+      val expected = (for {
+        a <- edges; b <- edges if a.uuid < b.uuid
+        s = edgeScore(a, b, cfg) if s >= cfg.similarityThreshold
+      } yield (a.uuid, b.uuid, s)).sortBy(p => (p._1, p._2))
+      val got = Deduplicator
+        .duplicateEdgePairs(edges.toDF(), cfg)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2))
+        .toSeq
+      assert(got == expected, s"edge pair mismatch at seed $seed")
+    }
+  }
+
+  test("edge blocking adds the embedding-LSH block when the embedding weight alone can cross") {
+    val cfg = DeduplicationConfig(similarityThreshold = 0.4, embeddingWeight = 0.5)
+    val es = Seq(
+      fixtureEdges(0).copy(uuid = "y1", source_uuid = "p", target_uuid = "q", fact = "alpha beta", fact_embedding = emb1),
+      fixtureEdges(0).copy(uuid = "y2", source_uuid = "r", target_uuid = "s", fact = "gamma delta", fact_embedding = emb1),
+    )
+    val pairs = Deduplicator.duplicateEdgePairs(es.toDF(), cfg).collect()
+    assert(pairs.length == 1 && pairs.head.getString(0) == "y1")
+  }
+
   test("blocking adds the embedding-LSH block when non-text weights can cross the threshold") {
     // two token-disjoint nodes with IDENTICAL embeddings and attributes:
     // emb 1.0 + attr 0.4 ≥ threshold 1.2 only via non-text terms

@@ -33,6 +33,22 @@ class ConcurrentSpec extends AnyFunSuite {
     assert(!finishedNormally.get())
   }
 
+  test("a fast failure is observed even when a slow task was submitted first") {
+    val interrupted = new AtomicBoolean(false)
+    val t0 = System.nanoTime()
+    intercept[RuntimeException] {
+      Concurrent.runAll(Seq(
+        () =>
+          try Thread.sleep(60000)
+          catch { case _: InterruptedException => interrupted.set(true) },
+        () => { Thread.sleep(50); throw new RuntimeException("fail fast") },
+      ))
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs < 10000, s"failure sat behind the slow sibling for ${elapsedMs}ms")
+    assert(interrupted.get())
+  }
+
   test("single task runs inline") {
     var n = 0
     Concurrent.runAll(Seq(() => n += 1))

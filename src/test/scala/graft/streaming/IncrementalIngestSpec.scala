@@ -51,6 +51,43 @@ class IncrementalIngestSpec extends AnyFunSuite {
     assert(edgesKey(inc) == edgesKey(full))
   }
 
+  test("alias remap keeps the graph/temporal indexes consistent with the live edges") {
+    // regression: refreshGraph/refreshTemporal must see the PRE-remap
+    // stored rows as the "old" side — the remapped frame cancels against
+    // the rebuilt rows to a zero delta, leaving phantom pre-remap pairs
+    // in graph_adj forever
+    val inc = new SnapshotStore(spark, Files.createTempDirectory("g6").toString)
+    val pages = Fixtures.pagesDf()
+    IncrementalIngest.ingestBatch(inc, pages.filter(!col("url").contains("/alias/")), 0L)
+    graft.search.SearchIndexes.build(inc)
+    IncrementalIngest.ingestBatch(inc, pages.filter(col("url").contains("/alias/")), 1L)
+
+    val e = inc.load("edges").select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+    val expected = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val got = graft.search.SearchIndexes
+      .adjacency(inc)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt")))
+      .toSet
+    assert(got == expected, "graph_adj diverged from the live edges after a canonical remap")
+
+    // month-bucket probe over all time == the live edge set
+    val probed = graft.search.SearchIndexes
+      .edgesValidInRange(inc, java.sql.Timestamp.valueOf("1970-01-01 00:00:00"), java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
+      .select("uuid")
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val live = inc.load("edges").filter(col("valid_at").isNotNull).select("uuid").collect().map(_.getString(0)).toSet
+    assert(probed == live, "edge_months diverged from the live edges after a canonical remap")
+  }
+
   test("streaming foreachBatch drives the same pipeline; rollback restores") {
     val dir = Files.createTempDirectory("gs").toString
     val inDir = s"$dir/in"
