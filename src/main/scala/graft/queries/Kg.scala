@@ -284,15 +284,19 @@ object Kg {
     QueryDef(
       "kg_edge_quality",
       (s, dir) => {
+        // The length band is computed BEFORE the distinct-triple shuffle so
+        // the exchange carries (subj, pred, obj, double) instead of the full
+        // fact sentence; fact is a pure function of (subj, pred, obj), so
+        // first(q) over the group equals the score of the deduped fact.
         val t = extractAll(s, dir)
-        t.groupBy(col("subj"), col("pred"), col("obj"))
-          .agg(first(col("fact")).as("fact")) // fact is a pure function of (subj,pred,obj)
-          .withColumn(
-            "q",
-            when(length(col("fact")).between(10, 50), lit(0.3))
-              .when(length(col("fact")) > 0, lit(0.1))
-              .otherwise(lit(0.0)) + lit(0.7),
-          )
+        t.select(
+          col("subj"), col("pred"), col("obj"),
+          (when(length(col("fact")).between(10, 50), lit(0.3))
+            .when(length(col("fact")) > 0, lit(0.1))
+            .otherwise(lit(0.0)) + lit(0.7)).as("q"),
+        )
+          .groupBy(col("subj"), col("pred"), col("obj"))
+          .agg(first(col("q")).as("q"))
           .groupBy(col("pred"))
           .agg(count(lit(1)).as("n_edges"), round(avg(col("q")), 6).as("avg_edge_quality"))
           .orderBy(col("pred"))
