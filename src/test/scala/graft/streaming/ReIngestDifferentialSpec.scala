@@ -78,9 +78,18 @@ class ReIngestDifferentialSpec extends AnyFunSuite {
   // ---- in-memory replay model of the edge lifecycle ----
   private case class FactState(validAt: Long, episodes: Set[String])
 
-  /** Replay the schedule; returns fact → (validAt, invalidAt, supporters). */
-  private def replay(schedule: Seq[Seq[Page]]): Map[(String, String, String), (Long, Option[Long], Set[String])] = {
-    var stored = Map.empty[String, (Long, Set[(String, String, String)])] // url -> (ts, triples)
+  /** Replay the schedule; returns fact → (validAt, invalidAt, supporters).
+    * `canon` maps a SURFACE triple to its canonical form (identity when no
+    * alias spellings are in play). Retractions are computed at surface
+    * level first — a page that swaps spellings of a still-asserted fact
+    * goes down the engine's retraction+re-derivation path, not adoption —
+    * then keyed canonically.
+    */
+  private def replay(
+      schedule: Seq[Seq[Page]],
+      canon: ((String, String, String)) => (String, String, String) = identity,
+  ): Map[(String, String, String), (Long, Option[Long], Set[String])] = {
+    var stored = Map.empty[String, (Long, Set[(String, String, String)])] // url -> (ts, surface triples)
     var facts = Map.empty[(String, String, String), FactState]
 
     for (batch <- schedule) {
@@ -89,19 +98,19 @@ class ReIngestDifferentialSpec extends AnyFunSuite {
       val batchTs = batch.map(p => p.url -> p.off).toMap
 
       val retractions: Map[(String, String, String), Set[String]] = batch
-        .flatMap(p => (oldT(p.url) -- p.triples).map(f => f -> p.url))
+        .flatMap(p => (oldT(p.url) -- p.triples).map(f => canon(f) -> p.url))
         .groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
       val assertions: Map[(String, String, String), Set[String]] = batch
-        .flatMap(p => p.triples.map(f => f -> p.url))
+        .flatMap(p => p.triples.map(f => canon(f) -> p.url))
         .groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
 
       // facts with >=1 retraction re-derive from remaining supporters'
       // CURRENT content (exclusion + supporter re-extraction in mergeEdges)
       for ((f, retractedBy) <- retractions) {
-        val st = facts(f)
-        val remaining = (st.episodes -- retractedBy).filter(u => stored(u)._2.contains(f))
+        val st = facts.getOrElse(f, FactState(Long.MaxValue, Set.empty))
+        val remaining = (st.episodes -- retractedBy).filter(u => stored(u)._2.exists(t => canon(t) == f))
         val allSup = remaining ++ assertions.getOrElse(f, Set.empty)
         if (allSup.isEmpty) facts -= f
         else facts += f -> FactState(allSup.map(u => stored(u)._1).min, allSup)
@@ -126,16 +135,50 @@ class ReIngestDifferentialSpec extends AnyFunSuite {
     }
   }
 
-  private def runSchedule(seed: Long): Unit = {
+  // ---- alias spellings (canonical-remap interleavings): the alias page
+  // keeps BOTH forms of Customer#1 live in every version (so the final
+  // uuid_map component matches what a bulk rebuild over the final corpus
+  // computes), while its objects rotate with the version — retractions
+  // and invalidations churn inside the canonicalized contention groups.
+  private val P1 = custs.head // "Customer#000000001"
+  private val A1 = "Customer#1" // normName-linked alias spelling
+  private lazy val c1Form = Seq(P1, A1).minBy(Ids.entity(G, _)) // min-uuid component canonical
+  private def canonName(n: String): String = if (n == P1 || n == A1) c1Form else n
+  private def canonTriple(t: (String, String, String)): (String, String, String) =
+    (canonName(t._1), t._2, canonName(t._3))
+  private val aliasUrl = "https://rd.example/alias"
+
+  private def contentOfAlias(seed: Long, version: Int): Set[(String, String, String)] = {
+    val rnd = new scala.util.Random(seed * 1000003L + 6 * 7919L + version * 104729L)
+    val base = Set(
+      (P1, "lives_in", nats(version % nats.size)),
+      (A1, "works_at", sups(version % sups.size)),
+    )
+    val extra =
+      if (rnd.nextDouble() < 0.5) Set((A1, "lives_in", nats(rnd.nextInt(nats.size)))) else Set.empty
+    val extra2 =
+      if (rnd.nextDouble() < 0.5) Set((custs(1 + rnd.nextInt(3)), "works_at", sups(rnd.nextInt(sups.size))))
+      else Set.empty
+    base ++ extra ++ extra2
+  }
+
+  private def runSchedule(seed: Long, aliasMode: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val version = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    val firstAliasBatch = if (aliasMode) rnd.nextInt(3) else -1
     val schedule: Seq[Seq[Page]] = (0 until 5).map { b =>
-      val k = 1 + rnd.nextInt(3)
+      val k = 1 + rnd.nextInt(if (aliasMode) 2 else 3)
       val picked = rnd.shuffle(urls.indices.toList).take(k).sorted
-      picked.map { ui =>
+      val regular = picked.map { ui =>
         version(ui) += 1
         Page(urls(ui), 1000L + b * 100L + ui, contentOf(seed, ui, version(ui)))
       }
+      val withAlias =
+        aliasMode && (b == firstAliasBatch || (b > firstAliasBatch && rnd.nextDouble() < 0.4))
+      if (withAlias) {
+        version(6) += 1
+        regular :+ Page(aliasUrl, 1000L + b * 100L + 6, contentOfAlias(seed, version(6)))
+      } else regular
     }
 
     val inc = new SnapshotStore(spark, Files.createTempDirectory(s"rid$seed-i").toString)
@@ -174,9 +217,10 @@ class ReIngestDifferentialSpec extends AnyFunSuite {
     assert(factSupporters(inc) == factSupporters(bulk), s"seed=$seed: edge fact/supporter sets diverged")
 
     // ---- 2. lifecycle matches the replay model (NOT the bulk rebuild) ----
-    val model = replay(schedule).map { case ((s, p, o), (v, inv, sup)) =>
-      (Ids.entity(G, s), p, Ids.entity(G, o)) ->
-        ((ts(v), inv.map(ts), sup.map(u => Ids.episode(G, u))))
+    val model = replay(schedule, if (aliasMode) canonTriple else identity).map {
+      case ((s, p, o), (v, inv, sup)) =>
+        (Ids.entity(G, s), p, Ids.entity(G, o)) ->
+          ((ts(v), inv.map(ts), sup.map(u => Ids.episode(G, u))))
     }
     val got = inc
       .load("edges")
@@ -232,5 +276,9 @@ class ReIngestDifferentialSpec extends AnyFunSuite {
 
   test("random ingest/re-ingest schedules == bulk rebuild + replay model (seeded)") {
     for (seed <- Seq(5L, 23L)) runSchedule(seed + TestSeeds.offset)
+  }
+
+  test("alias-remap schedules: canonical merge × retraction == bulk rebuild + replay model (seeded)") {
+    for (seed <- Seq(9L, 31L)) runSchedule(seed + TestSeeds.offset, aliasMode = true)
   }
 }
