@@ -274,11 +274,14 @@ class ReIngestDifferentialSpec extends AnyFunSuite {
     assert(probed == live, s"seed=$seed: edge_months diverged from live edges")
   }
 
+  // one seed per mode in the default run (each schedule costs ~5
+  // incremental batches + a bulk rebuild); GRAFT_TEST_SEED_OFFSET sweeps
+  // fresh universes in CI without paying them on every local run
   test("random ingest/re-ingest schedules == bulk rebuild + replay model (seeded)") {
-    for (seed <- Seq(5L, 23L)) runSchedule(seed + TestSeeds.offset)
+    runSchedule(5L + TestSeeds.offset)
   }
 
   test("alias-remap schedules: canonical merge × retraction == bulk rebuild + replay model (seeded)") {
-    for (seed <- Seq(9L, 31L)) runSchedule(seed + TestSeeds.offset, aliasMode = true)
+    runSchedule(31L + TestSeeds.offset, aliasMode = true)
   }
 }
