@@ -39,40 +39,49 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     val spark = pages.sparkSession
     import spark.implicits._
 
-    // ---- stage 1: episodes (one per page; valid_at = crawl time,
-    // content = deterministic extracted text — graphiti.py:477-490) ----
+    // ---- stages 1+2: episodes (one per page; valid_at = crawl time,
+    // content = deterministic extracted text — graphiti.py:477-490) and
+    // extraction (mentions + raw triples; mapPartitions / codegen'd regex
+    // — extract_nodes + extract_edges contracts). HTML→text runs exactly
+    // once into a PERSISTED frame; the episodes commit (a full-text write)
+    // and triple extraction both consume it as CONCURRENT jobs, so the
+    // critical path never serializes write→re-read→decode of the page
+    // text. On resume (episodes committed, triples not) extraction falls
+    // back to the committed snapshot. ----
     val episodesFp = fp("episodes", Seq(inputFingerprint, groupId))
     val episodesEeFp = fp("episodes_ee", Seq(inputFingerprint, groupId))
-    timed("episodes") { if (!store.hasFingerprint("episodes", episodesFp)) {
-      // HTML→text via the fused fast twin (byte-identical to the column
-      // chain, HtmlTextSpec): 2 passes over the bytes instead of 12
-      val gid = groupId
-      val episodes = pages
-        .select(col("url"), col("warc_ts"), col("html"), col("text"))
-        .as[(String, java.sql.Timestamp, Array[Byte], String)]
-        .mapPartitions { it =>
-          it.map { case (url, ts, html, text) =>
-            val t = if (text != null) text else HtmlText.extractFast(new String(html, "UTF-8"))
-            (Ids.episode(gid, url), url, t, "text", "web crawl", gid, ts, ts)
-          }
-        }
-        .toDF("uuid", "name", "content", "source", "source_description", "group_id", "created_at", "valid_at")
-      store.commit(episodes, "episodes", s"ingest episodes group=$groupId", episodesFp)
-    } }
-
-    // ---- stage 2: extraction (mentions + raw triples; mapPartitions /
-    // codegen'd regex — extract_nodes + extract_edges contracts) ----
     val triplesFp = fp("raw_triples", Seq(inputFingerprint, groupId))
-    timed("raw_triples") { if (!store.hasFingerprint("raw_triples", triplesFp)) {
-      // read the already-extracted text back from the episodes snapshot
-      // (HTML→text ran exactly once, in stage 1); all patterns in one
-      // mapPartitions pass, no shuffle (url/warc_ts carried through)
-      val withText = store
-        .load("episodes")
-        .select(col("name").as("url"), col("content").as("text"), col("valid_at").as("warc_ts"))
-      val triples = Extract.triplesTs(spark, withText).withColumn("group_id", lit(groupId))
-      store.commit(triples, "raw_triples", "extract triples", triplesFp)
-    } }
+    timed("episodes+triples") {
+      val needEpisodes = !store.hasFingerprint("episodes", episodesFp)
+      val needTriples = !store.hasFingerprint("raw_triples", triplesFp)
+      var episodesMem: DataFrame = null
+      if (needEpisodes) {
+        // HTML→text via the fused fast twin (byte-identical to the column
+        // chain, HtmlTextSpec): 2 passes over the bytes instead of 12
+        val gid = groupId
+        episodesMem = pages
+          .select(col("url"), col("warc_ts"), col("html"), col("text"))
+          .as[(String, java.sql.Timestamp, Array[Byte], String)]
+          .mapPartitions { it =>
+            it.map { case (url, ts, html, text) =>
+              val t = if (text != null) text else HtmlText.extractFast(new String(html, "UTF-8"))
+              (Ids.episode(gid, url), url, t, "text", "web crawl", gid, ts, ts)
+            }
+          }
+          .toDF("uuid", "name", "content", "source", "source_description", "group_id", "created_at", "valid_at")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      graft.io.Concurrent.runAll(Seq(
+        () => if (needEpisodes) store.commit(episodesMem, "episodes", s"ingest episodes group=$groupId", episodesFp),
+        () => if (needTriples) {
+          val withText = (if (needEpisodes) episodesMem else store.load("episodes"))
+            .select(col("name").as("url"), col("content").as("text"), col("valid_at").as("warc_ts"))
+          val triples = Extract.triplesTs(spark, withText).withColumn("group_id", lit(groupId))
+          store.commit(triples, "raw_triples", "extract triples", triplesFp)
+        },
+      ))
+      if (episodesMem != null) episodesMem.unpersist(blocking = false)
+    }
 
     // One shared, persisted scan of raw_triples feeds stage 3, the
     // surface-stats pre-aggregation and stages 5/6/7 (concurrent
@@ -213,35 +222,47 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // created_at = earliest mention timestamp, attributes = typed map. ----
     def stageNodes(): Unit = timed("nodes") { if (!store.hasFingerprint("nodes", nodesFp)) {
       val raw = store.load("nodes_raw")
+      val mapRows = store.approxRowCount("uuid_map").getOrElse(0L)
       // same broadcast-size guard as stage 6: tiny duplicate maps
       // broadcast, duplicate-heavy ones shuffle
-      val m0 = store.load("uuid_map")
-      val m = if (store.approxRowCount("uuid_map").getOrElse(0L) < 5_000_000L) broadcast(m0) else m0
+      def m = {
+        val m0 = store.load("uuid_map")
+        if (mapRows < 5_000_000L) broadcast(m0) else m0
+      }
       // per-canonical-node facts: fold the PER-SURFACE stats (built above,
       // overlapped with linking) by canonical — min/min/sum over ~|surfaces|
-      // rows instead of re-aggregating every raw mention
-      val nodeFacts = surfaceStats
-        .join(m, Seq("uuid"), "left")
-        .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
-        .groupBy(col("cuuid"))
-        .agg(
-          min(col("summary")).as("summary"),
-          min(col("created_at")).as("created_at"),
-          sum(col("mention_count")).as("mention_count"),
-        )
-        .localCheckpoint()
+      // rows instead of re-aggregating every raw mention. Zero-duplicate
+      // corpora (the common web-corpus case) skip the remap+refold
+      // entirely: the per-surface stats ARE the per-canonical stats.
+      val nodeFacts =
+        if (mapRows == 0L) surfaceStats.withColumnRenamed("uuid", "cuuid")
+        else
+          surfaceStats
+            .join(m, Seq("uuid"), "left")
+            .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
+            .groupBy(col("cuuid"))
+            .agg(
+              min(col("summary")).as("summary"),
+              min(col("created_at")).as("created_at"),
+              sum(col("mention_count")).as("mention_count"),
+            )
+            .localCheckpoint()
       // node_stats doubles as the incremental-ingest stats index (all three
       // aggregates are decomposable: min/min/sum) — committed here
-      // UNCONDITIONALLY: nodeFacts is already checkpointed, so the commit
-      // is one small bucketed write, and it spares bootstrapIndexes a full
-      // re-aggregation of every raw mention later (index build or first
-      // incremental batch)
+      // UNCONDITIONALLY: nodeFacts is checkpointed (or folds a persisted
+      // frame), so the commit is one small bucketed write, and it spares
+      // bootstrapIndexes a full re-aggregation of every raw mention later
+      // (index build or first incremental batch)
       store.mergeBucketed("node_stats", nodeFacts, Seq("cuuid"), "node mention stats index")
-      val canon = raw
-        .join(m, Seq("uuid"), "left")
-        .withColumn("canonical", coalesce(col("canonical"), col("uuid")))
-        // representative row = the node whose uuid IS the canonical uuid
-        .filter(col("uuid") === col("canonical"))
+      val canonBase =
+        if (mapRows == 0L) raw // empty map: every node is its own canonical
+        else
+          raw
+            .join(m, Seq("uuid"), "left")
+            .withColumn("canonical", coalesce(col("canonical"), col("uuid")))
+            // representative row = the node whose uuid IS the canonical uuid
+            .filter(col("uuid") === col("canonical"))
+      val canon = canonBase
         .join(nodeFacts, col("uuid") === col("cuuid"), "left")
         .select(
           col("uuid"),
@@ -348,25 +369,32 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     val epeFp = fp("episodic_edges", Seq(inputFingerprint, groupId))
     def stageEpisodicEdges(): Unit = timed("episodic_edges") { if (!store.hasFingerprint("episodic_edges", epeFp)) {
       val t = rawTriples
-      val m0 = store.load("uuid_map")
-      // same broadcast-size guard as stages 5/6: tiny duplicate maps
-      // broadcast, duplicate-heavy ones shuffle
-      val m = if (store.approxRowCount("uuid_map").getOrElse(0L) < 5_000_000L) broadcast(m0) else m0
-      // uuids first (codegen'd md5), canonical remap via broadcast, then
-      // ONE distinct on the final fixed-width pair — the earlier
-      // (url, name)-string distinct was a second full exchange that the
-      // final distinct subsumes
-      val remapped = t
+      val mapRows = store.approxRowCount("uuid_map").getOrElse(0L)
+      // uuids first (codegen'd md5), canonical remap via broadcast (skipped
+      // outright on zero-duplicate corpora), then ONE distinct on the final
+      // fixed-width pair — the earlier (url, name)-string distinct was a
+      // second full exchange that the final distinct subsumes
+      val withIds = t
         .select(
           md5(concat(lit(s"ep|$groupId|"), col("url"))).as("episode_uuid"),
           explode(array(col("subj"), col("obj"))).as("name"),
         )
         .withColumn("entity_uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
-        .join(m, col("entity_uuid") === col("uuid"), "left")
-        .select(
-          col("episode_uuid"),
-          coalesce(col("canonical"), col("entity_uuid")).as("entity_uuid"),
-        )
+      val remapped = (
+        if (mapRows == 0L) withIds.select(col("episode_uuid"), col("entity_uuid"))
+        else {
+          // same broadcast-size guard as stages 5/6: tiny duplicate maps
+          // broadcast, duplicate-heavy ones shuffle
+          val m0 = store.load("uuid_map")
+          val m = if (mapRows < 5_000_000L) broadcast(m0) else m0
+          withIds
+            .join(m, col("entity_uuid") === col("uuid"), "left")
+            .select(
+              col("episode_uuid"),
+              coalesce(col("canonical"), col("entity_uuid")).as("entity_uuid"),
+            )
+        }
+      )
         .distinct()
         .withColumn("name", lit("MENTIONS"))
         .withColumn("group_id", lit(groupId))

@@ -95,33 +95,44 @@ object Linking {
     val grouped =
       if (nodes.columns.contains("group_id")) nodes
       else nodes.withColumn("group_id", lit("default"))
-    val withKey = grouped
-      .select(col("group_id").as("g"), col("uuid"), col("name"))
-      .withColumn("norm", normName(col("name")))
-    // block 1: exact normalized-name key
-    val a = withKey.select(col("g"), col("norm"), col("uuid").as("u1"))
-    val b = withKey.select(col("g"), col("norm"), col("uuid").as("u2"))
-    val keyPairs = a.join(b, Seq("g", "norm")).filter(col("u1") < col("u2")).select(col("u1"), col("u2"))
-    // block 2: MinHash-LSH over word tokens (multi-word names), verified
-    // by exact token-Jaccard ≥ 0.8
-    val sh = grouped
-      .select(col("group_id").as("g"), col("uuid"), col("name"))
-      .withColumn("sh", nameTokens(col("name")))
-      .filter(size(col("sh")) >= 2) // single-token names are key-block territory
-      .withColumn("mh", Dedup.minhashSignature(col("sh"), 8))
-    val banded = sh.select(
-      col("g"),
-      col("uuid"),
-      col("sh"),
-      posexplode(array((0 until 8).map(k => concat(lit(s"$k:"), element_at(col("mh"), k + 1))): _*))
-        .as(Seq("band", "key")),
-    )
-    val la = banded.select(col("g"), col("band"), col("key"), col("uuid").as("u1"), col("sh").as("s1"))
-    val lb = banded.select(col("g"), col("band"), col("key"), col("uuid").as("u2"), col("sh").as("s2"))
-    val lshPairs = la
-      .join(lb, Seq("g", "band", "key"))
+    val base = grouped.select(col("group_id").as("g"), col("uuid"), col("name"))
+    // ONE pass computes both blocking families — exact normalized-name key
+    // (kind 'k') and the 8 MinHash band keys over word tokens (kind 'b';
+    // single-token names are key-block territory) — checkpointed so the
+    // self-join reads it from storage twice instead of running the
+    // normName regexes + MinHash twice, and so the join shuffles slim
+    // (g, kind, key, uuid) rows instead of carrying token arrays on both
+    // sides. Band candidates are verified afterwards by joining the token
+    // sets back in (candidates are few; the corpus-sized frames stay slim).
+    val kk = base
+      .select(col("g"), col("uuid"), lit("k").as("kind"), normName(col("name")).as("key"))
+      .unionByName(
+        base
+          .withColumn("sh", nameTokens(col("name")))
+          .filter(size(col("sh")) >= 2)
+          .withColumn("mh", Dedup.minhashSignature(col("sh"), 8))
+          .select(
+            col("g"),
+            col("uuid"),
+            lit("b").as("kind"),
+            explode(array((0 until 8).map(k => concat(lit(s"$k:"), element_at(col("mh"), k + 1))): _*)).as("key"),
+          ),
+      )
+      .localCheckpoint()
+    val cand = kk
+      .select(col("g"), col("kind"), col("key"), col("uuid").as("u1"))
+      .join(kk.select(col("g"), col("kind"), col("key"), col("uuid").as("u2")), Seq("g", "kind", "key"))
       .filter(col("u1") < col("u2"))
-      .dropDuplicates("u1", "u2")
+    // exact-key pairs are duplicates by construction (equal normalized name)
+    val keyPairs = cand.filter(col("kind") === "k").select(col("u1"), col("u2"))
+    // band pairs: verify by exact token-Jaccard ≥ 0.8 — the reference's
+    // word-overlap ∪ cosine≥0.8 blocking (bulk_utils.py:274-293) with LSH
+    // replacing the O(n²) sweep
+    val bandCand = cand.filter(col("kind") === "b").select(col("u1"), col("u2")).dropDuplicates("u1", "u2")
+    val toks = base.select(col("uuid"), nameTokens(col("name")).as("sh")).filter(size(col("sh")) >= 2)
+    val lshPairs = bandCand
+      .join(toks.select(col("uuid").as("u1"), col("sh").as("s1")), Seq("u1"))
+      .join(toks.select(col("uuid").as("u2"), col("sh").as("s2")), Seq("u2"))
       .filter(Dedup.jaccard(col("s1"), col("s2")) >= 0.8)
       .select(col("u1"), col("u2"))
     keyPairs.unionByName(lshPairs).dropDuplicates("u1", "u2")
