@@ -15,6 +15,7 @@ object ProfileIngest {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.parquet.compression.codec", sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

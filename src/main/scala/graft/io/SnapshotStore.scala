@@ -531,6 +531,19 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       .filter(_.startsWith("__bucket="))
       .map(_.stripPrefix("__bucket=").toInt)
 
+  /** Delete the whole store directory tree (bench/test cleanup of
+    * throwaway tmpfs stores — NOT a data-lifecycle operation; tables have
+    * `deleteGroup`/rollback for that).
+    */
+  def deleteRoot(): Unit = {
+    val rootPath = Paths.get(root)
+    if (Files.isDirectory(rootPath)) {
+      val s = Files.walk(rootPath)
+      try s.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

@@ -153,6 +153,22 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(store.exists("edges")) // later stages completed
   }
 
+  test("resume between the overlapped stages: episodes committed, triples not") {
+    // stages 1+2 run as concurrent jobs off one in-memory frame; a crash
+    // between their commits leaves episodes committed but raw_triples
+    // missing — extraction must then read the committed snapshot back
+    val store = freshStore()
+    val full = freshStore()
+    runPipeline(full)
+    val fpJson = full.commitInfo("episodes", full.currentVersion("episodes").get)
+    val fp = "\"fingerprint\":\"([0-9a-f]+)\"".r.findFirstMatchIn(fpJson).get.group(1)
+    store.commit(full.load("episodes"), "episodes", "copied episodes", fp)
+    runPipeline(store)
+    assert(store.currentVersion("episodes").contains(0)) // not recommitted
+    assert(store.load("raw_triples").count() == full.load("raw_triples").count())
+    assert(store.load("edges").count() == full.load("edges").count())
+  }
+
   test("rollback re-points to an older snapshot") {
     val store = freshStore()
     runPipeline(store)
