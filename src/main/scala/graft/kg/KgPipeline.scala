@@ -432,21 +432,24 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // the corpus (IncrementalIngest; cheap byproducts of stages 3-6).
     // Runs AFTER the concurrent group: it reads nodes/edges/node_stats. ----
     if (buildIndexes) {
-      timed("indexes") {
-        graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark)
-      }
-
-      // ---- stage 10.5: query-time search indexes (BM25 inverted index +
-      // corpus stats per text surface, ANN signature buckets) — committed
-      // at pipeline time so a query probes posting/signature buckets
-      // instead of scanning the corpus (prebuilt indices,
-      // performance_optimizer.py:184-237, vector_search.py:36-189).
+      // ---- stage 10: incremental-ingest probe indexes and stage 10.5:
+      // query-time search indexes (BM25 inverted index + corpus stats per
+      // text surface, ANN signature buckets — committed at pipeline time
+      // so a query probes posting/signature buckets instead of scanning
+      // the corpus: prebuilt indices, performance_optimizer.py:184-237,
+      // vector_search.py:36-189). The two groups write DISJOINT tables —
+      // one concurrent group, not two serial phases.
       val sidxFp = fp("search_indexes", Seq(inputFingerprint, groupId))
-      timed("search_indexes") { if (!store.hasFingerprint("edges_bm25stats", sidxFp)) {
-        graft.search.SearchIndexes.build(store)
-        // stamp resume fingerprint on the (tiny) stats table commit
-        store.commit(store.load("edges_bm25stats"), "edges_bm25stats", "search indexes built", sidxFp)
-      } }
+      timed("indexes") {
+        graft.io.Concurrent.runAll(Seq(
+          () => graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark),
+          () => if (!store.hasFingerprint("edges_bm25stats", sidxFp)) {
+            graft.search.SearchIndexes.build(store)
+            // stamp resume fingerprint on the (tiny) stats table commit
+            store.commit(store.load("edges_bm25stats"), "edges_bm25stats", "search indexes built", sidxFp)
+          },
+        ))
+      }
     }
   }
 }
