@@ -130,4 +130,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n" + p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation:\n" + p)
   }
+
+  test("entity-linking pair join: both sides scan the checkpointed blocking frame, equi-join only") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val nodes = (0 until 500)
+      .map(i => (graft.kg.Ids.entity("default", s"Customer#$i"), s"Customer#$i"))
+      .toDF("uuid", "name")
+    val pairs = graft.kg.Linking.duplicatePairs(nodes)
+    val p = finalPlan(pairs)
+    // the blocking frame (normName regexes + MinHash bands) is computed
+    // ONCE and checkpointed; the self-join must read that RDD on both
+    // sides instead of re-running the expressions
+    val rddScans = "Scan ExistingRDD".r.findAllIn(p).size
+    assert(rddScans >= 2, s"expected both join sides to scan the checkpointed blocking frame:\n" + p)
+    // candidate generation stays an equi-join — never an all-pairs product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "all-pairs product in the pair join:\n" + p)
+  }
 }
