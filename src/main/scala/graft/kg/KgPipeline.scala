@@ -197,11 +197,14 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
             col("warc_ts").as("created_at"),
             array(md5(concat(lit(s"ep|$groupId|"), col("url")))).as("episodes"),
           )
-          edgesPre = edgeUuid(
-            Invalidation
-              .dedupeAndInvalidate(raw)
-              .withColumn("fact_embedding", embedUdf(col("fact"))),
-          ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // fact_embedding is NOT materialized here: the cached pre-build
+          // feeds the commit AND the entity_edges derivation, and only the
+          // commit needs embeddings — attaching them in the commit
+          // projection keeps ~|edges|×dim floats out of the cache fill
+          // (embed is a pure codegen expression, computed exactly once
+          // either way)
+          edgesPre = edgeUuid(Invalidation.dedupeAndInvalidate(raw))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           edgesPre.count() // materialize inside linking's shadow
         } },
     ))
@@ -347,11 +350,9 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
           // pre-build's merged rows, remapped through the canonical map
           val groupRows = edgesPre.join(broadcast(affKeys), GroupKey, "left_semi")
           val rebuilt = edgeUuid(
-            Invalidation
-              .dedupeAndInvalidate(
-                Linking.remapPointers(groupRows, m0, hint = bcastMap).select(rebuildCols.map(col): _*),
-              )
-              .withColumn("fact_embedding", embedUdf(col("fact"))),
+            Invalidation.dedupeAndInvalidate(
+              Linking.remapPointers(groupRows, m0, hint = bcastMap).select(rebuildCols.map(col): _*),
+            ),
           )
           edgesPre
             .join(broadcast(affKeys), GroupKey, "left_anti")
@@ -359,7 +360,12 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
         }
       }
       graft.io.Concurrent.runAll(Seq(
-        () => timed("edges_commit")(store.commit(edgesFinal, "edges", "bitemporal entity edges", edgesFp)),
+        // fact embeddings attach in the commit projection (the only
+        // consumer that needs them — see the edges_pre note)
+        () => timed("edges_commit")(store.commit(
+          edgesFinal.withColumn("fact_embedding", embedUdf(col("fact"))),
+          "edges", "bitemporal entity edges", edgesFp,
+        )),
         () => stageEpisodesEe(Some(edgesFinal)),
       ))
     } else stageEpisodesEe(None) }
