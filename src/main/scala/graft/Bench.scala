@@ -227,7 +227,9 @@ object Bench {
     val compactKeys = results.keySet - "kg_pipeline_e2e_rep1" - "kg_pipeline_e2e_rep2"
     val qs = results.collect { case (k, v) if compactKeys(k) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.sum
+    // total = sum of the REPORTED per-query numbers (round-1 semantics);
+    // the informational pipeline reps would triple-count the pipeline
+    val total = results.collect { case (k, v) if compactKeys(k) => v }.sum
     val pagesPerSec = nPages / pipeSec
     val triplesPerSec = nTriples / pipeSec
     val compact =
