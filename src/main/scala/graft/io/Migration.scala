@@ -170,13 +170,14 @@ object Migration {
       if (!batch.isEmpty) {
         // ---- save_node: surfaces insert-if-absent (uuid/name/label/
         // embedding shaped exactly like the pipeline's nodes_raw rows) ----
-        val surfaces = batch
-          .select(col("source").as("name"))
-          .unionByName(batch.select(col("target").as("name")))
-          .distinct()
-          .as[String]
-          .mapPartitions(it => it.map(n => (Ids.entity(gid, n), n, Extract.entityTypeOf(n), Embedder.embed(n).toSeq, gid)))
-          .toDF("uuid", "name", "label", "name_embedding", "group_id")
+        val surfaces = Extract
+          .entityNodes(
+            batch
+              .select(col("source").as("name"))
+              .unionByName(batch.select(col("target").as("name")))
+              .distinct(),
+            gid,
+          )
           .localCheckpoint()
         val known =
           if (store.exists("nodes_raw"))

@@ -57,6 +57,33 @@ object Extract {
   // Column-expression form (whole-stage-codegen path)
   // ------------------------------------------------------------------
 
+  /** Column form of [[entityTypeOf]] — same prefix chain as a codegen'd
+    * CASE expression (value parity pinned by ExtractSpec).
+    */
+  def entityTypeCol(c: Column): Column =
+    when(c.startsWith("Customer#"), "Person")
+      .when(c.startsWith("Supplier#"), "Organization")
+      .when(c.startsWith("NATION_") || c.startsWith("REGION_"), "Place")
+      .otherwise("Entity")
+
+  /** Distinct surfaces (`name` column) → entity-node rows
+    * (uuid, name, label, name_embedding, group_id) as ONE pure-codegen
+    * projection: deterministic md5 uuid (== [[Ids.entity]]), CASE label,
+    * native `graft_embed` (== [[Embedder.embed]]) — no encoder boundary,
+    * no per-row Scala closure. Replaces the old `mapPartitions` node
+    * build in the bulk pipeline, incremental ingest and migration.
+    */
+  def entityNodes(surfaces: DataFrame, groupId: String, keep: Seq[String] = Nil): DataFrame =
+    surfaces.select(
+      Seq(
+        md5(concat(lit(s"en|$groupId|"), col("name"))).as("uuid"),
+        col("name"),
+        entityTypeCol(col("name")).as("label"),
+        graft.functions.Functions.embedText(col("name")).as("name_embedding"),
+        lit(groupId).as("group_id"),
+      ) ++ keep.map(col): _*
+    )
+
   /** pages(url, text) → triples(url, subj, pred, obj, fact). One pass per
     * relation pattern, unioned; each pass is scan → regexp_extract_all →
     * explode, fully pipelined with no shuffle.

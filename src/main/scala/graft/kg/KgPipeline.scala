@@ -46,11 +46,17 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // once into a PERSISTED frame; the episodes commit (a full-text write)
     // and triple extraction both consume it as CONCURRENT jobs, so the
     // critical path never serializes write→re-read→decode of the page
-    // text. On resume (episodes committed, triples not) extraction falls
-    // back to the committed snapshot. ----
+    // text. The extracted triples are PERSISTED too: every downstream
+    // stage reads this cache, and the raw_triples commit itself moves into
+    // the next concurrent group (a pure write of cached rows that nothing
+    // downstream waits for) — the old shape committed the table and then
+    // paid a full parquet decode of millions of facts to read its own
+    // output back on the critical path. On resume (episodes committed,
+    // triples not) extraction falls back to the committed snapshot. ----
     val episodesFp = fp("episodes", Seq(inputFingerprint, groupId))
     val episodesEeFp = fp("episodes_ee", Seq(inputFingerprint, groupId))
     val triplesFp = fp("raw_triples", Seq(inputFingerprint, groupId))
+    var triplesMem: DataFrame = null
     timed("episodes+triples") {
       val needEpisodes = !store.hasFingerprint("episodes", episodesFp)
       val needTriples = !store.hasFingerprint("raw_triples", triplesFp)
@@ -71,28 +77,30 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
           .toDF("uuid", "name", "content", "source", "source_description", "group_id", "created_at", "valid_at")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
+      if (needTriples) {
+        val withText = (if (needEpisodes) episodesMem else store.load("episodes"))
+          .select(col("name").as("url"), col("content").as("text"), col("valid_at").as("warc_ts"))
+        triplesMem = Extract.triplesTs(spark, withText)
+          .withColumn("group_id", lit(groupId))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
       graft.io.Concurrent.runAll(Seq(
         () => if (needEpisodes) store.commit(episodesMem, "episodes", s"ingest episodes group=$groupId", episodesFp),
-        () => if (needTriples) {
-          val withText = (if (needEpisodes) episodesMem else store.load("episodes"))
-            .select(col("name").as("url"), col("content").as("text"), col("valid_at").as("warc_ts"))
-          val triples = Extract.triplesTs(spark, withText).withColumn("group_id", lit(groupId))
-          store.commit(triples, "raw_triples", "extract triples", triplesFp)
-        },
+        () => if (triplesMem != null) triplesMem.count(), // extraction rides the episodes write
       ))
       if (episodesMem != null) episodesMem.unpersist(blocking = false)
     }
 
-    // One shared, persisted scan of raw_triples feeds stage 3, the
+    // One shared, persisted frame of raw triples feeds stage 3, the
     // surface-stats pre-aggregation and stages 5/6/7 (concurrent
-    // consumers): each executor caches the partitions it decodes, so the
-    // wide parquet decode happens once instead of five times.
+    // consumers). Fresh build: the just-extracted cache (materialized
+    // above). Resume: one parquet decode of the committed snapshot.
     // MEMORY_AND_DISK: at cluster scale a partition that doesn't fit
     // spills instead of evicting (re-scan stays the fallback).
     // Unpersisted right after the stage-5-9 group.
-    val rawTriples = store
-      .load("raw_triples")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawTriples =
+      if (triplesMem != null) triplesMem
+      else store.load("raw_triples").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId))
     val mapFp = fp("uuid_map", Seq(inputFingerprint, groupId))
@@ -131,59 +139,73 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
         ),
       ),
     )
-    // Fused surface aggregation: ONE groupBy over the exploded mentions
-    // yields both the distinct surface set (stage 3's input — the old
-    // separate `.distinct()` was a second full-width shuffle of the same
-    // exploded rows) and the per-surface stats stage 5 folds by canonical.
-    var surfaceAgg: DataFrame = null
+    // Fused surface aggregation + node projection: ONE groupBy over the
+    // exploded mentions yields the distinct surface set with its stats
+    // (the old separate `.distinct()` was a second full-width shuffle of
+    // the same exploded rows), and the node columns (deterministic md5
+    // uuid, CASE label, native graft_embed embedding) attach as a PURE
+    // CODEGEN projection on top — one cached frame (`nodesFull`) feeds
+    // the nodes_raw commit, linking, node_stats and stage 5, replacing
+    // the old mapPartitions node build + the parquet re-decode of
+    // nodes_raw that stages 4/5 used to pay.
+    var nodesFull: DataFrame = null
     graft.io.Concurrent.runAll(Seq(
+      // raw_triples commit: pure write of the cached extraction (fresh
+      // builds only) — rides alongside linking instead of blocking it
+      () => if (triplesMem != null)
+        timed("raw_triples_commit")(store.commit(triplesMem, "raw_triples", "extract triples", triplesFp)),
       () => {
-        if (!store.hasFingerprint("nodes_raw", nodesRawFp) || !store.hasFingerprint("nodes", nodesFp)) {
+        val needNodesRaw = !store.hasFingerprint("nodes_raw", nodesRawFp)
+        if (needNodesRaw || !store.hasFingerprint("nodes", nodesFp)) {
           timed("surface_agg") {
-            surfaceAgg = rawTriples
-              .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
-              .groupBy(col("name"))
-              .agg(
-                min(col("fact")).as("summary"),
-                min(col("warc_ts")).as("created_at"),
-                count(lit(1)).as("mention_count"),
+            nodesFull = Extract
+              .entityNodes(
+                rawTriples
+                  .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+                  .groupBy(col("name"))
+                  .agg(
+                    min(col("fact")).as("summary"),
+                    min(col("warc_ts")).as("created_at"),
+                    count(lit(1)).as("mention_count"),
+                  ),
+                groupId,
+                keep = Seq("summary", "created_at", "mention_count"),
               )
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            surfaceAgg.count()
-            surfaceStats = surfaceAgg
-              .withColumn("uuid", md5(concat(lit(s"en|$groupId|"), col("name"))))
-              .select(col("uuid"), col("summary"), col("created_at"), col("mention_count"))
+            nodesFull.count()
+            surfaceStats =
+              nodesFull.select(col("uuid"), col("summary"), col("created_at"), col("mention_count"))
           }
         }
-        // stage 3: surfaces → deterministic uuids + hashed-BoW name
-        // embeddings (map-only over the already-aggregated surface set)
-        timed("nodes_raw") { if (!store.hasFingerprint("nodes_raw", nodesRawFp)) {
-          val gid = groupId
-          val nodesRaw = surfaceAgg
-            .select(col("name"))
-            .as[String]
-            .mapPartitions { it =>
-              it.map { name =>
-                (Ids.entity(gid, name), name, Extract.entityTypeOf(name), Embedder.embed(name).toSeq, gid)
-              }
-            }
-            .toDF("uuid", "name", "label", "name_embedding", "group_id")
-          store.commit(nodesRaw, "nodes_raw", "raw entity nodes", nodesRawFp)
-        } }
-        // stage 4: LSH blocking → score → union-find min-uuid
-        // (dedupe_nodes_bulk semantics). Web-scale corpora commonly have
-        // ZERO duplicate surface pairs — checkpoint the pair set and skip
-        // the CC superstep machinery entirely when it is empty.
-        timed("uuid_map") { if (!store.hasFingerprint("uuid_map", mapFp)) {
-          val pairs = Linking
-            .duplicatePairs(store.load("nodes_raw"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val uuidMap =
-            if (pairs.isEmpty) pairs.select(col("u1").as("uuid"), col("u2").as("canonical")).limit(0)
-            else Linking.canonicalMap(pairs)
-          store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
-          pairs.unpersist(blocking = false)
-        } }
+        // stage 3 (nodes_raw commit — a projection of the cached frame) and
+        // stage 4 (LSH blocking → score → union-find min-uuid,
+        // dedupe_nodes_bulk semantics) write DISJOINT tables and both read
+        // `nodesFull`'s cache — concurrent. Web-scale corpora commonly
+        // have ZERO duplicate surface pairs — checkpoint the pair set and
+        // skip the CC superstep machinery entirely when it is empty.
+        graft.io.Concurrent.runAll(Seq(
+          () => timed("nodes_raw") { if (needNodesRaw) {
+            store.commit(
+              nodesFull.select("uuid", "name", "label", "name_embedding", "group_id"),
+              "nodes_raw", "raw entity nodes", nodesRawFp,
+            )
+          } },
+          () => timed("uuid_map") { if (!store.hasFingerprint("uuid_map", mapFp)) {
+            // linking needs only (uuid, name, group_id) — from the cache
+            // when this run built it, else a pruned scan of nodes_raw
+            val linkInput =
+              if (nodesFull != null) nodesFull.select(col("uuid"), col("name"), col("group_id"))
+              else store.load("nodes_raw").select(col("uuid"), col("name"), col("group_id"))
+            val pairs = Linking
+              .duplicatePairs(linkInput)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val uuidMap =
+              if (pairs.isEmpty) pairs.select(col("u1").as("uuid"), col("u2").as("canonical")).limit(0)
+              else Linking.canonicalMap(pairs)
+            store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
+            pairs.unpersist(blocking = false)
+          } },
+        ))
       },
       () =>
         timed("edges_pre") { if (!store.hasFingerprint("edges", edgesFp)) {
@@ -224,7 +246,12 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // (extract_attributes_from_nodes contract, node_operations.py:302-391),
     // created_at = earliest mention timestamp, attributes = typed map. ----
     def stageNodes(): Unit = timed("nodes") { if (!store.hasFingerprint("nodes", nodesFp)) {
-      val raw = store.load("nodes_raw")
+      // from the cached build frame when this run built it (stage 5 only
+      // runs when `nodes` is missing, and that condition also computed
+      // nodesFull above); store fallback kept for belt and braces
+      val raw =
+        if (nodesFull != null) nodesFull.select("uuid", "name", "label", "name_embedding", "group_id")
+        else store.load("nodes_raw")
       val mapRows = store.approxRowCount("uuid_map").getOrElse(0L)
       // same broadcast-size guard as stage 6: tiny duplicate maps
       // broadcast, duplicate-heavy ones shuffle
@@ -257,29 +284,36 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       // bootstrapIndexes a full re-aggregation of every raw mention later
       // (index build or first incremental batch)
       store.mergeBucketed("node_stats", nodeFacts, Seq("cuuid"), "node mention stats index")
-      val canonBase =
-        if (mapRows == 0L) raw // empty map: every node is its own canonical
-        else
-          raw
-            .join(m, Seq("uuid"), "left")
-            .withColumn("canonical", coalesce(col("canonical"), col("uuid")))
-            // representative row = the node whose uuid IS the canonical uuid
-            .filter(col("uuid") === col("canonical"))
-      val canon = canonBase
-        .join(nodeFacts, col("uuid") === col("cuuid"), "left")
-        .select(
-          col("uuid"),
-          col("name"),
-          col("group_id"),
-          array(col("label")).as("labels"),
-          col("created_at"),
-          col("name_embedding"),
-          coalesce(col("summary"), col("name")).as("summary"),
-          map(
-            lit("entity_type"), col("label"),
-            lit("mention_count"), coalesce(col("mention_count"), lit(0L)).cast("string"),
-          ).as("attributes"),
-        )
+      def finalCols(src: DataFrame): DataFrame = src.select(
+        col("uuid"),
+        col("name"),
+        col("group_id"),
+        array(col("label")).as("labels"),
+        col("created_at"),
+        col("name_embedding"),
+        coalesce(col("summary"), col("name")).as("summary"),
+        map(
+          lit("entity_type"), col("label"),
+          lit("mention_count"), coalesce(col("mention_count"), lit(0L)).cast("string"),
+        ).as("attributes"),
+      )
+      val canon =
+        if (mapRows == 0L && nodesFull != null)
+          // zero-duplicate corpora: every node is its own canonical and the
+          // per-surface stats ARE the per-canonical stats — the canonical
+          // table is a PURE PROJECTION of the cached build frame, no join
+          finalCols(nodesFull)
+        else {
+          val canonBase =
+            if (mapRows == 0L) raw // empty map: every node is its own canonical
+            else
+              raw
+                .join(m, Seq("uuid"), "left")
+                .withColumn("canonical", coalesce(col("canonical"), col("uuid")))
+                // representative row = the node whose uuid IS the canonical uuid
+                .filter(col("uuid") === col("canonical"))
+          finalCols(canonBase.join(nodeFacts, col("uuid") === col("cuuid"), "left"))
+        }
       store.commit(canon, "nodes", "canonical entity nodes", nodesFp)
     } }
 
@@ -430,7 +464,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     ))
     rawTriples.unpersist(blocking = false)
     if (edgesPre != null) edgesPre.unpersist(blocking = false)
-    if (surfaceAgg != null) surfaceAgg.unpersist(blocking = false)
+    if (nodesFull != null) nodesFull.unpersist(blocking = false)
 
     // ---- stage 10: incremental-ingest indexes (node_blocks /
     // uuid_map_by_uuid / node_stats / edge_endpoints), bucketed — so the

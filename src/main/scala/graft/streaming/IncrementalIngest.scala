@@ -193,13 +193,14 @@ object IncrementalIngest {
       else oldTriples
 
     // new surfaces → nodes_raw merge (batch-sized)
-    val surfaces = triples
-      .select(col("subj").as("name"))
-      .unionByName(triples.select(col("obj").as("name")))
-      .distinct()
-      .as[String]
-      .mapPartitions(it => it.map(n => (graft.kg.Ids.entity(gid, n), n, Extract.entityTypeOf(n), Embedder.embed(n).toSeq, gid)))
-      .toDF("uuid", "name", "label", "name_embedding", "group_id")
+    val surfaces = Extract
+      .entityNodes(
+        triples
+          .select(col("subj").as("name"))
+          .unionByName(triples.select(col("obj").as("name")))
+          .distinct(),
+        gid,
+      )
       .localCheckpoint()
     timed("nodes_raw merge")(store.mergeBucketed("nodes_raw", surfaces, Seq("uuid"), s"incremental batch=$batchId nodes_raw"))
 

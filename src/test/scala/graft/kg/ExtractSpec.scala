@@ -46,6 +46,23 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.entityTypeOf("MIDDLE EAST") == "Entity")
   }
 
+  test("entityNodes projection == per-row Scala build (uuid/label/embedding parity)") {
+    import spark.implicits._
+    val names =
+      Seq("Customer#000000001", "Supplier#42", "NATION_3", "MIDDLE EAST", "Acme", "Customer#7")
+    val projected = Extract
+      .entityNodes(names.toDF("name"), "gX")
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getSeq[Float](3).toList, r.getString(4)),
+      )
+      .toSet
+    val perRow = names.map { n =>
+      (Ids.entity("gX", n), n, Extract.entityTypeOf(n), Embedder.embed(n).toList, "gX")
+    }.toSet
+    assert(projected == perRow)
+  }
+
   test("mentions carry positions and types") {
     import spark.implicits._
     val pages = Seq(("u1", "Customer#7 works at Acme. NATION_2 is big."))
