@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.community.Communities
 import graft.io.SnapshotStore
 import graft.kg._
-import graft.search.{KgSearch, KgSearchConfig, SearchResults}
+import graft.search.{KgSearch, KgSearchConfig, SearchIndexes, SearchResults}
 import graft.streaming.IncrementalIngest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -81,11 +81,16 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     * episode-created nodes — remove_episode, graphiti.py:1087-1115).
     */
   def removeEpisode(url: String): Unit = {
+    import spark.implicits._
     val epUuid = Ids.episode(groupId, url)
-    val episodes = store.load("episodes").filter(col("uuid") =!= epUuid)
-    store.commit(episodes, "episodes", s"remove episode $url")
+    val removedEp = store
+      .load("episodes")
+      .filter(col("uuid") === epUuid)
+      .select(col("uuid").as("id"), col("content").as("text"))
+      .localCheckpoint()
+    store.commit(store.load("episodes").filter(col("uuid") =!= epUuid), "episodes", s"remove episode $url")
+    SearchIndexes.refreshText(store, "episodes", removedEp, removedEp.limit(0))
     if (store.exists("episode_entity_edges")) {
-      import spark.implicits._
       store.mergeBucketed(
         "episode_entity_edges",
         store.load("episode_entity_edges").limit(0),
@@ -94,11 +99,18 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
         deleteKeys = Some(Seq(epUuid).toDF("uuid")),
       )
     }
-    val edges = store
-      .load("edges")
+    // edge rows whose ONLY supporter was this episode vanish — their index
+    // entries leave with them; rows merely losing one episode keep their
+    // uuid/fact/endpoints/valid_at, so no other index entry changes
+    val edges0 = store.load("edges")
+    val removedEdges = edges0
+      .filter(array_contains(col("episodes"), epUuid) && size(col("episodes")) === 1)
+      .localCheckpoint()
+    val edges = edges0
       .withColumn("episodes", array_remove(col("episodes"), epUuid))
       .filter(size(col("episodes")) > 0)
     store.commit(edges, "edges", s"cascade remove episode $url")
+    refreshEdgeIndexes(removedEdges)
     if (store.exists("raw_triples")) {
       store.commit(
         store.load("raw_triples").filter(col("url") =!= url),
@@ -117,17 +129,33 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
           Seq("entity_uuid"),
           "left_anti",
         )
+        .localCheckpoint()
       store.commit(
         ee.filter(col("episode_uuid") =!= epUuid),
         "episodic_edges",
         s"cascade remove episode $url",
       )
-      if (store.exists("nodes"))
+      if (store.exists("nodes")) {
+        val removedNodes = store
+          .loadForKeys("nodes", orphans.select(col("entity_uuid").as("uuid")), Seq("uuid"))
+          .localCheckpoint()
         store.commit(
           store.load("nodes").join(orphans, col("uuid") === col("entity_uuid"), "left_anti"),
           "nodes",
           s"cascade remove orphaned nodes of $url",
         )
+        SearchIndexes.refreshText(
+          store, "nodes",
+          removedNodes.select(col("uuid").as("id"), col("name").as("text")),
+          removedNodes.limit(0).select(col("uuid").as("id"), col("name").as("text")),
+        )
+        if (store.exists("node_stats"))
+          store.mergeBucketed(
+            "node_stats", store.load("node_stats").limit(0), Seq("cuuid"),
+            s"cascade remove orphaned node stats of $url",
+            deleteKeys = Some(orphans.select(col("entity_uuid").as("cuuid"))),
+          )
+      }
     }
   }
 
@@ -167,7 +195,14 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
           .withColumn("expired_at", when(hit, least(lit(to), col("expired_at"))).otherwise(col("expired_at")))
       case None => withFrom
     }
-    store.commit(edges, "edges", s"set validity period for $edgeUuid")
+    // the month index is keyed by valid_at — move the row's membership
+    // (net delta cancels when the month did not change)
+    if (store.exists("edge_months")) {
+      val tCols = Seq("uuid", "valid_at", "group_id", "source_uuid", "name").map(col)
+      val oldRow = base.filter(hit).select(tCols: _*).localCheckpoint()
+      store.commit(edges, "edges", s"set validity period for $edgeUuid")
+      SearchIndexes.refreshTemporal(store, oldRow, oldRow.withColumn("valid_at", lit(validFrom)))
+    } else store.commit(edges, "edges", s"set validity period for $edgeUuid")
   }
 
   /** The edge row if (and only if) it is valid at `t` (get_valid_at,
@@ -277,33 +312,328 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
         // neither the cumulative archived total nor a newly-archived delta
         edges.filter(old).count()
       case "hard" =>
-        val kept = edges.filter(!coalesce(old, lit(false)))
-        val removed = edges.count() - kept.count()
-        store.commit(kept, "edges", s"hard cleanup before $cutoff")
-        removed
+        val removed = edges.filter(old).localCheckpoint()
+        store.commit(edges.filter(!coalesce(old, lit(false))), "edges", s"hard cleanup before $cutoff")
+        refreshEdgeIndexes(removed)
+        dropFromEntityEdges(removed)
+        removed.count()
     }
   }
 
-  /** Delete everything for a group (delete_by_group_id). */
-  def deleteGroup(group: String): Unit =
-    Seq("episodes", "nodes", "edges", "episodic_edges").foreach { t =>
-      if (store.exists(t))
-        store.commit(store.load(t).filter(col("group_id") =!= group), t, s"delete group $group")
-    }
+  // ---- index-consistent mutation plumbing ------------------------------
+  // The reference's delete ops touch only the dataframes and leave the
+  // FAISS/BM25/adjacency structures stale until a separate
+  // rebuild_indices pass (huggingface_driver.py:433-444 +
+  // auto_rebuild_indices). At scale a ghost-returning index between
+  // rebuilds is a correctness bug, so every delete here refreshes the
+  // query-time indexes in the same call — with the SAME signed delta-log
+  // refreshes micro-batches use (work ∝ removed rows, never a re-index).
 
-  /** Delete nodes by uuid, cascading to incident edges (delete_by_uuids). */
+  /** Refresh the four edge-backed search indexes after `removed` edge rows
+    * left the edges table (each refresh no-ops when its index was never
+    * built). Caller should localCheckpoint `removed` — four consumers.
+    */
+  private def refreshEdgeIndexes(removed: DataFrame): Unit = {
+    val none = removed.limit(0)
+    val tCols = Seq("uuid", "valid_at", "group_id", "source_uuid", "name").map(col)
+    // existence-guarded BEFORE building the projections: ad-hoc stores
+    // (and the lifecycle specs) hold minimal edge schemas with no indexes
+    val tasks = Seq.newBuilder[() => Unit]
+    if (store.exists("edges_postings"))
+      tasks += (() =>
+        SearchIndexes.refreshText(
+          store, "edges",
+          removed.select(col("uuid").as("id"), col("fact").as("text")),
+          none.select(col("uuid").as("id"), col("fact").as("text")),
+        ))
+    if (store.exists("edge_ann"))
+      tasks += (() =>
+        SearchIndexes.refreshAnn(
+          store,
+          removed.select(col("uuid"), col("fact_embedding")),
+          none.select(col("uuid"), col("fact_embedding")),
+        ))
+    if (store.exists("graph_adj"))
+      tasks += (() =>
+        SearchIndexes.refreshGraph(
+          store,
+          removed.select(col("source_uuid"), col("target_uuid")),
+          none.select(col("source_uuid"), col("target_uuid")),
+        ))
+    if (store.exists("edge_months"))
+      tasks += (() => SearchIndexes.refreshTemporal(store, removed.select(tCols: _*), none.select(tCols: _*)))
+    graft.io.Concurrent.runAll(tasks.result())
+  }
+
+  /** Drop `removed` edge rows' uuids from the episode_entity_edges lists
+    * of every episode citing them (bucketed probe of the cited episodes
+    * only — the same surgical patch IncrementalIngest.mergeEdges applies).
+    */
+  private def dropFromEntityEdges(removed: DataFrame): Unit = {
+    if (!store.exists("episode_entity_edges")) return
+    val oldByEp = removed.select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
+    val touched = oldByEp.select(col("uuid")).distinct()
+    val stored = store
+      .loadForKeys("episode_entity_edges", touched, Seq("uuid"))
+      .select(col("uuid"), explode(col("entity_edges")).as("edge_uuid"))
+    val patched = stored
+      .join(oldByEp, Seq("uuid", "edge_uuid"), "left_anti")
+      .groupBy(col("uuid"))
+      .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
+    val rowsOut = touched
+      .join(patched, Seq("uuid"), "left")
+      .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
+    store.mergeBucketed("episode_entity_edges", rowsOut, Seq("uuid"), "entity_edges cascade patch")
+  }
+
+  /** Delete everything for a group (delete_by_group_id) — the corpus
+    * tables rewrite (group_id is not their bucket key; a tenant purge is
+    * inherently ∝ tenant size), the bucketed side tables delete only the
+    * buckets holding the group's keys (derived from the removed rows —
+    * those tables carry no group_id column), and every search index is
+    * refreshed with the removed rows.
+    */
+  def deleteGroup(group: String): Unit = {
+    import spark.implicits._
+    def removedOf(t: String): Option[DataFrame] =
+      if (store.exists(t)) Some(store.load(t).filter(col("group_id") === group).localCheckpoint())
+      else None
+    val remEdges = removedOf("edges")
+    val remNodes = removedOf("nodes")
+    val remNodesRaw = removedOf("nodes_raw")
+    val remEpisodes = removedOf("episodes")
+    val remCommunities = removedOf("communities")
+    Seq("episodes", "nodes", "nodes_raw", "edges", "episodic_edges", "raw_triples", "communities", "community_edges")
+      .foreach { t =>
+        if (store.exists(t))
+          store.commit(store.load(t).filter(col("group_id") =!= group), t, s"delete group $group")
+      }
+    // bucketed side tables: keys derived from the removed rows
+    remNodesRaw.foreach { rn =>
+      val uuids = rn.select(col("uuid"))
+      if (store.exists("node_stats"))
+        store.mergeBucketed(
+          "node_stats", store.load("node_stats").limit(0), Seq("cuuid"),
+          s"delete group $group", deleteKeys = Some(uuids.select(col("uuid").as("cuuid"))),
+        )
+      if (store.exists("uuid_map"))
+        // every row's canonical is itself a group surface — keyed delete
+        store.mergeBucketed(
+          "uuid_map", store.load("uuid_map").limit(0), Seq("canonical"),
+          s"delete group $group", deleteKeys = Some(uuids.select(col("uuid").as("canonical"))),
+        )
+      if (store.exists("uuid_map_by_uuid"))
+        store.mergeBucketed(
+          "uuid_map_by_uuid", store.load("uuid_map_by_uuid").limit(0), Seq("uuid"),
+          s"delete group $group", deleteKeys = Some(uuids),
+        )
+      if (store.exists("node_blocks")) {
+        val blocks = graft.kg.Linking.blockingKeys(rn).select(col("key"), col("uuid"))
+        store.mergeBucketed(
+          "node_blocks", blocks.limit(0), Seq("key", "uuid"),
+          s"delete group $group", deleteKeys = Some(blocks), bucketBy = Seq("key"),
+        )
+      }
+    }
+    remEdges.foreach { re =>
+      if (store.exists("edge_endpoints")) {
+        val eps = re
+          .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
+          .distinct()
+        store.mergeBucketed(
+          "edge_endpoints", eps.limit(0), Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
+          s"delete group $group", deleteKeys = Some(eps), bucketBy = Seq("endpoint_uuid"),
+        )
+      }
+      refreshEdgeIndexes(re)
+    }
+    remEpisodes.foreach { rp =>
+      if (store.exists("episode_entity_edges"))
+        store.mergeBucketed(
+          "episode_entity_edges", store.load("episode_entity_edges").limit(0), Seq("uuid"),
+          s"delete group $group", deleteKeys = Some(rp.select(col("uuid"))),
+        )
+      SearchIndexes.refreshText(
+        store, "episodes",
+        rp.select(col("uuid").as("id"), col("content").as("text")),
+        rp.limit(0).select(col("uuid").as("id"), col("content").as("text")),
+      )
+    }
+    remNodes.foreach { rn =>
+      SearchIndexes.refreshText(
+        store, "nodes",
+        rn.select(col("uuid").as("id"), col("name").as("text")),
+        rn.limit(0).select(col("uuid").as("id"), col("name").as("text")),
+      )
+    }
+    remCommunities.foreach { rc =>
+      SearchIndexes.refreshText(
+        store, "communities",
+        rc.select(col("uuid").as("id"), col("summary").as("text")),
+        rc.limit(0).select(col("uuid").as("id"), col("summary").as("text")),
+      )
+    }
+  }
+
+  /** Delete nodes by uuid, cascading to incident edges (delete_by_uuids).
+    * Work ∝ affected rows: the nodes/MENTIONS/stats deletes probe only the
+    * buckets holding the uuids, the edge cascade loads only the contention
+    * groups the endpoint index names (falling back to a scan when the
+    * index is absent), and the search indexes drop exactly the removed
+    * rows. Linking state (nodes_raw surfaces, uuid_map) is deliberately
+    * kept, mirroring the reference: re-asserting the entity re-creates the
+    * node under its established canonical id.
+    */
   def deleteNodesByUuids(uuids: Seq[String]): Unit = {
-    store.commit(store.load("nodes").filter(!col("uuid").isin(uuids: _*)), "nodes", "delete nodes")
-    store.commit(
-      store
-        .load("edges")
-        .filter(!col("source_uuid").isin(uuids: _*) && !col("target_uuid").isin(uuids: _*)),
-      "edges",
-      "cascade delete node edges",
+    import spark.implicits._
+    val keyDf = uuids.toDF("uuid")
+    val hitSrc = col("source_uuid").isin(uuids: _*)
+    val hitDst = col("target_uuid").isin(uuids: _*)
+    val groupKey = Seq("group_id", "source_uuid", "name")
+
+    val removedNodes = store.loadForKeys("nodes", keyDf, Seq("uuid")).localCheckpoint()
+    store.mergeBucketed(
+      "nodes", removedNodes.limit(0), Seq("uuid"), s"delete ${uuids.size} nodes",
+      deleteKeys = Some(keyDf),
     )
+
+    // edge cascade: groups holding a deleted endpoint, via the endpoint
+    // index when present; the surviving rows of those groups re-enter
+    val affectedGroups =
+      (if (store.exists("edge_endpoints"))
+         store.loadForKeys("edge_endpoints", keyDf.select(col("uuid").as("endpoint_uuid")), Seq("endpoint_uuid"))
+       else store.load("edges").filter(hitSrc || hitDst))
+        .select(groupKey.map(col): _*)
+        .distinct()
+        .localCheckpoint()
+    val stored = store.loadForKeys("edges", affectedGroups, groupKey).localCheckpoint()
+    val removedEdges = stored.filter(hitSrc || hitDst).localCheckpoint()
+    store.mergeBucketed(
+      "edges", stored.filter(!hitSrc && !hitDst), groupKey, "cascade delete node edges",
+      deleteKeys = Some(affectedGroups),
+    )
+    refreshEdgeIndexes(removedEdges)
+    dropFromEntityEdges(removedEdges)
+    SearchIndexes.refreshText(
+      store, "nodes",
+      removedNodes.select(col("uuid").as("id"), col("name").as("text")),
+      removedNodes.limit(0).select(col("uuid").as("id"), col("name").as("text")),
+    )
+    if (store.exists("node_stats"))
+      store.mergeBucketed(
+        "node_stats", store.load("node_stats").limit(0), Seq("cuuid"), "cascade delete node stats",
+        deleteKeys = Some(keyDf.select(col("uuid").as("cuuid"))),
+      )
+    // MENTIONS rows of the deleted entities (bucketed by entity_uuid)
+    if (store.exists("episodic_edges")) {
+      val stale = store
+        .loadForKeys("episodic_edges", keyDf.select(col("uuid").as("entity_uuid")), Seq("entity_uuid"))
+        .filter(col("entity_uuid").isin(uuids: _*))
+      store.mergeBucketed(
+        "episodic_edges", stale.limit(0), Seq("episode_uuid", "entity_uuid"),
+        "cascade delete node mentions",
+        deleteKeys = Some(stale.select(col("episode_uuid"), col("entity_uuid"))),
+        bucketBy = Seq("entity_uuid"),
+      )
+    }
   }
 
   def buildCommunities(): Unit = Communities.build(store)
+
+  /** Find communities similar to a query embedding
+    * (query_communities_by_embedding, huggingface_driver.py:696-720).
+    */
+  def communitiesByEmbedding(query: Array[Float], k: Int = 10, minScore: Double = 0.0): DataFrame =
+    Communities.byEmbedding(store, query, k, minScore)
+
+  // ------------------------------------------------------------------
+  // Entity-level temporal versioning (temporal_versioning,
+  // temporal_manager.py:1324-1410): create snapshots the entity's CURRENT
+  // node row as the next version; list returns the history. The
+  // reference's restore branch is literally "not implemented yet"
+  // (:1390-1395) — here it actually writes the versioned state back.
+  // Versions live in a bucketed `entity_versions` table keyed by
+  // (entity_uuid, version): create/list/restore probe only the entity's
+  // bucket, never scan the corpus.
+  // ------------------------------------------------------------------
+
+  /** Snapshot the entity's current node row as a new version. Returns the
+    * version number, or None if the entity does not exist.
+    */
+  def createEntityVersion(entityUuid: String, at: Timestamp): Option[Long] = {
+    import spark.implicits._
+    val key = Seq(entityUuid).toDF("entity_uuid")
+    // bucketed probe (nodes is uuid-bucketed once incremental ingest ran;
+    // degrades to scan+semi-join on a plain snapshot) — never a corpus scan
+    val node = store
+      .loadForKeys("nodes", Seq(entityUuid).toDF("uuid"), Seq("uuid"))
+      .filter(col("uuid") === entityUuid)
+    if (node.isEmpty) return None
+    val prior =
+      if (!store.exists("entity_versions")) 0L
+      else
+        store
+          .loadForKeys("entity_versions", key, Seq("entity_uuid"))
+          .agg(coalesce(max(col("version")), lit(0L)))
+          .collect()(0)
+          .getLong(0)
+    val next = prior + 1L
+    val row = node.select(
+      col("uuid").as("entity_uuid"),
+      lit(next).as("version"),
+      col("name"),
+      col("group_id"),
+      col("labels"),
+      col("summary"),
+      col("attributes"),
+      col("created_at"),
+      lit(at).as("versioned_at"),
+    )
+    store.mergeBucketed(
+      "entity_versions", row, Seq("entity_uuid", "version"),
+      s"version $next of $entityUuid", bucketBy = Seq("entity_uuid"),
+    )
+    Some(next)
+  }
+
+  /** Version history of an entity, oldest first (list action). */
+  def listEntityVersions(entityUuid: String): DataFrame = {
+    import spark.implicits._
+    if (!store.exists("entity_versions"))
+      return store.load("nodes").limit(0).select(
+        col("uuid").as("entity_uuid"), lit(0L).as("version"), col("name"), col("group_id"),
+        col("labels"), col("summary"), col("attributes"), col("created_at"),
+        col("created_at").as("versioned_at"),
+      )
+    store
+      .loadForKeys("entity_versions", Seq(entityUuid).toDF("entity_uuid"), Seq("entity_uuid"))
+      .filter(col("entity_uuid") === entityUuid)
+      .orderBy(col("version"))
+  }
+
+  /** Restore a stored version's state onto the live node row. Returns
+    * false when the version does not exist. created_at stays immutable
+    * (the reference never rewrites it); name/labels/summary/attributes
+    * roll back.
+    */
+  def restoreEntityVersion(entityUuid: String, version: Long): Boolean = {
+    import spark.implicits._
+    val v = listEntityVersions(entityUuid).filter(col("version") === version)
+    if (v.isEmpty) return false
+    val current = store
+      .loadForKeys("nodes", Seq(entityUuid).toDF("uuid"), Seq("uuid"))
+      .filter(col("uuid") === entityUuid)
+    if (current.isEmpty) return false
+    val restored = current
+      .drop("name", "labels", "summary", "attributes")
+      .join(
+        v.select(col("entity_uuid").as("uuid"), col("name"), col("labels"), col("summary"), col("attributes")),
+        Seq("uuid"),
+      )
+      .select(current.columns.map(col): _*)
+    store.mergeBucketed("nodes", restored, Seq("uuid"), s"restore $entityUuid to v$version")
+    true
+  }
 
   /** (Re)build the query-time search indexes (BM25 inverted index + ANN
     * signature buckets) from the current snapshots — the explicit analog
@@ -359,6 +689,45 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
 
   /** Graph state as of t (get_historical_state). */
   def historicalEdges(t: Timestamp): DataFrame = Invalidation.validAt(store.load("edges"), t)
+
+  /** Time-bounded text search (temporal_search, huggingface_driver.py:
+    * 2081-2132): records in the validity window whose fact/name CONTAINS
+    * the query (case-insensitive substring — the reference's matching
+    * rule, not BM25). With both bounds given, edges ride the month-bucket
+    * index probe; open bounds fall back to a direct filter. Deterministic
+    * (valid_at, uuid) order.
+    */
+  def temporalSearch(
+      query: String,
+      start: Option[Timestamp] = None,
+      end: Option[Timestamp] = None,
+      limit: Int = 10,
+      entityType: String = "edge",
+  ): DataFrame = {
+    require(Seq("edge", "node").contains(entityType), s"unknown entity type $entityType")
+    val q = query.toLowerCase
+    entityType match {
+      case "edge" =>
+        val ranged = (start, end) match {
+          case (Some(s), Some(e)) => edgesValidInRange(s, e)
+          case _ =>
+            var df = store.load("edges")
+            start.foreach(s => df = df.filter(col("valid_at") >= lit(s)))
+            end.foreach(e => df = df.filter(col("valid_at") < lit(e)))
+            df
+        }
+        val matched = if (q.isEmpty) ranged else ranged.filter(lower(col("fact")).contains(q))
+        matched.orderBy(col("valid_at"), col("uuid")).limit(limit)
+      case "node" =>
+        // nodes carry created_at only (the reference's node temporal
+        // records key on it)
+        var df = store.load("nodes")
+        start.foreach(s => df = df.filter(col("created_at") >= lit(s)))
+        end.foreach(e => df = df.filter(col("created_at") < lit(e)))
+        val matched = if (q.isEmpty) df else df.filter(lower(col("name")).contains(q))
+        matched.orderBy(col("created_at"), col("uuid")).limit(limit)
+    }
+  }
 
   /** Edges whose valid_at ∈ [from, to), probing the month-bucket temporal
     * index when built (performance_optimizer.py:424-511) — work ∝

@@ -84,6 +84,10 @@ object Communities {
         concat(lit("community:"), col("top_members")).as("name"),
         col("group_id"),
         col("top_members").as("summary"),
+        // the reference embeds every community's summary at build time
+        // (community_operations.py:125-131 name_embedding; the FAISS
+        // community_index over it, vector_search.py:36-189) — codegen'd
+        graft.functions.Functions.embedText(col("top_members")).as("summary_embedding"),
         col("n_members"),
       )
     store.commit(communities, "communities", "label-propagation communities")
@@ -97,6 +101,23 @@ object Communities {
       "community_edges",
       "community HAS_MEMBER entity",
     )
+  }
+
+  /** Cosine top-k over community summary embeddings —
+    * `query_communities_by_embedding` (huggingface_driver.py:696-720:
+    * FAISS semantic_search over the community index, threshold + k). The
+    * communities table is orders of magnitude smaller than nodes/edges
+    * (one row per cluster), so the right plan is a single scan with the
+    * codegen'd dot product — no index probe is ever the bottleneck here.
+    */
+  def byEmbedding(store: SnapshotStore, query: Array[Float], k: Int = 10, minScore: Double = 0.0): DataFrame = {
+    val q = typedLit(query.toSeq)
+    store
+      .load("communities")
+      .withColumn("score", graft.search.Vectors.cosine(col("summary_embedding"), q))
+      .filter(col("score") >= lit(minScore))
+      .orderBy(col("score").desc, col("uuid"))
+      .limit(k)
   }
 
   /** Community-structure statistics (analyze_community_structure,
