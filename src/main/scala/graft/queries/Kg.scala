@@ -211,6 +211,54 @@ object Kg {
       """),
     ),
 
+    // ---- temporal search (search_temporal, huggingface_driver.py:
+    // 2081-2132): valid_at ∈ [start, end) + case-insensitive substring
+    // over the fact sentence, ordered by valid_at, top-n. Same predicate
+    // contract as GraphitiSpark.temporalSearch (whose store/month-probe
+    // path VersioningSpec covers end-to-end); here the filter runs over
+    // the derived canonical edges so DuckDB can check it value-for-value.
+    // valid_at of a canonical edge = earliest assertion (adoption keeps
+    // the original valid_at, edge_operations.py:414-535). The tiebreak is
+    // (valid_at, subj, obj) — total over distinct lives_in facts — so the
+    // LIMIT boundary is deterministic on both sides. ----
+    QueryDef(
+      "kg_temporal_search",
+      (s, dir) => {
+        val t0 = lit("2024-01-01 06:00:00").cast("timestamp")
+        val t1 = lit("2024-01-01 18:00:00").cast("timestamp")
+        extractAll(s, dir)
+          .groupBy(col("subj"), col("pred"), col("obj"))
+          .agg(min(col("warc_ts")).as("valid_at"), first(col("fact")).as("fact"))
+          .filter(
+            col("valid_at") >= t0 && col("valid_at") < t1 &&
+              lower(col("fact")).contains("lives in"),
+          )
+          .orderBy(col("valid_at"), col("subj"), col("obj"))
+          .limit(50)
+          .select(col("subj"), col("obj"), col("fact"), col("valid_at"))
+      },
+      Some(s"""
+        SELECT subj, obj, fact, valid_at
+        FROM (
+          SELECT subj, pred, obj, min(warc_ts) AS valid_at,
+                 CASE pred
+                   WHEN 'lives_in' THEN subj || ' lives in ' || obj || '.'
+                   WHEN 'located_in' THEN subj || ' is located in ' || obj || '.'
+                   WHEN 'part_of' THEN subj || ' is part of ' || obj || '.'
+                   WHEN 'shops_in_segment' THEN subj || ' shops in the ' || obj || ' segment.'
+                   WHEN 'placed' THEN subj || ' placed order ' || obj || '.'
+                   WHEN 'supplies' THEN subj || ' supplies ' || obj || '.'
+                 END AS fact
+          FROM ($oracleTriples) t
+          GROUP BY 1, 2, 3
+        ) d
+        WHERE valid_at >= TIMESTAMP '2024-01-01 06:00:00'
+          AND valid_at <  TIMESTAMP '2024-01-01 18:00:00'
+          AND lower(fact) LIKE '%lives in%'
+        ORDER BY valid_at, subj, obj LIMIT 50
+      """),
+    ),
+
     // ---- mention extraction (extract_nodes / NER contract): mention
     // counts per entity type over the corpus ----
     QueryDef(
