@@ -158,41 +158,19 @@ object IncrementalIngest {
           .loadForKeys("episodes", episodes.select(col("uuid")), Seq("uuid"))
           .select(col("uuid").as("id"), col("content").as("text"))
       else episodes.select(col("uuid").as("id"), col("content").as("text")).limit(0)
-    // the merge (episodes) and the index refresh (episodes_postings/
-    // _bm25stats) write disjoint tables; oldEpisodeDocs pinned its version
-    // dirs at plan construction, so both run as concurrent jobs
-    timed("episodes merge+idx") {
-      graft.io.Concurrent.runAll(Seq(
-        () => { store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes"); () },
-        () =>
-          graft.search.SearchIndexes.refreshText(
-            store, "episodes", oldEpisodeDocs,
-            episodes.select(col("uuid").as("id"), col("content").as("text")),
-          ),
-      ))
-    }
-
     // raw triples for the new pages (single extraction pass, materialized
     // once — reused by surfaces / stats / edges below)
     val triples = Extract
       .triplesTs(spark, withText)
       .withColumn("group_id", lit(gid))
       .localCheckpoint()
-    // replace semantics per page: facts the new version no longer asserts
-    // are DELETED (the old rows are the delete keys), re-asserted facts are
-    // replaced by the update rows
-    store.mergeBucketed(
-      "raw_triples", triples, Seq("group_id", "url", "subj", "pred", "obj"),
-      s"incremental batch=$batchId triples",
-      deleteKeys = if (reIngest) Some(oldTriples.select("group_id", "url", "subj", "pred", "obj")) else None,
-    )
     // facts the re-ingested pages RETRACTED (asserted before, not now)
     val retractedTriples =
       if (reIngest)
         oldTriples.join(triples, Seq("group_id", "url", "subj", "pred", "obj"), "left_anti").localCheckpoint()
       else oldTriples
 
-    // new surfaces → nodes_raw merge (batch-sized)
+    // new surfaces (batch-sized)
     val surfaces = Extract
       .entityNodes(
         triples
@@ -202,13 +180,41 @@ object IncrementalIngest {
         gid,
       )
       .localCheckpoint()
-    timed("nodes_raw merge")(store.mergeBucketed("nodes_raw", surfaces, Seq("uuid"), s"incremental batch=$batchId nodes_raw"))
+    val newBlocks = Linking.blockingKeys(surfaces)
+
+    // ---- stage-A writes: five DISJOINT output tables whose inputs are
+    // all checkpointed (or, for oldEpisodeDocs, pinned to version dirs at
+    // plan construction) → one concurrent group instead of four serial
+    // commits. Linking below needs nodes_raw and node_blocks merged;
+    // nothing before the edge stage reads raw_triples or the episode
+    // postings, so every batch pays max(merge) here, not sum(merge).
+    timed("stage-A merges") {
+      graft.io.Concurrent.runAll(Seq(
+        () => { store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes"); () },
+        () =>
+          graft.search.SearchIndexes.refreshText(
+            store, "episodes", oldEpisodeDocs,
+            episodes.select(col("uuid").as("id"), col("content").as("text")),
+          ),
+        // replace semantics per page: facts the new version no longer
+        // asserts are DELETED (the old rows are the delete keys),
+        // re-asserted facts are replaced by the update rows
+        () => {
+          store.mergeBucketed(
+            "raw_triples", triples, Seq("group_id", "url", "subj", "pred", "obj"),
+            s"incremental batch=$batchId triples",
+            deleteKeys = if (reIngest) Some(oldTriples.select("group_id", "url", "subj", "pred", "obj")) else None,
+          )
+          ()
+        },
+        () => { store.mergeBucketed("nodes_raw", surfaces, Seq("uuid"), s"incremental batch=$batchId nodes_raw"); () },
+        () => { store.mergeBucketed("node_blocks", newBlocks, Seq("key", "uuid"), s"incremental batch=$batchId blocks", bucketBy = Seq("key")); () },
+      ))
+    }
 
     // ---- incremental linking: candidates = nodes sharing a blocking key
     // with the batch (node_blocks index probe); components = CC over
     // (new pairs ∪ the existing components they touch) ----
-    val newBlocks = Linking.blockingKeys(surfaces)
-    timed("node_blocks merge")(store.mergeBucketed("node_blocks", newBlocks, Seq("key", "uuid"), s"incremental batch=$batchId blocks", bucketBy = Seq("key")))
     val touchedKeys = newBlocks.select(col("key")).distinct()
     val candUuids = store
       .loadForKeys("node_blocks", touchedKeys, Seq("key"))
@@ -335,8 +341,6 @@ object IncrementalIngest {
     // created it); deletion rides deleteKeys = statKeys / nodeDelKeys
     val combined = combinedAll.filter(col("mention_count") > 0)
     val goneStats = combinedAll.filter(col("mention_count") <= 0).select(col("cuuid"))
-    timed("node_stats merge")(store.mergeBucketed("node_stats", combined, Seq("cuuid"), s"incremental batch=$batchId node_stats", deleteKeys = Some(statKeys)))
-
     // rebuild node rows ONLY for canonicals whose stats or membership
     // changed; members that stopped being canonical are deleted
     val rebuiltNodes = store
@@ -363,43 +367,7 @@ object IncrementalIngest {
           .select(col("uuid").as("id"), col("name").as("text"))
           .localCheckpoint()
       else rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")).limit(0)
-    // disjoint outputs (nodes vs nodes_postings/_bm25stats) → concurrent
-    timed("nodes merge+idx") {
-      graft.io.Concurrent.runAll(Seq(
-        () => {
-          store.mergeBucketed(
-            "nodes", rebuiltNodes, Seq("uuid"), s"incremental batch=$batchId nodes",
-            deleteKeys = Some(nodeDelKeys),
-          )
-          ()
-        },
-        () =>
-          graft.search.SearchIndexes.refreshText(
-            store, "nodes", oldNodeDocs,
-            rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")),
-          ),
-      ))
-    }
 
-    // ---- episodic MENTIONS edges: remap only rows whose entity's
-    // canonical changed (entity_uuid-bucketed probe), then merge the
-    // batch's mentions (same shape as bulk stage 7) ----
-    if (store.exists("episodic_edges") && !delta.isEmpty) {
-      val stale = store
-        .loadForKeys("episodic_edges", delta.select(col("uuid").as("entity_uuid")), Seq("entity_uuid"))
-        .localCheckpoint()
-      val remapped = stale
-        .join(broadcast(delta), stale("entity_uuid") === delta("uuid"), "inner")
-        .withColumn("entity_uuid", col("canonical"))
-        .drop("uuid", "canonical")
-        .dropDuplicates("episode_uuid", "entity_uuid")
-      store.mergeBucketed(
-        "episodic_edges", remapped, Seq("episode_uuid", "entity_uuid"),
-        s"incremental batch=$batchId remap mentions",
-        deleteKeys = Some(stale.select(col("episode_uuid"), col("entity_uuid"))),
-        bucketBy = Seq("entity_uuid"),
-      )
-    }
     val mentionRows = triples
       .select(col("url"), explode(array(col("subj"), col("obj"))).as("name"))
       .distinct()
@@ -430,12 +398,6 @@ object IncrementalIngest {
             .select(md5(concat(lit(s"ep|$gid|"), col("url"))).as("episode_uuid"), col("entity_uuid"))
             .distinct(),
         )
-    store.mergeBucketed(
-      "episodic_edges", mentionRows, Seq("episode_uuid", "entity_uuid"),
-      s"incremental batch=$batchId mentions",
-      deleteKeys = oldMentionKeys,
-      bucketBy = Seq("entity_uuid"),
-    )
 
     // ---- edges: rebuild only affected contention groups ----
     val newRawBase = triples.select(
@@ -467,7 +429,63 @@ object IncrementalIngest {
         )
         canonicalNow(canonicalNow(base, "source_uuid"), "target_uuid").localCheckpoint()
       }
-    val rebuilt = timed("mergeEdges total")(mergeEdges(store, newRaw, batchId, delta, retractedKeyed, gid))
+
+    // ---- stage-B writes: node_stats / nodes / nodes_postings /
+    // episodic_edges / the whole edge stage write DISJOINT table sets and
+    // read only checkpointed frames, pre-group version-pinned probes, or
+    // tables merged in earlier stages (nodes_raw, uuid_map_by_uuid,
+    // episodes) → one concurrent group. mergeEdges runs its own inner
+    // concurrent group (fresh pool per runAll, so nesting cannot
+    // deadlock). The two episodic_edges merges stay ORDERED inside one
+    // task: oldMentionKeys' delete keys are canonical-NOW, which is only
+    // what the stored rows hold after the remap pass re-keys them.
+    var rebuilt: DataFrame = null
+    timed("stage-B merges") {
+      graft.io.Concurrent.runAll(Seq(
+        () => { store.mergeBucketed("node_stats", combined, Seq("cuuid"), s"incremental batch=$batchId node_stats", deleteKeys = Some(statKeys)); () },
+        () => {
+          store.mergeBucketed(
+            "nodes", rebuiltNodes, Seq("uuid"), s"incremental batch=$batchId nodes",
+            deleteKeys = Some(nodeDelKeys),
+          )
+          ()
+        },
+        () =>
+          graft.search.SearchIndexes.refreshText(
+            store, "nodes", oldNodeDocs,
+            rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")),
+          ),
+        // episodic MENTIONS edges: remap only rows whose entity's
+        // canonical changed (entity_uuid-bucketed probe), then merge the
+        // batch's mentions (same shape as bulk stage 7)
+        () => {
+          if (store.exists("episodic_edges") && !delta.isEmpty) {
+            val stale = store
+              .loadForKeys("episodic_edges", delta.select(col("uuid").as("entity_uuid")), Seq("entity_uuid"))
+              .localCheckpoint()
+            val remapped = stale
+              .join(broadcast(delta), stale("entity_uuid") === delta("uuid"), "inner")
+              .withColumn("entity_uuid", col("canonical"))
+              .drop("uuid", "canonical")
+              .dropDuplicates("episode_uuid", "entity_uuid")
+            store.mergeBucketed(
+              "episodic_edges", remapped, Seq("episode_uuid", "entity_uuid"),
+              s"incremental batch=$batchId remap mentions",
+              deleteKeys = Some(stale.select(col("episode_uuid"), col("entity_uuid"))),
+              bucketBy = Seq("entity_uuid"),
+            )
+          }
+          store.mergeBucketed(
+            "episodic_edges", mentionRows, Seq("episode_uuid", "entity_uuid"),
+            s"incremental batch=$batchId mentions",
+            deleteKeys = oldMentionKeys,
+            bucketBy = Seq("entity_uuid"),
+          )
+          ()
+        },
+        () => { rebuilt = mergeEdges(store, newRaw, batchId, delta, retractedKeyed, gid); () },
+      ))
+    }
 
     // entity_edges rows for every episode cited by replaced/rebuilt edges
     // are patched inside mergeEdges (uuid changes from remaps/retractions
