@@ -156,6 +156,11 @@ object Bench {
     cleanBenchTmp()
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // the kg_* queries share one memoized extraction (their stand-in for
+    // the committed raw_triples snapshot) — materialize it untimed so its
+    // one-time cost isn't billed to the alphabetically-first kg_* query
+    try graft.queries.Kg.warm(spark, sfDir)
+    catch { case _: Throwable => () }
     val (calibSt, calibMt) = calibrate(spark)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
