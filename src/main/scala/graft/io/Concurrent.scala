@@ -12,8 +12,14 @@ package graft.io
   */
 object Concurrent {
 
+  /** Test hook: force every group sequential (the SPARK_GRAFT_SEQ=1 code
+    * path) so suites can compare a concurrent schedule against the same
+    * schedule run serial within one JVM.
+    */
+  @volatile private[graft] var forceSequential: Boolean = false
+
   def runAll(tasks: Seq[() => Unit]): Unit =
-    if (tasks.sizeIs <= 1 || sys.env.get("SPARK_GRAFT_SEQ").contains("1")) tasks.foreach(_())
+    if (tasks.sizeIs <= 1 || forceSequential || sys.env.get("SPARK_GRAFT_SEQ").contains("1")) tasks.foreach(_())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
       try {
