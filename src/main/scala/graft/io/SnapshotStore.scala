@@ -531,6 +531,20 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       .filter(_.startsWith("__bucket="))
       .map(_.stripPrefix("__bucket=").toInt)
 
+  /** Drop one table entirely (every version + pointer). Used by derived
+    * tables that can be rebuilt from the primaries (search indexes —
+    * `delete_all_indexes`); primaries have `deleteGroup`/rollback for
+    * data lifecycle.
+    */
+  def deleteTable(table: String): Unit = {
+    val dir = tableDir(table)
+    if (Files.isDirectory(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   /** Delete the whole store directory tree (bench/test cleanup of
     * throwaway tmpfs stores — NOT a data-lifecycle operation; tables have
     * `deleteGroup`/rollback for that).

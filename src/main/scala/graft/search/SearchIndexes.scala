@@ -375,6 +375,19 @@ object SearchIndexes {
       .filter(col("valid_at") >= lit(from) && col("valid_at") < lit(to))
   }
 
+  /** Drop every derived search index (and its delta log) —
+    * `delete_all_indexes` (`huggingface_driver.py`): the primaries stay,
+    * `build` recreates everything from them. Queries over a store without
+    * indexes fall back to direct scans, so this is safe at any time.
+    */
+  def deleteAll(store: SnapshotStore): Unit =
+    (TextSurfaces.flatMap { case (t, _, _) => Seq(s"${t}_postings", s"${t}_bm25stats") } ++
+      Seq("edge_ann", "graph_adj", "graph_degrees", "edge_months"))
+      .foreach { t =>
+        graft.io.DeltaLog.clear(store, t)
+        store.deleteTable(t)
+      }
+
   /** One row per committed index with its size and version — the
     * `get_index_statistics` surface (`performance_optimizer.py:733-787`).
     */

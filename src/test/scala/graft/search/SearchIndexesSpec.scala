@@ -234,6 +234,19 @@ class SearchIndexesSpec extends AnyFunSuite {
     assert(stats("graph_adj") > 0 && stats("edge_months") > 0)
   }
 
+  test("deleteAll drops every index; build recreates the same content") {
+    val s = new SnapshotStore(spark, Files.createTempDirectory("gidxdel").toString)
+    new KgPipeline(s).run(Fixtures.pagesDf(), "fixture-v1")
+    SearchIndexes.build(s)
+    val before = s.load("edges_postings").collect().map(_.toString).toSet
+    assert(before.nonEmpty)
+    SearchIndexes.deleteAll(s)
+    assert(SearchIndexes.statistics(s).collect().isEmpty, "an index survived deleteAll")
+    assert(s.exists("edges"), "deleteAll must not touch the primaries")
+    SearchIndexes.build(s)
+    assert(s.load("edges_postings").collect().map(_.toString).toSet == before)
+  }
+
   test("degreeCentrality = degree/(n-1)") {
     val d = SearchIndexes.degreeCentrality(store).collect()
     val n = d.length
