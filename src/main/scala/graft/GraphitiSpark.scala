@@ -657,6 +657,35 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
       config: KgSearchConfig = KgSearchConfig(),
   ): DataFrame = searcher.searchEdges(query, originNode, asOf, config)
 
+  /** Weighted hybrid search (search_hybrid, huggingface_driver.py:
+    * 1092-1136): semantic + keyword + optional center-node graph lanes,
+    * min-max normalized, weight-fused.
+    */
+  def searchHybrid(
+      query: String,
+      config: graft.search.HybridSearch.HybridConfig = graft.search.HybridSearch.HybridConfig(),
+  ): DataFrame = graft.search.HybridSearch.hybridSearch(store, query, config)
+
+  /** search_with_center (huggingface_driver.py:1137-1191) — fails fast on
+    * an unknown center node.
+    */
+  def searchWithCenter(
+      query: String,
+      centerNode: String,
+      config: graft.search.HybridSearch.HybridConfig = graft.search.HybridSearch.HybridConfig(),
+  ): DataFrame = graft.search.HybridSearch.searchWithCenter(store, query, centerNode, config)
+
+  /** batch_search_hybrid (huggingface_driver.py:1192-1236): every query in
+    * ONE distributed job (the reference loops hybrid_search per query).
+    */
+  def batchSearchHybrid(
+      queries: Seq[(Long, String)],
+      config: graft.search.HybridSearch.HybridConfig = graft.search.HybridSearch.HybridConfig(),
+  ): DataFrame = graft.search.HybridSearch.batchHybridSearch(store, queries, config)
+
+  /** get_hybrid_search_stats (huggingface_driver.py:1237-1245). */
+  def hybridSearchStats: DataFrame = graft.search.HybridSearch.stats(store)
+
   /** Episode retrieval window (retrieve_episodes,
     * graph_data_operations.py:122-181): last n episodes with
     * valid_at <= referenceTime.

@@ -13,6 +13,14 @@ object Search {
 
   private val QueryTerms = Seq("spark", "join", "filter")
 
+  // three batch queries sharing one term ('filter') — exercises the
+  // per-term fan-out and the corpus-global df
+  private val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("spark", "join")),
+    (2L, Seq("filter", "shuffle")),
+    (3L, Seq("filter", "partition", "broadcast")),
+  )
+
   /** DuckDB oracle for `q_mmr`: the λ=0.5 greedy MMR selection unrolled into
     * 10 explicit steps (DuckDB 1.x cannot evaluate the recursive/correlated
     * form — "Expression with depth > 1 detected in non-lateral join").
@@ -85,6 +93,36 @@ object Search {
         SELECT id, round(score, 6) AS score
         FROM (${Bm25.oracleSql("documents", "doc_id", "text", QueryTerms)}) b
         ORDER BY score DESC, id LIMIT 20
+      """),
+    ),
+
+    // ---- batch BM25 (batch_hybrid_search keyword lane, hybrid_search.py:
+    // 417-442): three queries scored in ONE corpus pass — terms broadcast
+    // into a single scan, per-query top-10 via a window PARTITIONED BY
+    // query_id (adding queries adds partitions, not passes) ----
+    QueryDef(
+      "q_batch_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val qt = BatchQueries
+          .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+          .toDF("query_id", "term")
+        val scored = Bm25.scoreBatch(T.load(s, dir, "documents"), "doc_id", "text", qt)
+        val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+        scored
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("id"), round(col("score"), 6).as("score"))
+          .orderBy(col("query_id"), col("score").desc, col("id"))
+      },
+      Some(s"""
+        SELECT query_id, id, round(score, 6) AS score
+        FROM (
+          SELECT query_id, id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rnk
+          FROM (${Bm25.oracleSqlBatch("documents", "doc_id", "text", BatchQueries)}) b)
+        WHERE rnk <= 10
+        ORDER BY query_id, score DESC, id
       """),
     ),
 

@@ -106,6 +106,44 @@ object Bm25 {
       coalesce(sum(size(split(lower(col("text")), " "))), lit(0L)).as("total_dl"),
     )
 
+  /** Batch form of [[score]]: every query scored in ONE corpus pass — the
+    * Spark-first re-expression of `batch_hybrid_search`'s per-query loop
+    * (`hybrid_search.py:417-442` runs `hybrid_search` once per query over
+    * the same in-memory index). `queryTerms` is the request-sized
+    * (query_id, term) relation (distinct terms per query, matching the
+    * single-query contract); it is broadcast into the scan, so tf/df/dl
+    * are computed once and fanned out to the queries that asked for each
+    * term. Shuffles are keyed (query_id, id) — adding queries adds
+    * balanced partitions, not passes. Returns (query_id, id, score).
+    */
+  def scoreBatch(docs: DataFrame, idCol: String, textCol: String, queryTerms: DataFrame): DataFrame = {
+    val qt = queryTerms.select(col("query_id"), col("term")).distinct()
+    val terms = qt.select(col("term")).distinct()
+    val base = docs.select(col(idCol).as("id"), graft.functions.Functions.tokenCounts(col(textCol)).as("tc"))
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(split(lower(col(textCol)), " "))).as("avgdl"),
+    )
+    // one row per (doc, distinct term); the broadcast term join prunes
+    // non-query tokens map-side before anything shuffles
+    val tf = base
+      .select(col("id"), col("tc.dl").as("dl"), explode(col("tc.counts")).as(Seq("term", "tf")))
+      .join(broadcast(terms), Seq("term"))
+      .withColumn("tf", col("tf").cast("long"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .join(broadcast(qt), Seq("term")) // fan out to every query containing the term
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(
+        "w",
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))),
+      )
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("w")).as("score"))
+  }
+
   /** Score from a probed posting set (same formula as [[score]], corpus
     * stats injected instead of recomputed — identical results when the
     * index matches the corpus).
@@ -120,6 +158,22 @@ object Bm25 {
           (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))),
       )
       .groupBy(col("id"))
+      .agg(sum(col("w")).as("score"))
+
+  /** Batch probe of a posting set: same formula as [[scoreIndexed]] with
+    * the (query_id, term) fan-out of [[scoreBatch]]. `probed` must already
+    * be restricted to the union of the queries' terms (postingsForTerms).
+    */
+  def scoreIndexedBatch(probed: DataFrame, nDocs: Long, avgdl: Double, queryTerms: DataFrame): DataFrame =
+    probed
+      .join(broadcast(queryTerms.select(col("query_id"), col("term")).distinct()), Seq("term"))
+      .withColumn("idf", log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(
+        "w",
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))),
+      )
+      .groupBy(col("query_id"), col("id"))
       .agg(sum(col("w")).as("score"))
 
   /** The same formula as a DuckDB SQL oracle over table `tbl`. */
@@ -142,6 +196,35 @@ object Bm25 {
                / (tf.tf + $K1 * (${1.0 - B} + $B * tf.dl / c.avgdl))) AS score
     FROM tf JOIN dfreq d ON tf.term = d.term, corpus c
     GROUP BY tf.id
+    """
+  }
+
+  /** Batch oracle: [[oracleSql]] with a (query_id, term) VALUES relation.
+    * df stays corpus-global per term (as in the engine), so scores for a
+    * term are identical across queries.
+    */
+  def oracleSqlBatch(tbl: String, idCol: String, textCol: String, queries: Seq[(Long, Seq[String])]): String = {
+    val qtValues = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""
+    WITH qt(query_id, term) AS (VALUES $qtValues),
+    toks AS (
+      SELECT $idCol AS id, string_split(lower($textCol), ' ') AS tokens FROM $tbl),
+    lens AS (SELECT id, len(tokens) AS dl FROM toks),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT t.id, l.dl, u.term, count(*) AS tf
+      FROM toks t JOIN lens l ON t.id = l.id, unnest(t.tokens) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY t.id, l.dl, u.term),
+    dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term)
+    SELECT qt.query_id, tf.id,
+           sum(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ${K1 + 1.0})
+               / (tf.tf + $K1 * (${1.0 - B} + $B * tf.dl / c.avgdl))) AS score
+    FROM tf JOIN dfreq d ON tf.term = d.term JOIN qt ON qt.term = tf.term, corpus c
+    GROUP BY qt.query_id, tf.id
     """
   }
 }
