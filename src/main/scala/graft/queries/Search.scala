@@ -226,9 +226,10 @@ object Search {
           .join(kw, Seq("id"), "full_outer")
           .join(aux, Seq("id"), "full_outer")
           .na.fill(0.0, Seq("sem_raw", "kw_raw", "aux_raw"))
-        val n1 = Rerank.minMax(joined, "sem_raw", "sem")
-        val n2 = Rerank.minMax(n1, "kw_raw", "kw")
-        val n3 = Rerank.minMax(n2, "aux_raw", "aux")
+        val n3 = Rerank.minMaxAll(
+          joined,
+          Seq("sem_raw" -> "sem", "kw_raw" -> "kw", "aux_raw" -> "aux"),
+        )
         n3.withColumn(
           "score",
           round(lit(0.4) * col("sem") + lit(0.3) * col("kw") + lit(0.3) * col("aux"), 6),

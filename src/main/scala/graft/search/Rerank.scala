@@ -36,6 +36,29 @@ object Rerank {
       .drop("__mn", "__mx")
   }
 
+  /** [[minMax]] over SEVERAL score columns in ONE aggregate pass.
+    * Chaining single-column minMax calls re-evaluates the whole upstream
+    * plan once per column (each stats agg is its own job over the full
+    * input — for hybrid fusion that upstream is a BM25 corpus pass plus a
+    * cosine pass); here all min/max pairs ride one 1-row aggregate and one
+    * broadcast join. `cols` maps input column → normalized output column.
+    */
+  def minMaxAll(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val aggs = cols.flatMap { case (in, _) =>
+      Seq(min(col(in)).as(s"__mn_$in"), max(col(in)).as(s"__mx_$in"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    cols
+      .foldLeft(df.crossJoin(broadcast(stats))) { case (acc, (in, out)) =>
+        acc.withColumn(
+          out,
+          when(col(s"__mx_$in") === col(s"__mn_$in"), lit(0.0))
+            .otherwise((col(in) - col(s"__mn_$in")) / (col(s"__mx_$in") - col(s"__mn_$in"))),
+        )
+      }
+      .drop(cols.flatMap { case (in, _) => Seq(s"__mn_$in", s"__mx_$in") }: _*)
+  }
+
   /** Maximal-marginal-relevance greedy selection
     * (`search_utils.py:1972-2010`): iteratively pick
     * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). Driver-side over

@@ -25,6 +25,22 @@ class RerankSpec extends AnyFunSuite {
     assert(Rerank.minMax(const, "s", "n").collect().forall(_.getAs[Double]("n") == 0.0))
   }
 
+  test("minMaxAll == chained single-column minMax (one stats pass)") {
+    val df = Seq(
+      (1L, 2.0, 10.0, 7.0),
+      (2L, 4.0, 10.0, 3.0),
+      (3L, 6.0, 10.0, 5.0),
+    ).toDF("id", "a_raw", "b_raw", "c_raw")
+    val chained =
+      Rerank.minMax(Rerank.minMax(Rerank.minMax(df, "a_raw", "a"), "b_raw", "b"), "c_raw", "c")
+    val fused = Rerank.minMaxAll(df, Seq("a_raw" -> "a", "b_raw" -> "b", "c_raw" -> "c"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("id"), r.getAs[Double]("a"), r.getAs[Double]("b"), r.getAs[Double]("c"))
+    assert(fused.collect().map(key).sortBy(_._1).toSeq == chained.collect().map(key).sortBy(_._1).toSeq)
+    // constant column (b_raw) maps to 0 in both forms
+    assert(fused.collect().forall(_.getAs[Double]("b") == 0.0))
+  }
+
   test("mmr: first pick is max relevance; diversification avoids near-dup") {
     val e1 = Array(1.0, 0.0)
     val e1b = Array(0.999, 0.01) // near-duplicate of e1
