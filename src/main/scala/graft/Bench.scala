@@ -163,8 +163,17 @@ object Bench {
     catch { case _: Throwable => () }
     val (calibSt, calibMt) = calibrate(spark)
 
+    // dev-only targeted timing: SPARK_GRAFT_QUERY_FILTER=substr[,substr..]
+    // limits the sweep to matching queries and SKIPS the pipeline/index/
+    // incremental phases and the BENCH_DETAIL.json write (a filtered run
+    // must never masquerade as a full bench)
+    val queryFilter: Option[String => Boolean] =
+      sys.env.get("SPARK_GRAFT_QUERY_FILTER").map { pats =>
+        val ps = pats.split(","); (n: String) => ps.exists(n.contains)
+      }
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => queryFilter.forall(_(kv._1))).foreach { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -177,6 +186,13 @@ object Bench {
       // same discipline as the pipeline reps and ScalingBench
       val t1 = once()
       results(name) = if (t1 < 5.0) math.min(t1, once()) else t1
+    }
+
+    if (queryFilter.isDefined) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      spark.stop()
+      println(s"""{"metric":"filtered","queries":$qs,"calib":{"st_sec":$calibSt,"mt_sec":$calibMt}}""")
+      return
     }
 
     // core pipeline (same boundaries as round 1: pages → canonical graph),
