@@ -128,6 +128,20 @@ object Deduplicator {
     least(factTerm + embTerm + epTerm + vTerm, lit(1.0))
   }
 
+  /** Embedding-LSH signature + attribute (key, value) block keys of an
+    * entity table — the extra blocks used when non-text weights alone can
+    * cross the threshold. (uuid, key) with disjoint key namespaces.
+    */
+  private def entityExtraBlockKeys(nodes: DataFrame): DataFrame = {
+    val sig = nodes
+      .filter(size(col("name_embedding")) > 0)
+      .select(col("uuid"), concat(lit("sig:"), graft.sim.Ann.signatureCol(col("name_embedding"))).as("key"))
+    val attrs = nodes
+      .select(col("uuid"), explode(coalesce(col("attributes"), map().cast("map<string,string>"))).as(Seq("k", "v")))
+      .select(col("uuid"), concat(lit("kv:"), col("k"), lit("="), col("v")).as("key"))
+    sig.unionByName(attrs)
+  }
+
   /** Candidate duplicate entity pairs with their weighted similarity:
     * (u1, u2, similarity), u1 < u2, similarity ≥ threshold. Blocking =
     * shared name token ∪ (when the config's non-text weights alone could
@@ -159,16 +173,20 @@ object Deduplicator {
       if (cfg.embeddingWeight + cfg.attributeWeight < cfg.similarityThreshold) overlap
       else {
         // non-text terms alone can cross the threshold: add an embedding
-        // block so token-disjoint near-identical vectors still collide
-        val sig = nodes
-          .filter(size(col("name_embedding")) > 0)
-          .select(col("uuid"), graft.sim.Ann.signatureCol(col("name_embedding")).as("sig"))
-        val sigPairs = sig
-          .select(col("sig"), col("uuid").as("u1"))
-          .join(sig.select(col("sig"), col("uuid").as("u2")), Seq("sig"))
+        // block (token-disjoint near-identical vectors; approximate LSH,
+        // as disclosed) AND an attribute block — attributeSim > 0 requires
+        // a shared (key, value) entry, so blocking on entries is
+        // recall-EXACT for the attribute term (without it, two
+        // token-disjoint empty-embedding nodes with identical attributes
+        // could cross the threshold yet never become a candidate)
+        val keyed = entityExtraBlockKeys(nodes)
+        val extraPairs = keyed
+          .select(col("key"), col("uuid").as("u1"))
+          .join(keyed.select(col("key"), col("uuid").as("u2")), Seq("key"))
           .filter(col("u1") < col("u2"))
           .select(col("u1"), col("u2"))
-        overlap.join(sigPairs, Seq("u1", "u2"), "full_outer").na.fill(0L, Seq("c"))
+          .dropDuplicates("u1", "u2")
+        overlap.join(extraPairs, Seq("u1", "u2"), "full_outer").na.fill(0L, Seq("c"))
       }
     val nameSim = col("c").cast("double") / sqrt(col("n1").cast("double") * col("n2").cast("double"))
     val score =
@@ -286,8 +304,11 @@ object Deduplicator {
     * duplicate component pass through untouched; each component collapses
     * to one row by the configured strategy.
     */
-  def deduplicateEntities(nodes: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DedupResult = {
-    val pairs = duplicateEntityPairs(nodes, cfg).persist()
+  def deduplicateEntities(nodes: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DedupResult =
+    resolveEntities(nodes, duplicateEntityPairs(nodes, cfg), cfg)
+
+  private def resolveEntities(nodes: DataFrame, pairs0: DataFrame, cfg: DeduplicationConfig): DedupResult = {
+    val pairs = pairs0.persist()
     val nPairs = pairs.count()
     if (nPairs == 0) { pairs.unpersist(); return DedupResult(nodes, 0, 0, 0) }
 
@@ -346,10 +367,15 @@ object Deduplicator {
           )
     }
 
-    val untouched = nodes.join(ranked.select("uuid"), Seq("uuid"), "left_anti")
-    val resolved = untouched.unionByName(resolvedDupes.select(nodes.columns.map(col): _*))
+    // checkpoint the two component-sized frames the returned plan needs
+    // BEFORE unpersisting — otherwise the caller's first action on
+    // `resolved` recomputes the candidate self-join and window ranking
+    // from scratch and the persists were pure overhead
+    val memberIds = ranked.select("uuid").localCheckpoint()
+    val dupesOut = resolvedDupes.select(nodes.columns.map(col): _*).localCheckpoint()
     pairs.unpersist()
     ranked.unpersist()
+    val resolved = nodes.join(memberIds, Seq("uuid"), "left_anti").unionByName(dupesOut)
     DedupResult(resolved, nPairs, nMembers - nComponents, nComponents)
   }
 
@@ -357,8 +383,11 @@ object Deduplicator {
     * merge combines facts with " | " (member order), unions episodes, and
     * keeps the earliest created_at (deduplicator.py:631-667).
     */
-  def deduplicateEdges(edges: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DedupResult = {
-    val pairs = duplicateEdgePairs(edges, cfg).persist()
+  def deduplicateEdges(edges: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DedupResult =
+    resolveEdges(edges, duplicateEdgePairs(edges, cfg), cfg)
+
+  private def resolveEdges(edges: DataFrame, pairs0: DataFrame, cfg: DeduplicationConfig): DedupResult = {
+    val pairs = pairs0.persist()
     val nPairs = pairs.count()
     if (nPairs == 0) { pairs.unpersist(); return DedupResult(edges, 0, 0, 0) }
 
@@ -401,18 +430,54 @@ object Deduplicator {
         )
     }
 
-    val untouched = edges.join(ranked.select("uuid"), Seq("uuid"), "left_anti")
-    val resolved = untouched.unionByName(resolvedDupes.select(edges.columns.map(col): _*))
+    // same checkpoint-before-unpersist discipline as [[resolveEntities]]
+    val memberIds = ranked.select("uuid").localCheckpoint()
+    val dupesOut = resolvedDupes.select(edges.columns.map(col): _*).localCheckpoint()
     pairs.unpersist()
     ranked.unpersist()
+    val resolved = edges.join(memberIds, Seq("uuid"), "left_anti").unionByName(dupesOut)
     DedupResult(resolved, nPairs, nMembers - nComponents, nComponents)
   }
 
+  /** ALL blocking keys a row can pair through — used only to SCOPE the
+    * incremental corpus side, so a recall superset is fine (token keys are
+    * the full token set, not the prefix-filtered one).
+    */
+  private def entityAllBlockKeys(nodes: DataFrame, cfg: DeduplicationConfig): DataFrame = {
+    val tok = nodes.select(col("uuid"), explode(tokens(col("name"))).as("key"))
+    if (cfg.embeddingWeight + cfg.attributeWeight < cfg.similarityThreshold) tok
+    else tok.unionByName(entityExtraBlockKeys(nodes))
+  }
+
+  private def edgeAllBlockKeys(edges: DataFrame, cfg: DeduplicationConfig): DataFrame = {
+    val tok = edges.select(col("uuid"), explode(tokens(col("fact"))).as("key"))
+    val structural = edges.select(
+      col("uuid"),
+      concat(lit("st:"), col("source_uuid"), lit("->"), col("target_uuid")).as("key"),
+    )
+    val sig =
+      if (cfg.embeddingWeight < cfg.similarityThreshold) tok.limit(0)
+      else
+        edges
+          .filter(size(coalesce(col("fact_embedding"), array().cast("array<float>"))) > 0)
+          .select(col("uuid"), concat(lit("sig:"), graft.sim.Ann.signatureCol(col("fact_embedding"))).as("key"))
+    tok.unionByName(structural).unionByName(sig)
+  }
+
   /** Incremental form (deduplicate_incremental, deduplicator.py:155-204):
-    * dedupe new items against the existing table. Existing rows sort
-    * before new ones in the component order whenever their created_at is
-    * earlier (the usual case), so resolution prefers the established row;
-    * rows of `existing` untouched by any duplicate pass through verbatim.
+    * dedupe NEW items against the existing table — truly incremental:
+    *
+    *  - the corpus side is scoped to existing rows sharing a blocking key
+    *    with the batch (recall-safe superset of every candidate's block),
+    *    so candidate generation costs ∝ batch × matching blocks, never a
+    *    corpus-wide self-join per call;
+    *  - only pairs touching the batch are kept, so two PRE-EXISTING rows
+    *    are never merged by an incremental call (the reference dedupes
+    *    new items against existing, not existing against itself);
+    *  - existing rows sort before new ones in the component order
+    *    whenever their created_at is earlier (the usual case), so
+    *    resolution prefers the established row; rows of `existing`
+    *    untouched by any duplicate pass through verbatim.
     */
   def deduplicateIncremental(
       existing: DataFrame,
@@ -421,6 +486,21 @@ object Deduplicator {
       edges: Boolean = false,
   ): DedupResult = {
     val all = existing.unionByName(incoming)
-    if (edges) deduplicateEdges(all, cfg) else deduplicateEntities(all, cfg)
+    val keysOf: DataFrame => DataFrame =
+      if (edges) edgeAllBlockKeys(_, cfg) else entityAllBlockKeys(_, cfg)
+    val batchKeys = keysOf(incoming).select(col("key")).distinct().localCheckpoint()
+    val touchedExisting = existing.join(
+      keysOf(existing).join(batchKeys, Seq("key"), "left_semi").select(col("uuid")).distinct(),
+      Seq("uuid"),
+      "left_semi",
+    )
+    val scoped = touchedExisting.unionByName(incoming)
+    val allPairs = if (edges) duplicateEdgePairs(scoped, cfg) else duplicateEntityPairs(scoped, cfg)
+    val incIds = incoming.select(col("uuid")).localCheckpoint()
+    val batchPairs = allPairs
+      .join(incIds.withColumnRenamed("uuid", "u1"), Seq("u1"), "left_semi")
+      .unionByName(allPairs.join(incIds.withColumnRenamed("uuid", "u2"), Seq("u2"), "left_semi"))
+      .dropDuplicates("u1", "u2")
+    if (edges) resolveEdges(all, batchPairs, cfg) else resolveEntities(all, batchPairs, cfg)
   }
 }

@@ -135,34 +135,42 @@ final class Branches(store: SnapshotStore) {
       case "auto" =>
         (src.join(conflictIds, src("uuid") === conflictIds("__u"), "left_semi"), nConflicts)
       case "timestamp" =>
-        val sj = src.join(conflictIds, src("uuid") === conflictIds("__u"), "left_semi")
-        val tj = tgt.join(conflictIds, tgt("uuid") === conflictIds("__u"), "left_semi")
-        val later = sj
-          .select(col("uuid"), col("created_at").as("__sc"))
-          .join(tj.select(col("uuid"), col("created_at").as("__tc")), Seq("uuid"))
-          .select(col("uuid"), (col("__sc") >= col("__tc")).as("__srcWins"))
-        val w = sj.join(later.filter(col("__srcWins")).select("uuid"), Seq("uuid"), "left_semi")
-          .unionByName(tj.join(later.filter(!col("__srcWins")).select("uuid"), Seq("uuid"), "left_semi"))
-        (w, nConflicts)
+        if (!src.columns.contains("created_at"))
+          (src.join(conflictIds, src("uuid") === conflictIds("__u"), "left_semi"), nConflicts)
+        else
+          (resolveByColumn(src, tgt, conflictIds, "created_at"), nConflicts)
       case "priority" =>
         if (!src.columns.contains("priority"))
           (src.join(conflictIds, src("uuid") === conflictIds("__u"), "left_semi"), nConflicts)
-        else {
-          val sj = src.join(conflictIds, src("uuid") === conflictIds("__u"), "left_semi")
-          val tj = tgt.join(conflictIds, tgt("uuid") === conflictIds("__u"), "left_semi")
-          val cmp = sj
-            .select(col("uuid"), col("priority").as("__sp"))
-            .join(tj.select(col("uuid"), col("priority").as("__tp")), Seq("uuid"))
-            .select(col("uuid"), (col("__sp") >= col("__tp")).as("__srcWins"))
-          val w = sj.join(cmp.filter(col("__srcWins")).select("uuid"), Seq("uuid"), "left_semi")
-            .unionByName(tj.join(cmp.filter(!col("__srcWins")).select("uuid"), Seq("uuid"), "left_semi"))
-          (w, nConflicts)
-        }
+        else
+          (resolveByColumn(src, tgt, conflictIds, "priority"), nConflicts)
     }
     val untouchedTgt = tgt.join(conflictIds, tgt("uuid") === conflictIds("__u"), "left_anti")
     val merged = untouchedTgt.unionByName(winners).unionByName(srcOnly)
     commitToBranch(target, table, merged, s"merge $source into $target ($strategy)")
     MergeResult(table, nAdded, nConflicts, nResolved)
+  }
+
+  /** One winner row per conflict uuid by the higher `byCol` value,
+    * NULL-SAFE: a plain `__sc >= __tc` is null when either side is null,
+    * which both `filter(c)` and `filter(!c)` exclude — the conflict row
+    * would vanish from the merged table entirely. Rule: both non-null →
+    * later/higher wins (ties → source); exactly one non-null → it wins;
+    * both null → source (incoming) wins, consistent with "auto".
+    */
+  private def resolveByColumn(src: DataFrame, tgt: DataFrame, conflictIds: DataFrame, byCol: String): DataFrame = {
+    val sj = src.join(conflictIds, src("uuid") === conflictIds("__u"), "left_semi")
+    val tj = tgt.join(conflictIds, tgt("uuid") === conflictIds("__u"), "left_semi")
+    val srcWins = when(col("__sc").isNotNull && col("__tc").isNotNull, col("__sc") >= col("__tc"))
+      .when(col("__sc").isNotNull, lit(true))
+      .when(col("__tc").isNotNull, lit(false))
+      .otherwise(lit(true))
+    val cmp = sj
+      .select(col("uuid"), col(byCol).as("__sc"))
+      .join(tj.select(col("uuid"), col(byCol).as("__tc")), Seq("uuid"))
+      .select(col("uuid"), srcWins.as("__srcWins"))
+    sj.join(cmp.filter(col("__srcWins")).select("uuid"), Seq("uuid"), "left_semi")
+      .unionByName(tj.join(cmp.filter(!col("__srcWins")).select("uuid"), Seq("uuid"), "left_semi"))
   }
 
   // ---------------- optimistic locking + transactions ----------------

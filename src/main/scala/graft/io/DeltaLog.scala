@@ -56,6 +56,12 @@ object DeltaLog {
   /** Append `delta` (payload columns + `sign`) as its own log version;
     * run `rebuild` (which must fold base+log and then [[clear]]) when the
     * log outgrows the base. No-op on an empty delta.
+    *
+    * `rebuild` runs INLINE — callers whose rebuild reads the index's
+    * source table must only use this form when that table is already at
+    * its post-batch version (e.g. not while a sibling thread is still
+    * merging it); otherwise use [[appendOnly]] and compact after the
+    * barrier.
     */
   def append(
       store: SnapshotStore,
@@ -63,12 +69,24 @@ object DeltaLog {
       delta: DataFrame,
       rebuild: () => Unit,
       maxFrac: Double = 0.1,
-  ): Unit = {
+  ): Unit =
+    if (appendOnly(store, table, delta, maxFrac)) rebuild()
+
+  /** Append without compacting; returns true when the log has outgrown
+    * the base and the caller should run the fold (once its inputs are
+    * safe to read).
+    */
+  def appendOnly(
+      store: SnapshotStore,
+      table: String,
+      delta: DataFrame,
+      maxFrac: Double = 0.1,
+  ): Boolean = {
     // checkpoint the (batch-sized) delta so the emptiness probe and the
     // commit don't each recompute the signed-rows plan (tokenization /
     // signatures of both doc sets)
     val d = delta.localCheckpoint()
-    if (d.isEmpty) return
+    if (d.isEmpty) return false
     val dt = deltaTable(table)
     val seq = store.versions(dt).lastOption.map(_ + 1).getOrElse(0)
     store.commit(d.withColumn("seq", lit(seq)).coalesce(1), dt, s"delta append seq=$seq")
@@ -76,7 +94,7 @@ object DeltaLog {
     // base size from commit metadata (manifest bucket counts) — a
     // load(table).count() here was a full base scan job on EVERY append
     val baseRows = store.approxRowCount(table).getOrElse(store.load(table).count())
-    if (rows > 1000L && rows > maxFrac * baseRows) rebuild()
+    rows > 1000L && rows > maxFrac * baseRows
   }
 
   /** Publish the compaction marker after a rebuild folded the log. */

@@ -206,6 +206,18 @@ object Migration {
           if (store.exists("nodes"))
             store.mergeBucketed("nodes", nodeRows, Seq("uuid"), s"batch_add_triplets nodes b=$b")
           else store.commit(nodeRows, "nodes", s"batch_add_triplets nodes b=$b")
+          // keep the nodes keyword index consistent with the primaries —
+          // the edges half of this batch is index-maintained inside
+          // mergeEdges, so skipping this would leave keyword search over
+          // nodes silently missing every triplet-added entity. (No
+          // node_stats row: stats are mention-derived, and a manual
+          // triplet asserts no extracted mentions — a later extraction
+          // batch creates the row via its own partial aggregate.)
+          graft.search.SearchIndexes.refreshText(
+            store, "nodes",
+            nodeRows.limit(0).select(col("uuid").as("id"), col("name").as("text")),
+            nodeRows.select(col("uuid").as("id"), col("name").as("text")),
+          )
         }
 
         // ---- save_edge: raw facts through the canonical-probe + merge

@@ -137,15 +137,29 @@ object HybridSearch {
     val cands = filtered(edges, config)
     val prefetch = config.limit * LanePrefetch
 
+    // A zero-weight text lane cannot move any ranking, but running it
+    // anyway (a) costs a full lane scan / postings probe per batch and
+    // (b) injects candidates whose only score is the OTHER lane's fill-in
+    // 0.0 — zero-score rows that tie-fill the limit below every real hit.
+    // Skip such lanes. Exception: when BOTH text weights are 0 (graph-only
+    // rerank), the text lanes stay on as candidate generators — the graph
+    // lane scores candidates, it does not retrieve them
+    // (hybrid_search.py:312-318 scores the retrieved edge set).
+    val textRetrieval = config.semanticWeight != 0.0 || config.keywordWeight != 0.0
+    val runSem = config.semanticWeight != 0.0 || !textRetrieval
+    val runKw = config.keywordWeight != 0.0 || !textRetrieval
+
     // ---- semantic lane: embeddings of all queries broadcast against the
     // candidate frame (or against their edge_ann signature buckets)
     val qEmb = queries.map { case (qid, q) => (qid, Embedder.embed(q).map(_.toDouble).toSeq) }
     val qEmbDf = qEmb.toDF("query_id", "qv")
     val semBase =
-      if (config.annLsh && store.exists("edge_ann")) {
+      if (!runSem) Seq.empty[(Long, String, Double)].toDF("query_id", "id", "score")
+      else if (config.annLsh && store.exists("edge_ann")) {
+        // Ann.signature renames its id column to "id" — rename it back
         val qSigs = graft.sim.Ann
           .signature(spark, qEmbDf, "query_id", "qv")
-          .select(col("query_id"), col("sig"))
+          .select(col("id").as("query_id"), col("sig"))
         SearchIndexes
           .annForSigs(store, qSigs.select(col("sig")).distinct())
           .join(broadcast(qSigs), Seq("sig"))
@@ -167,7 +181,7 @@ object HybridSearch {
     // semantics); ONE postings probe / corpus scan covers every query
     val qTerms = queries.flatMap { case (qid, q) => terms(q).map(t => (qid, t)) }
     val kwScored =
-      if (qTerms.isEmpty) Seq.empty[(Long, String, Double)].toDF("query_id", "id", "score")
+      if (!runKw || qTerms.isEmpty) Seq.empty[(Long, String, Double)].toDF("query_id", "id", "score")
       else {
         val qtDf = qTerms.toDF("query_id", "term")
         val base =
@@ -190,9 +204,23 @@ object HybridSearch {
     // ---- graph lane: distances from the (request-level) center node,
     // computed once and shared by every query
     val graphScores = config.centerNode.map { center =>
-      val adj = cands.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
-      val dists = GraphOps
-        .bfs(GraphOps.undirect(adj), Seq(center).toDF("node"), config.graphDistanceCutoff)
+      // when no filter narrows cands (cands == edges) and the committed
+      // adjacency index exists, each BFS superstep probes only the src
+      // buckets its frontier hashes into (work ∝ frontier, not ∝ corpus —
+      // same probe as KgSearch's node_distance lane); a FILTERED lane must
+      // traverse the filtered relation, so it falls back to the direct BFS
+      val unfiltered = config.temporalFilter.isEmpty && config.edgeTypes.isEmpty
+      val dists =
+        if (unfiltered && store.exists("graph_adj"))
+          GraphOps.bfsIndexed(
+            frontier => SearchIndexes.adjacencyForKeys(store, frontier).select(col("src"), col("dst")),
+            Seq(center).toDF("node"),
+            config.graphDistanceCutoff,
+          )
+        else {
+          val adj = cands.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+          GraphOps.bfs(GraphOps.undirect(adj), Seq(center).toDF("node"), config.graphDistanceCutoff)
+        }
       cands
         .join(dists.withColumnRenamed("node", "source_uuid").withColumnRenamed("dist", "sd"), Seq("source_uuid"), "left")
         .join(dists.withColumnRenamed("node", "target_uuid").withColumnRenamed("dist", "td"), Seq("target_uuid"), "left")

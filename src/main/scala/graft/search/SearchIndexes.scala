@@ -120,19 +120,21 @@ object SearchIndexes {
     * the delta. Compaction folds via [[buildText]] when the log outgrows
     * the base. No-op if the index was never built.
     */
-  def refreshText(store: SnapshotStore, table: String, oldDocs: DataFrame, newDocs: DataFrame): Unit = {
-    if (!store.exists(s"${table}_postings")) return
-    val delta = Bm25.termFreqs(newDocs).withColumn("sign", lit(1))
-      .unionByName(Bm25.termFreqs(oldDocs).withColumn("sign", lit(-1)))
-      .select(col("term"), col("id"), col("tf"), col("dl"), col("sign"))
-    val (idCol, textCol) = TextSurfaces.collectFirst { case (t, i, x) if t == table => (i, x) }
-      .getOrElse(("id", "text"))
-    graft.io.DeltaLog.append(
-      store, s"${table}_postings", delta,
-      rebuild = () => buildText(store, table, idCol, textCol),
-    )
-    // stats delta: old docs leave (−1), new docs enter (+1) — ONE signed
-    // aggregation job instead of two separate collects
+  def refreshText(
+      store: SnapshotStore,
+      table: String,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      defer: Boolean = false,
+  ): Boolean = {
+    if (!store.exists(s"${table}_postings")) return false
+    // stats delta FIRST: old docs leave (−1), new docs enter (+1) — ONE
+    // signed aggregation job instead of two separate collects. Committing
+    // the stats BEFORE the append's compaction decision matters: a
+    // compaction rebuild (buildText) recommits authoritative stats from
+    // the merged corpus, and reading the stats only AFTER the rebuild
+    // would re-apply this batch's delta on top of stats that already
+    // include it (double count).
     val stats = store.load(s"${table}_bm25stats").collect()(0)
     def signed(docs: DataFrame, sign: Long) = docs.select(
       lit(sign).as("sign"),
@@ -147,6 +149,28 @@ object SearchIndexes {
     val spark = newDocs.sparkSession
     import spark.implicits._
     store.commit(Seq((nDocs, totalDl)).toDF("n_docs", "total_dl"), s"${table}_bm25stats", s"refresh stats for $table")
+
+    val delta = Bm25.termFreqs(newDocs).withColumn("sign", lit(1))
+      .unionByName(Bm25.termFreqs(oldDocs).withColumn("sign", lit(-1)))
+      .select(col("term"), col("id"), col("tf"), col("dl"), col("sign"))
+    val needs = graft.io.DeltaLog.appendOnly(store, s"${table}_postings", delta)
+    // `defer = true` callers run [[compactText]] themselves once the base
+    // table's merge has published (compaction reads `store.load(table)`,
+    // which must not race a sibling thread still writing that table —
+    // IncrementalIngest merges the base table concurrently with this
+    // refresh). With `defer = false` the base table must already be at
+    // its post-batch version (the serial call sites commit it first).
+    if (needs && !defer) { compactText(store, table); false }
+    else needs && defer
+  }
+
+  /** Fold a text index's delta log into its bucketed base (full rebuild
+    * from the table snapshot — runs rarely; amortized over many batches).
+    */
+  def compactText(store: SnapshotStore, table: String): Unit = {
+    val (idCol, textCol) = TextSurfaces.collectFirst { case (t, i, x) if t == table => (i, x) }
+      .getOrElse(("id", "text"))
+    buildText(store, table, idCol, textCol)
   }
 
   /** Incremental ANN refresh — APPEND-ONLY delta log like [[refreshText]]:
@@ -384,7 +408,9 @@ object SearchIndexes {
     (TextSurfaces.flatMap { case (t, _, _) => Seq(s"${t}_postings", s"${t}_bm25stats") } ++
       Seq("edge_ann", "graph_adj", "graph_degrees", "edge_months"))
       .foreach { t =>
-        graft.io.DeltaLog.clear(store, t)
+        // delete the delta log TABLE too (DeltaLog.clear would only append
+        // a compaction marker — another version, not a removal)
+        store.deleteTable(graft.io.DeltaLog.deltaTable(t))
         store.deleteTable(t)
       }
 

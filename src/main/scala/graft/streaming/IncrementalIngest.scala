@@ -188,14 +188,22 @@ object IncrementalIngest {
     // commits. Linking below needs nodes_raw and node_blocks merged;
     // nothing before the edge stage reads raw_triples or the episode
     // postings, so every batch pays max(merge) here, not sum(merge).
+    // index compactions triggered by a refresh running CONCURRENTLY with
+    // its base table's merge are deferred past the group barrier: the fold
+    // re-reads the base table, which must be at its post-batch version
+    // (an inline rebuild could read the pre-merge snapshot and then clear
+    // the delta log holding the batch's rows — silently losing them)
+    val compactEpisodes = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactNodes = new java.util.concurrent.atomic.AtomicBoolean(false)
     timed("stage-A merges") {
       graft.io.Concurrent.runAll(Seq(
         () => { store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes"); () },
         () =>
-          graft.search.SearchIndexes.refreshText(
+          compactEpisodes.set(graft.search.SearchIndexes.refreshText(
             store, "episodes", oldEpisodeDocs,
             episodes.select(col("uuid").as("id"), col("content").as("text")),
-          ),
+            defer = true,
+          )),
         // replace semantics per page: facts the new version no longer
         // asserts are DELETED (the old rows are the delete keys),
         // re-asserted facts are replaced by the update rows
@@ -211,6 +219,7 @@ object IncrementalIngest {
         () => { store.mergeBucketed("node_blocks", newBlocks, Seq("key", "uuid"), s"incremental batch=$batchId blocks", bucketBy = Seq("key")); () },
       ))
     }
+    if (compactEpisodes.get()) timed("compact episodes idx")(graft.search.SearchIndexes.compactText(store, "episodes"))
 
     // ---- incremental linking: candidates = nodes sharing a blocking key
     // with the batch (node_blocks index probe); components = CC over
@@ -451,10 +460,11 @@ object IncrementalIngest {
           ()
         },
         () =>
-          graft.search.SearchIndexes.refreshText(
+          compactNodes.set(graft.search.SearchIndexes.refreshText(
             store, "nodes", oldNodeDocs,
             rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")),
-          ),
+            defer = true,
+          )),
         // episodic MENTIONS edges: remap only rows whose entity's
         // canonical changed (entity_uuid-bucketed probe), then merge the
         // batch's mentions (same shape as bulk stage 7)
@@ -486,6 +496,7 @@ object IncrementalIngest {
         () => { rebuilt = mergeEdges(store, newRaw, batchId, delta, retractedKeyed, gid); () },
       ))
     }
+    if (compactNodes.get()) timed("compact nodes idx")(graft.search.SearchIndexes.compactText(store, "nodes"))
 
     // entity_edges rows for every episode cited by replaced/rebuilt edges
     // are patched inside mergeEdges (uuid changes from remaps/retractions

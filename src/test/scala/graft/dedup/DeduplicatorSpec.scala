@@ -373,6 +373,56 @@ class DeduplicatorSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs.head.getString(0) == "y1")
   }
 
+  test("attribute-only duplicates are found (attribute block; empty embeddings)") {
+    // token-disjoint names, NO embeddings, identical attributes: with
+    // attributeWeight = 1.0 the pair scores 1.0 ≥ 0.8, and only the
+    // attribute (key=value) block can generate the candidate
+    val cfg = DeduplicationConfig(similarityThreshold = 0.8, nameWeight = 0.0, embeddingWeight = 0.0, attributeWeight = 1.0)
+    val ns = Seq(
+      TNode("a1", "alpha beta", "g", Seq("L"), ts(1), Seq.empty, "", Map("k" -> "v", "j" -> "w")),
+      TNode("a2", "gamma delta", "g", Seq("L"), ts(2), Seq.empty, "", Map("k" -> "v", "j" -> "w")),
+    )
+    val pairs = Deduplicator.duplicateEntityPairs(ns.toDF(), cfg).collect()
+    assert(pairs.length == 1 && pairs.head.getString(0) == "a1" && pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("incremental: existing-existing duplicates never merge; batch duplicates do") {
+    // (a) n1/n2 are mutual duplicates but both PRE-EXIST; the batch (n3)
+    // shares nothing with them → an incremental call must leave all three
+    val resA = Deduplicator.deduplicateIncremental(
+      Seq(fixtureNodes(0), fixtureNodes(1)).toDF(),
+      Seq(fixtureNodes(2)).toDF(),
+    )
+    assert(resA.duplicatesFound == 0 && resA.resolved.count() == 3)
+    // (b) incoming n2 duplicates existing n1 → resolves exactly as the
+    // full dedup over the same three rows would
+    val cfg = DeduplicationConfig(conflictResolution = "merge")
+    val resB = Deduplicator.deduplicateIncremental(
+      Seq(fixtureNodes(0), fixtureNodes(2)).toDF(),
+      Seq(fixtureNodes(1)).toDF(),
+      cfg,
+    )
+    val full = Deduplicator.deduplicateEntities(fixtureNodes.toDF(), cfg)
+    assert(resB.duplicatesFound == 1 && resB.conflictsResolved == 1)
+    assert(
+      resB.resolved.as[TNode].collect().sortBy(_.uuid).toSeq ==
+        full.resolved.as[TNode].collect().sortBy(_.uuid).toSeq,
+    )
+  }
+
+  test("incremental edges: batch edge adopts into the existing duplicate; others untouched") {
+    val cfg = DeduplicationConfig(similarityThreshold = 0.8)
+    val res = Deduplicator.deduplicateIncremental(
+      Seq(fixtureEdges(0), fixtureEdges(2)).toDF(),
+      Seq(fixtureEdges(1)).toDF(),
+      cfg,
+      edges = true,
+    )
+    val rows = res.resolved.as[TEdge].collect().sortBy(_.uuid)
+    assert(rows.map(_.uuid).toSeq == Seq("e1", "e3"))
+    assert(rows.head.episodes == Seq("ep1", "ep2"))
+  }
+
   test("blocking adds the embedding-LSH block when non-text weights can cross the threshold") {
     // two token-disjoint nodes with IDENTICAL embeddings and attributes:
     // emb 1.0 + attr 0.4 ≥ threshold 1.2 only via non-text terms

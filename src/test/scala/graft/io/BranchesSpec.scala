@@ -70,6 +70,48 @@ class BranchesSpec extends AnyFunSuite {
     assert(m("e1") == "f1-main-newer", "later target row must win under timestamp strategy")
   }
 
+  test("merge timestamp: null created_at never drops the conflict row") {
+    val (store, br) = freshStore()
+    br.createBranch("b", tables = Seq("edges"))
+    // target e1 has a NULL created_at; source e1 has one → source wins.
+    // target e2 non-null vs source NULL → target wins. Both rows must
+    // SURVIVE (a null comparison used to exclude the row from both winner
+    // filters while the anti-join removed it from the untouched set).
+    store.commit(
+      Seq(("e1", "f1-main", None: Option[Timestamp]), ("e2", "f2-main", Some(ts(400))))
+        .toDF("uuid", "fact", "created_at"),
+      "edges", "main advance",
+    )
+    br.commitToBranch(
+      "b", "edges",
+      Seq(("e1", "f1-branch", Some(ts(300))), ("e2", "f2-branch", None: Option[Timestamp]))
+        .toDF("uuid", "fact", "created_at"),
+      "branch work",
+    )
+    val r = br.mergeBranch("b", "main", "edges", "timestamp")
+    assert(r.conflicts == 2 && r.resolved == 2)
+    val m = store.load("edges").collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(m == Map("e1" -> "f1-branch", "e2" -> "f2-main"))
+  }
+
+  test("merge priority: null priority never drops the conflict row") {
+    val (store, br) = freshStore()
+    val withPrio = (rows: Seq[(String, String, Option[Int])]) =>
+      rows.toDF("uuid", "fact", "priority").withColumn("created_at", lit(ts(100)))
+    store.commit(withPrio(Seq(("e1", "f1-main", None), ("e2", "f2-main", Some(9)))), "edges", "prio base")
+    val br2 = new Branches(store)
+    br2.createBranch("p", tables = Seq("edges"))
+    br2.commitToBranch(
+      "p", "edges",
+      withPrio(Seq(("e1", "f1-branch", Some(1)), ("e2", "f2-branch", None))),
+      "branch work",
+    )
+    val r = br2.mergeBranch("p", "main", "edges", "priority")
+    assert(r.conflicts == 2 && r.resolved == 2)
+    val m = store.load("edges").collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(m == Map("e1" -> "f1-branch", "e2" -> "f2-main"))
+  }
+
   test("merge manual: target kept, conflicts reported unresolved") {
     val (store, br) = freshStore()
     br.createBranch("b", tables = Seq("edges"))

@@ -81,6 +81,24 @@ class MigrationSpec extends AnyFunSuite {
     assert(nodes.filter(size(col("name_embedding")) === 0).count() == 0)
   }
 
+  test("batchAddTriplets keeps the nodes keyword index consistent with the primaries") {
+    import spark.implicits._
+    val store = freshStore("mig-trip-idx")
+    // seed a graph + build every search index, then add triplets with a
+    // brand-new entity name — keyword search must find it without a rebuild
+    new KgPipeline(store).run(Fixtures.pagesDf(), "fixture-v1")
+    graft.search.SearchIndexes.build(store)
+    val triplets = Seq(("Zanzibar Research Station", "studies", "Coral Reefs")).toDF("source", "relation", "target")
+    Migration.batchAddTriplets(store, triplets)
+    val probed = graft.search.SearchIndexes
+      .postingsForTerms(store, "nodes", Seq("zanzibar").toDF("term"))
+      .collect()
+    assert(probed.length == 1 && probed.head.getAs[String]("id") == Ids.entity("default", "Zanzibar Research Station"))
+    // stats moved by exactly the two inserted node docs
+    val stats = store.load("nodes_bm25stats").collect()(0)
+    assert(stats.getAs[Long]("n_docs") == store.load("nodes").count())
+  }
+
   test("toPages maps reference episode spellings and defaults") {
     import spark.implicits._
     val foreign = Seq(

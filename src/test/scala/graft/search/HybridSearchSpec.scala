@@ -129,6 +129,48 @@ class HybridSearchSpec extends AnyFunSuite {
     } finally SearchIndexes.deleteAll(s2)
   }
 
+  test("annLsh semantic lane == bucket-restricted exact ranking") {
+    val s2 = new SnapshotStore(spark, store.root)
+    SearchIndexes.build(s2)
+    try {
+      val q = "lives in NATION_1"
+      val cfg = HybridConfig(semanticWeight = 1.0, keywordWeight = 0.0, graphWeight = 0.0, limit = 10, annLsh = true)
+      val res = HybridSearch.hybridSearch(s2, q, cfg).collect()
+      assert(res.nonEmpty)
+      // expected: exact cosine ranking restricted to the query's signature
+      // bucket (min-max is monotone, so the fused order equals raw order)
+      val qv = graft.kg.Embedder.embed(q).map(_.toDouble).toSeq
+      import spark.implicits._
+      val qSig = graft.sim.Ann
+        .signature(spark, Seq((0L, qv)).toDF("query_id", "qv"), "query_id", "qv")
+        .collect()(0)
+        .getAs[Int]("sig")
+      val expected = store
+        .load("edges")
+        .withColumn("sig", graft.sim.Ann.signatureCol(col("fact_embedding")))
+        .filter(col("sig") === qSig)
+        .withColumn("score", Vectors.cosine(col("fact_embedding"), array(qv.map(lit): _*)))
+        .filter(col("score") >= 0.0)
+        .orderBy(col("score").desc, col("uuid"))
+        .limit(10)
+        .collect()
+        .map(_.getAs[String]("uuid"))
+        .toSeq
+      assert(res.map(_.getAs[String]("id")).toSeq == expected)
+    } finally SearchIndexes.deleteAll(s2)
+  }
+
+  test("graph lane over the committed adjacency index == direct BFS") {
+    val center = Ids.entity("default", "Supplier#0")
+    val cfg =
+      HybridConfig(semanticWeight = 0.0, keywordWeight = 0.0, graphWeight = 1.0, limit = 50, centerNode = Some(center))
+    val direct = rows(HybridSearch.hybridSearch(store, "lives in", cfg))
+    val s2 = new SnapshotStore(spark, store.root)
+    SearchIndexes.build(s2)
+    try assert(rows(HybridSearch.hybridSearch(s2, "lives in", cfg)) == direct)
+    finally SearchIndexes.deleteAll(s2)
+  }
+
   test("stats reports index presence and corpus sizes") {
     val st = HybridSearch.stats(store).collect()(0)
     assert(st.getAs[Long]("driver_edges_count") > 0)

@@ -209,6 +209,41 @@ class SearchIndexesSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction during refreshText does not double-apply the stats delta") {
+    val dir = Files.createTempDirectory("gtextc").toString
+    val s = new SnapshotStore(spark, dir)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 50).map(i => s"w$i")
+    def text() = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    var live = (0 until 300).map(i => f"d$i%03d" -> text()).toMap
+    def docsDf(m: Map[String, String]) = m.toSeq.toDF("id", "text")
+    s.commit(docsDf(live).toDF("uuid", "fact"), "edges", "seed")
+    SearchIndexes.buildText(s, "edges", "uuid", "fact")
+    // replace 150 docs and add 50 — enough signed delta rows (> 1000 and
+    // > 10% of the base) to push the refresh over the compaction threshold
+    val touched = live.keys.toSeq.sorted.take(150)
+    val olds = touched.map(id => id -> live(id)).toMap
+    val updated = touched.map(id => id -> text()).toMap
+    val added = (0 until 50).map(i => f"n$i%03d" -> text()).toMap
+    live = (live -- touched) ++ updated ++ added
+    // serial contract: the base table is at its post-batch version BEFORE
+    // the refresh (the inline compaction fold re-reads it)
+    s.commit(docsDf(live).toDF("uuid", "fact"), "edges", "post-batch")
+    SearchIndexes.refreshText(s, "edges", docsDf(olds), docsDf(updated ++ added))
+    assert(graft.io.DeltaLog.logRows(s, "edges_postings") == 0L, "compaction did not trigger — raise the batch size")
+    // a double-applied delta would report n_docs = 400 (base 300 + 2×50)
+    val stats = s.load("edges_bm25stats").collect()(0)
+    val wantStats = graft.search.Bm25.corpusStats(docsDf(live)).collect()(0)
+    assert(stats.getAs[Long]("n_docs") == wantStats.getAs[Long]("n_docs"))
+    assert(stats.getAs[Long]("total_dl") == wantStats.getAs[Long]("total_dl"))
+    // and the folded base equals a fresh index of the live corpus
+    val want = graft.search.Bm25.postings(docsDf(live))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getInt(2), r.getLong(4))).toSet
+    val got = SearchIndexes.postingsForTerms(s, "edges", vocab.toDF("term"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("tf"), r.getAs[Int]("dl"), r.getAs[Long]("df"))).toSet
+    assert(got == want)
+  }
+
   test("ann delta log: probe matches the live vector set") {
     val dir = Files.createTempDirectory("gann").toString
     val s = new SnapshotStore(spark, dir)
