@@ -18,14 +18,17 @@ import org.apache.spark.sql.functions._
   *
   *  - the reference materializes an O(n²) numpy similarity matrix
   *    (deduplicator.py:221-258); here candidates come from recall-exact
-  *    blocking (shared name/fact token ∪ same endpoints) and only
-  *    candidates are scored. With the default weights a pair can reach
-  *    threshold 0.8 only if the text term is positive — embedding 0.4 +
-  *    attribute 0.2 (entities) or embedding 0.4 + structural 0.3 (edges)
-  *    cannot reach 0.8 alone — so token blocking loses nothing. For
-  *    configs where the non-text terms alone can cross the threshold,
+  *    blocking (shared name/fact token ∪ exact name ∪ same endpoints) and
+  *    only candidates are scored. With the default weights a pair can
+  *    reach threshold 0.8 only if the text term is positive — embedding
+  *    0.4 + attribute 0.2 (entities) or embedding 0.4 + structural 0.3
+  *    (edges) cannot reach 0.8 alone — so token blocking loses nothing.
+  *    For configs where the non-text terms alone can cross the threshold,
   *    [[Deduplicator.duplicateEntityPairs]] adds an embedding-LSH block
-  *    (hyperplane signatures) and edges add the endpoint block.
+  *    (hyperplane signatures) plus an attribute-entry block, and edges add
+  *    the endpoint block. Corpus-hot block keys are excluded past
+  *    [[DeduplicationConfig.hotBlockCap]] (the disclosed recall bound that
+  *    keeps candidate generation sub-quadratic at corpus scale).
   *  - text similarity is the deterministic token-set cosine
   *    |A∩B|/√(|A|·|B|) over `lower().split()` tokens, standing in for the
   *    reference's sklearn TF-IDF cosine (deduplicator.py:56-59) — same
@@ -46,6 +49,16 @@ final case class DeduplicationConfig(
     embeddingWeight: Double = 0.4,
     attributeWeight: Double = 0.2,
     conflictResolution: String = "merge",
+    // Block keys shared by more rows than this are dropped from candidate
+    // generation (quadratic-blowup guard for corpus-wide hot keys: a name
+    // token or attribute entry shared by 1M rows would otherwise emit
+    // ~5·10^11 candidate pairs). Exact-name (`nm:`) and edge-endpoint
+    // (`st:`) keys are EXEMPT — their block sizes measure genuine
+    // duplicate density, not vocabulary skew. Recall is lost only for
+    // pairs whose EVERY shared block key is hot (disclosed approximation;
+    // the reference's O(n²) matrix has no analog of this bound because it
+    // has no analog of this scale).
+    hotBlockCap: Int = 100000,
 ) {
   require(
     Set("merge", "keep_newer", "keep_older", "keep_better", "keep_first")(conflictResolution),
@@ -142,65 +155,75 @@ object Deduplicator {
     sig.unionByName(attrs)
   }
 
+  /** Every blocking key of an entity table: name tokens ∪ the exact-name
+    * key (`nm:` — survives the hot cap, so identical names ALWAYS pair
+    * even when each individual token is corpus-hot) ∪ (gated) the
+    * embedding-LSH + attribute-entry extra blocks. Used by candidate
+    * generation and by [[deduplicateIncremental]]'s scoping probe, so the
+    * two can never disagree on reachability.
+    */
+  private def entityBlockKeys(nodes: DataFrame, cfg: DeduplicationConfig): DataFrame = {
+    val tok = nodes.select(col("uuid"), explode(tokens(col("name"))).as("key"))
+    val nm = nodes.select(col("uuid"), concat(lit("nm:"), col("name")).as("key"))
+    val named = tok.unionByName(nm)
+    // non-text terms alone can cross the threshold: add an embedding
+    // block (token-disjoint near-identical vectors; approximate LSH, as
+    // disclosed) AND an attribute block — attributeSim > 0 requires a
+    // shared (key, value) entry, so blocking on entries is recall-exact
+    // for the attribute term (without it, two token-disjoint
+    // empty-embedding nodes with identical attributes could cross the
+    // threshold yet never become a candidate)
+    if (cfg.embeddingWeight + cfg.attributeWeight < cfg.similarityThreshold) named
+    else named.unionByName(entityExtraBlockKeys(nodes))
+  }
+
+  /** Drop block keys shared by more than `cap` rows (the quadratic-hot-key
+    * guard, [[DeduplicationConfig.hotBlockCap]]); exact-name and endpoint
+    * keys are exempt — see the config field's doc.
+    */
+  private def dropHotKeys(keyed: DataFrame, cap: Int): DataFrame = {
+    val hot = keyed
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > cap && !col("key").startsWith("nm:") && !col("key").startsWith("st:"))
+      .select(col("key"))
+    keyed.join(hot, Seq("key"), "left_anti")
+  }
+
+  /** Distinct (u1, u2), u1 < u2, sharing at least one block key. */
+  private def pairsFromKeys(keyed: DataFrame): DataFrame = keyed
+    .select(col("key"), col("uuid").as("u1"))
+    .join(keyed.select(col("key"), col("uuid").as("u2")), Seq("key"))
+    .filter(col("u1") < col("u2"))
+    .select("u1", "u2")
+    .dropDuplicates("u1", "u2")
+
   /** Candidate duplicate entity pairs with their weighted similarity:
     * (u1, u2, similarity), u1 < u2, similarity ≥ threshold. Blocking =
-    * shared name token ∪ (when the config's non-text weights alone could
-    * cross the threshold) shared embedding-LSH signature.
-    *
-    * The text term is computed as an exploded-token EQUI-JOIN aggregate
-    * (|A∩B| from a groupBy over shared tokens, sizes joined back) — the
-    * same shape as [[Dedup.ngramJaccardPairs]] — so candidate pair rows
-    * never carry token arrays and names are tokenized once per row, not
-    * once per pair. Identical values to scoring tokenCosine per pair.
+    * [[entityBlockKeys]] minus hot keys; scoring is decoupled from
+    * blocking (each candidate pair re-derives the full token cosine from
+    * the two names), so capped blocks can never silently zero a term the
+    * way a blocking-join-derived overlap count would.
     */
   def duplicateEntityPairs(nodes: DataFrame, cfg: DeduplicationConfig = DeduplicationConfig()): DataFrame = {
     val base = nodes.select(
       col("uuid"),
+      col("name"),
       coalesce(col("name_embedding"), array().cast("array<float>")).as("emb"),
       coalesce(col("attributes"), map().cast("map<string,string>")).as("attrs"),
     )
-    val tokSets = nodes.select(col("uuid"), tokens(col("name")).as("toks"))
-    val sizes = tokSets.select(col("uuid"), size(col("toks")).as("n"))
-    val ex = tokSets.select(col("uuid"), explode(col("toks")).as("tok"))
-    // |A∩B| per pair sharing ≥1 token — this IS the token block
-    val overlap = ex
-      .select(col("tok"), col("uuid").as("u1"))
-      .join(ex.select(col("tok"), col("uuid").as("u2")), Seq("tok"))
-      .filter(col("u1") < col("u2"))
-      .groupBy(col("u1"), col("u2"))
-      .agg(count(lit(1)).as("c"))
-    val cand =
-      if (cfg.embeddingWeight + cfg.attributeWeight < cfg.similarityThreshold) overlap
-      else {
-        // non-text terms alone can cross the threshold: add an embedding
-        // block (token-disjoint near-identical vectors; approximate LSH,
-        // as disclosed) AND an attribute block — attributeSim > 0 requires
-        // a shared (key, value) entry, so blocking on entries is
-        // recall-EXACT for the attribute term (without it, two
-        // token-disjoint empty-embedding nodes with identical attributes
-        // could cross the threshold yet never become a candidate)
-        val keyed = entityExtraBlockKeys(nodes)
-        val extraPairs = keyed
-          .select(col("key"), col("uuid").as("u1"))
-          .join(keyed.select(col("key"), col("uuid").as("u2")), Seq("key"))
-          .filter(col("u1") < col("u2"))
-          .select(col("u1"), col("u2"))
-          .dropDuplicates("u1", "u2")
-        overlap.join(extraPairs, Seq("u1", "u2"), "full_outer").na.fill(0L, Seq("c"))
-      }
-    val nameSim = col("c").cast("double") / sqrt(col("n1").cast("double") * col("n2").cast("double"))
+    val cand = pairsFromKeys(dropHotKeys(entityBlockKeys(nodes, cfg), cfg.hotBlockCap))
     val score =
-      lit(cfg.nameWeight) * when(col("n1") > 0 && col("n2") > 0, nameSim).otherwise(lit(0.0)) +
+      lit(cfg.nameWeight) * when(col("a_name").isNull || col("b_name").isNull, lit(0.0))
+        .otherwise(tokenCosine(col("a_name"), col("b_name"))) +
         lit(cfg.embeddingWeight) * when(
           size(col("a_emb")) > 0 && size(col("b_emb")) > 0,
           Vectors.cosine(col("a_emb"), col("b_emb")),
         ).otherwise(lit(0.0)) +
         lit(cfg.attributeWeight) * attributeSim(col("a_attrs"), col("b_attrs"))
     cand
-      .join(sizes.select(col("uuid").as("u1"), col("n").as("n1")), Seq("u1"))
-      .join(sizes.select(col("uuid").as("u2"), col("n").as("n2")), Seq("u2"))
-      .join(base.select(col("uuid").as("u1"), col("emb").as("a_emb"), col("attrs").as("a_attrs")), Seq("u1"))
-      .join(base.select(col("uuid").as("u2"), col("emb").as("b_emb"), col("attrs").as("b_attrs")), Seq("u2"))
+      .join(base.select(col("uuid").as("u1"), col("name").as("a_name"), col("emb").as("a_emb"), col("attrs").as("a_attrs")), Seq("u1"))
+      .join(base.select(col("uuid").as("u2"), col("name").as("b_name"), col("emb").as("b_emb"), col("attrs").as("b_attrs")), Seq("u2"))
       .withColumn("similarity", round(score, 6))
       .filter(col("similarity") >= lit(cfg.similarityThreshold))
       .select(col("u1"), col("u2"), col("similarity"))
@@ -266,12 +289,9 @@ object Deduplicator {
           .filter(size(col("emb")) > 0)
           .select(col("uuid"), concat(lit("sig:"), graft.sim.Ann.signatureCol(col("emb"))).as("key"))
     val blocks = tok.unionByName(structural).unionByName(sig)
-    val cand = blocks
-      .select(col("key"), col("uuid").as("u1"))
-      .join(blocks.select(col("key"), col("uuid").as("u2")), Seq("key"))
-      .filter(col("u1") < col("u2"))
-      .select("u1", "u2")
-      .dropDuplicates("u1", "u2")
+    // the hot cap backstops prefix filtering: a prefix-surviving token can
+    // still be corpus-hot when facts are short (n < 10 keeps every token)
+    val cand = pairsFromKeys(dropHotKeys(blocks, cfg.hotBlockCap))
     cand
       .join(
         base.select(col("uuid").as("u1"), col("fact").as("a_fact"), col("src").as("a_src"), col("dst").as("a_dst"), col("emb").as("a_emb")),
@@ -439,16 +459,12 @@ object Deduplicator {
     DedupResult(resolved, nPairs, nMembers - nComponents, nComponents)
   }
 
-  /** ALL blocking keys a row can pair through — used only to SCOPE the
-    * incremental corpus side, so a recall superset is fine (token keys are
-    * the full token set, not the prefix-filtered one).
+  /** ALL blocking keys an edge row can pair through — used to SCOPE the
+    * incremental corpus side, so a recall superset of the generation keys
+    * is fine (token keys are the full token set, not the prefix-filtered
+    * one — prefix membership depends on corpus-wide dfs, which differ
+    * between the full table and the scoped slice).
     */
-  private def entityAllBlockKeys(nodes: DataFrame, cfg: DeduplicationConfig): DataFrame = {
-    val tok = nodes.select(col("uuid"), explode(tokens(col("name"))).as("key"))
-    if (cfg.embeddingWeight + cfg.attributeWeight < cfg.similarityThreshold) tok
-    else tok.unionByName(entityExtraBlockKeys(nodes))
-  }
-
   private def edgeAllBlockKeys(edges: DataFrame, cfg: DeduplicationConfig): DataFrame = {
     val tok = edges.select(col("uuid"), explode(tokens(col("fact"))).as("key"))
     val structural = edges.select(
@@ -464,20 +480,26 @@ object Deduplicator {
     tok.unionByName(structural).unionByName(sig)
   }
 
-  /** Incremental form (deduplicate_incremental, deduplicator.py:155-204):
-    * dedupe NEW items against the existing table — truly incremental:
+  /** Incremental form (deduplicate_incremental, deduplicator.py:155-204).
+    * The reference concatenates `existing + new` and rescans the FULL
+    * similarity matrix (deduplicator.py:131-141) — so existing×existing
+    * duplicates merge there too, at O(corpus²) per call. Here the rescan
+    * is SCOPED to rows sharing a (sub-hot-cap) block key with the batch:
     *
-    *  - the corpus side is scoped to existing rows sharing a blocking key
-    *    with the batch (recall-safe superset of every candidate's block),
-    *    so candidate generation costs ∝ batch × matching blocks, never a
-    *    corpus-wide self-join per call;
-    *  - only pairs touching the batch are kept, so two PRE-EXISTING rows
-    *    are never merged by an incremental call (the reference dedupes
-    *    new items against existing, not existing against itself);
+    *  - one linear pass over `existing` extracts block keys and semi-joins
+    *    them against the batch's keys — never a corpus-wide SELF-JOIN;
+    *    hot keys (template tokens like "is"/"in" that touch nearly every
+    *    fact) are excluded by the same [[DeduplicationConfig.hotBlockCap]]
+    *    guard candidate generation applies, so the scope stays ∝ the
+    *    batch's genuinely-discriminating blocks;
+    *  - within the scope, ALL pairs count (existing×existing included),
+    *    matching the reference's full-matrix semantics; existing
+    *    duplicates in blocks the batch never touches pass through verbatim
+    *    (they belong to a bulk [[deduplicateEntities]]/[[deduplicateEdges]]
+    *    pass, which this engine runs at pipeline time);
     *  - existing rows sort before new ones in the component order
     *    whenever their created_at is earlier (the usual case), so
-    *    resolution prefers the established row; rows of `existing`
-    *    untouched by any duplicate pass through verbatim.
+    *    resolution prefers the established row.
     */
   def deduplicateIncremental(
       existing: DataFrame,
@@ -487,20 +509,18 @@ object Deduplicator {
   ): DedupResult = {
     val all = existing.unionByName(incoming)
     val keysOf: DataFrame => DataFrame =
-      if (edges) edgeAllBlockKeys(_, cfg) else entityAllBlockKeys(_, cfg)
+      if (edges) edgeAllBlockKeys(_, cfg) else entityBlockKeys(_, cfg)
     val batchKeys = keysOf(incoming).select(col("key")).distinct().localCheckpoint()
     val touchedExisting = existing.join(
-      keysOf(existing).join(batchKeys, Seq("key"), "left_semi").select(col("uuid")).distinct(),
+      dropHotKeys(keysOf(existing), cfg.hotBlockCap)
+        .join(batchKeys, Seq("key"), "left_semi")
+        .select(col("uuid"))
+        .distinct(),
       Seq("uuid"),
       "left_semi",
     )
     val scoped = touchedExisting.unionByName(incoming)
-    val allPairs = if (edges) duplicateEdgePairs(scoped, cfg) else duplicateEntityPairs(scoped, cfg)
-    val incIds = incoming.select(col("uuid")).localCheckpoint()
-    val batchPairs = allPairs
-      .join(incIds.withColumnRenamed("uuid", "u1"), Seq("u1"), "left_semi")
-      .unionByName(allPairs.join(incIds.withColumnRenamed("uuid", "u2"), Seq("u2"), "left_semi"))
-      .dropDuplicates("u1", "u2")
-    if (edges) resolveEdges(all, batchPairs, cfg) else resolveEntities(all, batchPairs, cfg)
+    val pairs = if (edges) duplicateEdgePairs(scoped, cfg) else duplicateEntityPairs(scoped, cfg)
+    if (edges) resolveEdges(all, pairs, cfg) else resolveEntities(all, pairs, cfg)
   }
 }

@@ -135,18 +135,24 @@ final class Branches(store: SnapshotStore) {
       case "auto" =>
         (src.join(conflictIds, src("uuid") === conflictIds("__u"), "left_semi"), nConflicts)
       case "timestamp" =>
-        if (!src.columns.contains("created_at"))
+        // BOTH schemas must carry the column (a branch pinned before a
+        // schema migration may lack it) — else fall back to source-wins
+        if (!src.columns.contains("created_at") || !tgt.columns.contains("created_at"))
           (src.join(conflictIds, src("uuid") === conflictIds("__u"), "left_semi"), nConflicts)
         else
           (resolveByColumn(src, tgt, conflictIds, "created_at"), nConflicts)
       case "priority" =>
-        if (!src.columns.contains("priority"))
+        if (!src.columns.contains("priority") || !tgt.columns.contains("priority"))
           (src.join(conflictIds, src("uuid") === conflictIds("__u"), "left_semi"), nConflicts)
         else
           (resolveByColumn(src, tgt, conflictIds, "priority"), nConflicts)
     }
     val untouchedTgt = tgt.join(conflictIds, tgt("uuid") === conflictIds("__u"), "left_anti")
-    val merged = untouchedTgt.unionByName(winners).unionByName(srcOnly)
+    // allowMissingColumns: a schema-migrated side may carry columns the
+    // other side's pinned snapshot predates — its rows take nulls there
+    val merged = untouchedTgt
+      .unionByName(winners, allowMissingColumns = true)
+      .unionByName(srcOnly, allowMissingColumns = true)
     commitToBranch(target, table, merged, s"merge $source into $target ($strategy)")
     MergeResult(table, nAdded, nConflicts, nResolved)
   }

@@ -141,13 +141,17 @@ object HybridSearch {
     // anyway (a) costs a full lane scan / postings probe per batch and
     // (b) injects candidates whose only score is the OTHER lane's fill-in
     // 0.0 — zero-score rows that tie-fill the limit below every real hit.
-    // Skip such lanes. Exception: when BOTH text weights are 0 (graph-only
-    // rerank), the text lanes stay on as candidate generators — the graph
-    // lane scores candidates, it does not retrieve them
-    // (hybrid_search.py:312-318 scores the retrieved edge set).
+    // Skip such lanes — UNLESS the graph lane is active: the graph lane
+    // scores candidates, it does not retrieve them (hybrid_search.py:
+    // 312-318 scores the retrieved edge set), so every text lane stays on
+    // as a candidate generator whenever graph_weight can rank (a
+    // semantically-close edge touching the center node must remain
+    // reachable even with semantic_weight = 0). Same when BOTH text
+    // weights are 0 (pure graph rerank).
+    val graphActive = config.graphWeight != 0.0 && config.centerNode.isDefined
     val textRetrieval = config.semanticWeight != 0.0 || config.keywordWeight != 0.0
-    val runSem = config.semanticWeight != 0.0 || !textRetrieval
-    val runKw = config.keywordWeight != 0.0 || !textRetrieval
+    val runSem = config.semanticWeight != 0.0 || graphActive || !textRetrieval
+    val runKw = config.keywordWeight != 0.0 || graphActive || !textRetrieval
 
     // ---- semantic lane: embeddings of all queries broadcast against the
     // candidate frame (or against their edge_ann signature buckets)

@@ -386,9 +386,10 @@ class DeduplicatorSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs.head.getString(0) == "a1" && pairs.head.getDouble(2) == 1.0)
   }
 
-  test("incremental: existing-existing duplicates never merge; batch duplicates do") {
-    // (a) n1/n2 are mutual duplicates but both PRE-EXIST; the batch (n3)
-    // shares nothing with them → an incremental call must leave all three
+  test("incremental: out-of-scope existing duplicates pass through; batch duplicates resolve") {
+    // (a) n1/n2 are mutual duplicates but both PRE-EXIST and share no
+    // block key with the batch (n3) → outside the scoped rescan, an
+    // incremental call leaves all three (a bulk pass would merge n1/n2)
     val resA = Deduplicator.deduplicateIncremental(
       Seq(fixtureNodes(0), fixtureNodes(1)).toDF(),
       Seq(fixtureNodes(2)).toDF(),
@@ -408,6 +409,50 @@ class DeduplicatorSpec extends AnyFunSuite {
       resB.resolved.as[TNode].collect().sortBy(_.uuid).toSeq ==
         full.resolved.as[TNode].collect().sortBy(_.uuid).toSeq,
     )
+  }
+
+  test("incremental: in-scope existing duplicates merge (reference full-matrix parity)") {
+    // The reference's deduplicate_incremental concatenates existing+new
+    // and rescans the FULL matrix (deduplicator.py:131-141), so two
+    // existing duplicates touched by the batch's blocks merge too. n4 is
+    // a batch row identical to existing n1; existing n2 shares its block
+    // → incremental over (n1, n2 | n4) must equal the bulk dedup of all 3.
+    val n4 = fixtureNodes(0).copy(uuid = "n4", created_at = ts(9), summary = "s4")
+    val cfg = DeduplicationConfig(conflictResolution = "merge")
+    val inc = Deduplicator.deduplicateIncremental(
+      Seq(fixtureNodes(0), fixtureNodes(1)).toDF(),
+      Seq(n4).toDF(),
+      cfg,
+    )
+    val full = Deduplicator.deduplicateEntities(Seq(fixtureNodes(0), fixtureNodes(1), n4).toDF(), cfg)
+    assert(inc.duplicatesFound == full.duplicatesFound && inc.duplicatesFound >= 2)
+    assert(
+      inc.resolved.as[TNode].collect().sortBy(_.uuid).toSeq ==
+        full.resolved.as[TNode].collect().sortBy(_.uuid).toSeq,
+    )
+  }
+
+  test("hot block keys are capped; identical names still pair via the exact-name block") {
+    // every token of the target name is corpus-hot under cap=3 ("common"
+    // df 6, "target" df 5) — only the nm: exact-name key, which the cap
+    // exempts, can produce the (h5, h6) candidate. The uniq* tokens stay
+    // under the cap but are unshared; no other pair crosses the threshold.
+    val cfg = DeduplicationConfig(similarityThreshold = 0.8, hotBlockCap = 3)
+    val ns = Seq(
+      TNode("h1", "common uniqa", "g", Seq("L"), ts(1), embX, "", Map.empty),
+      TNode("h2", "common uniqb", "g", Seq("L"), ts(2), embX, "", Map.empty),
+      TNode("h3", "common uniqc target", "g", Seq("L"), ts(3), embX, "", Map.empty),
+      TNode("h4", "common uniqd target", "g", Seq("L"), ts(4), embX, "", Map.empty),
+      TNode("h5", "common target", "g", Seq("L"), ts(5), emb1, "", Map.empty),
+      TNode("h6", "common target", "g", Seq("L"), ts(6), emb1, "", Map.empty),
+      TNode("h7", "uniqe target", "g", Seq("L"), ts(7), embX, "", Map.empty),
+    )
+    val pairs = Deduplicator
+      .duplicateEntityPairs(ns.toDF(), cfg)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    assert(pairs == Seq(("h5", "h6")))
   }
 
   test("incremental edges: batch edge adopts into the existing duplicate; others untouched") {

@@ -112,6 +112,25 @@ class BranchesSpec extends AnyFunSuite {
     assert(m == Map("e1" -> "f1-branch", "e2" -> "f2-main"))
   }
 
+  test("merge priority: column missing on the TARGET side falls back to source-wins") {
+    // a branch created after a schema migration can carry `priority` while
+    // the target's pinned snapshot predates it — the strategy must fall
+    // back instead of throwing on the target's missing column
+    val (store, br) = freshStore()
+    store.commit(Seq(("e1", "f1-main")).toDF("uuid", "fact").withColumn("created_at", lit(ts(100))), "edges", "base")
+    val br2 = new Branches(store)
+    br2.createBranch("p2", tables = Seq("edges"))
+    br2.commitToBranch(
+      "p2", "edges",
+      Seq(("e1", "f1-branch", 5)).toDF("uuid", "fact", "priority").withColumn("created_at", lit(ts(100))),
+      "branch adds priority column",
+    )
+    val r = br2.mergeBranch("p2", "main", "edges", "priority")
+    assert(r.conflicts == 1 && r.resolved == 1)
+    val m = store.load("edges").collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(m == Map("e1" -> "f1-branch"))
+  }
+
   test("merge manual: target kept, conflicts reported unresolved") {
     val (store, br) = freshStore()
     br.createBranch("b", tables = Seq("edges"))

@@ -160,6 +160,21 @@ class HybridSearchSpec extends AnyFunSuite {
     } finally SearchIndexes.deleteAll(s2)
   }
 
+  test("zero-weight text lane still generates candidates when the graph lane ranks") {
+    // sem_weight = 0 but graph_weight > 0: the semantic lane must stay on
+    // as a candidate GENERATOR (a semantically-close edge touching the
+    // center node is rankable by the graph term even though its semantic
+    // weight is 0). Candidate set must equal the epsilon-semantic-weight
+    // run, where the lane undeniably runs.
+    val center = Ids.entity("default", "Supplier#0")
+    val zero =
+      HybridConfig(semanticWeight = 0.0, keywordWeight = 0.3, graphWeight = 0.7, limit = 500, centerNode = Some(center))
+    val eps = zero.copy(semanticWeight = 1e-12)
+    def ids(cfg: HybridConfig) =
+      HybridSearch.hybridSearch(store, "lives in", cfg).collect().map(_.getAs[String]("id")).toSet
+    assert(ids(zero) == ids(eps))
+  }
+
   test("graph lane over the committed adjacency index == direct BFS") {
     val center = Ids.entity("default", "Supplier#0")
     val cfg =
