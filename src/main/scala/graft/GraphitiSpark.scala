@@ -66,12 +66,16 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
       .select(col("source_uuid").as("uuid"))
       .unionByName(raw.select(col("target_uuid").as("uuid")))
       .distinct()
+    // the remap gate must mirror the probe's source exactly — gating on
+    // uuid_map while probing uuid_map_by_uuid would silently discard the
+    // probe when only the by_uuid copy exists
+    val hasMap = store.exists("uuid_map_by_uuid") || store.exists("uuid_map")
     val m =
       if (store.exists("uuid_map_by_uuid")) store.loadForKeys("uuid_map_by_uuid", endpoints, Seq("uuid"))
       else if (store.exists("uuid_map"))
         store.load("uuid_map").join(endpoints, Seq("uuid"), "left_semi")
       else raw.sparkSession.emptyDataFrame
-    val remapped = if (store.exists("uuid_map")) kg.Linking.remapPointers(raw, m) else raw
+    val remapped = if (hasMap) kg.Linking.remapPointers(raw, m) else raw
     IncrementalIngest.mergeEdges(store, remapped, batchId = -2L)
   }
 
@@ -286,11 +290,21 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
           )
           .drop("__maxInv")
     }
+    // "merge" is the one strategy that DELETES rows (non-first group
+    // members); the other three only touch expired_at, which no derived
+    // index tracks — same index-consistency contract as the other deletes
+    val removed =
+      if (strategy != "merge") None
+      else Some(marked.filter(col("__n") > 1 && col("__rn_first") =!= 1).drop("__n", "__rn_first", "__rn_last").localCheckpoint())
     store.commit(
       resolved.drop("__n", "__rn_first", "__rn_last"),
       "edges",
       s"resolve temporal conflicts: $strategy",
     )
+    removed.filter(r => !r.isEmpty).foreach { r =>
+      refreshEdgeIndexes(r)
+      dropFromEntityEdges(r)
+    }
   }
 
   /** Age-based auto cleanup (auto_temporal_cleanup,

@@ -65,14 +65,18 @@ object Communities {
 
     // deterministic community node: uuid from (group, label); name/summary
     // from the first (lexicographic) member names
-    val w = Window.partitionBy(col("community_key")).orderBy(col("name"))
+    // sort_array over collected (rn, name) structs: a bare collect_list
+    // after the window exchange has NO guaranteed element order — the
+    // concatenated names (and thus the community's name, summary and
+    // summary embedding) would vary between identical runs
+    val w = Window.partitionBy(col("community_key")).orderBy(col("name"), col("entity_uuid"))
     val summaries = members
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .groupBy(col("community_key"))
       .agg(
-        concat_ws(", ", collect_list(col("name"))).as("top_members"),
-        count(lit(1)).as("sample_n"),
+        concat_ws(", ", transform(sort_array(collect_list(struct(col("rn"), col("name")))), _.getField("name")))
+          .as("top_members"),
       )
     val sizes = members
       .groupBy(col("community_key"))

@@ -27,13 +27,17 @@ object Hierarchical {
   def wardCommunities(nodes: DataFrame, idCol: String, vecCol: String, k: Int, maxNodes: Int = 1000): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
+    // gate BEFORE collecting: the limit(maxNodes+1) probe bounds the
+    // driver's exposure — an oversized corpus fails fast instead of
+    // OOMing the driver on a full collect of embeddings
+    val probe = nodes.select(col(idCol)).limit(maxNodes + 1).count()
+    require(probe <= maxNodes, s"ward clustering gated to ≤$maxNodes nodes (got ≥$probe); extract a subgraph first")
     val rows: Array[(String, Array[Double])] = nodes
       .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
       .as[(String, Seq[Double])]
       .collect()
       .map { case (id, v) => id -> v.toArray }
       .sortBy(_._1)
-    require(rows.length <= maxNodes, s"ward clustering gated to ≤$maxNodes nodes (got ${rows.length}); extract a subgraph first")
     val n = rows.length
     if (n == 0) return spark.emptyDataFrame.select(lit("").as("id"), lit("").as("community")).limit(0)
 

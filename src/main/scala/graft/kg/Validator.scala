@@ -65,9 +65,14 @@ final class Validator(store: SnapshotStore) {
       ),
       result(
         "edge_endpoints_resolve", "warning",
+        // failures in EDGE units (checked = n edges): one row per edge
+        // with ≥1 dangling endpoint, not per exploded endpoint (which
+        // could double-count an edge and exceed `checked`)
         edges
-          .select(explode(array(col("source_uuid"), col("target_uuid"))).as("uuid"))
-          .join(nodeIds, Seq("uuid"), "left_anti"),
+          .select(col("uuid").as("__edge"), explode(array(col("source_uuid"), col("target_uuid"))).as("uuid"))
+          .join(nodeIds, Seq("uuid"), "left_anti")
+          .select(col("__edge"))
+          .distinct(),
         n,
       ),
     )
@@ -82,13 +87,16 @@ final class Validator(store: SnapshotStore) {
       .select(explode(array(col("source_uuid"), col("target_uuid"))).as("uuid"))
       .distinct()
     val orphanNodes = nodes.join(endpointIds, Seq("uuid"), "left_anti")
+    // failures in EDGE units (checked = n edges): edges citing ≥1
+    // episode uuid with no episodes row
     val missingEpisodes =
       if (store.exists("episodes")) {
         val epIds = store.load("episodes").select(col("uuid"))
         edges
-          .select(explode(col("episodes")).as("uuid"))
-          .distinct()
+          .select(col("uuid").as("__edge"), explode(col("episodes")).as("uuid"))
           .join(epIds, Seq("uuid"), "left_anti")
+          .select(col("__edge"))
+          .distinct()
       } else edges.limit(0).select(col("uuid"))
     val multiOpen = edges
       .filter(col("invalid_at").isNull)

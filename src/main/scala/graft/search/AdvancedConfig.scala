@@ -77,8 +77,14 @@ final case class AdvancedConfig(
     errs.toSeq
   }
 
-  /** Lower onto the executable search parameters. Throws on invalid. */
-  def toKgSearch: (KgSearchConfig, SearchFilters.Filters) = {
+  /** Lower onto the executable search parameters — EVERYTHING configured
+    * here reaches the search call: lane enables become KgSearchConfig lane
+    * toggles, groupIds/asOf ride alongside (KgSearch takes them as
+    * separate parameters), temporal bounds and allowedTypes become the
+    * Filters CNF (allowedTypes = entity labels; label-less lanes skip the
+    * part via the schema-aware predicate). Throws on invalid.
+    */
+  def toKgSearch: AdvancedConfig.Lowered = {
     val problems = validate()
     require(problems.isEmpty, s"invalid AdvancedConfig: ${problems.mkString("; ")}")
     import SearchFilters._
@@ -87,17 +93,51 @@ final case class AdvancedConfig(
         validAfter.map(t => Seq(DateFilter("valid_at", Gte, Some(t)))),
         validBefore.map(t => Seq(DateFilter("valid_at", Lte, Some(t)))),
       ).flatten
-    (
-      KgSearchConfig(
+    AdvancedConfig.Lowered(
+      config = KgSearchConfig(
         limit = limit,
         reranker = ranking,
         simMinScore = semanticMinScore,
         bfsMaxDepth = graphMaxDepth,
         mmrLambda = mmrLambda,
         annLsh = useAnnIndex,
+        keywordLane = keywordEnabled,
+        semanticLane = semanticEnabled,
+        graphLane = graphEnabled,
       ),
-      Filters(validAt = validAtCnf, nodeLabels = allowedTypes),
+      filters = Filters(validAt = validAtCnf, nodeLabels = allowedTypes),
+      groupIds = groupIds,
+      asOf = asOf,
     )
+  }
+
+  /** Lower onto the weighted hybrid engine (the integrator's
+    * apply-to-hybrid path, integration.py:84-180): the fusion weights —
+    * which rank-fusion KgSearch deliberately has no use for — plus the
+    * temporal instant and the ANN toggle. A disabled lane is a zero
+    * weight.
+    */
+  def toHybrid: HybridSearch.HybridConfig = {
+    val problems = validate()
+    require(problems.isEmpty, s"invalid AdvancedConfig: ${problems.mkString("; ")}")
+    HybridSearch.HybridConfig(
+      semanticWeight = if (semanticEnabled) weights.getOrElse("semantic", 0.0) else 0.0,
+      keywordWeight = if (keywordEnabled) weights.getOrElse("keyword", 0.0) else 0.0,
+      graphWeight = if (graphEnabled) weights.getOrElse("graph", 0.0) else 0.0,
+      semanticThreshold = semanticMinScore,
+      graphDistanceCutoff = graphMaxDepth,
+      limit = limit,
+      temporalFilter = asOf,
+      annLsh = useAnnIndex,
+    )
+  }
+
+  /** Run a four-lane search under this config — the lowering applied, so
+    * group scoping, as-of, lane toggles and filters all take effect.
+    */
+  def run(searcher: KgSearch, query: String, originNode: Option[String] = None): SearchResults = {
+    val l = toKgSearch
+    searcher.search(query, originNode, l.asOf, l.config, l.groupIds, l.filters)
   }
 }
 
@@ -107,6 +147,18 @@ final case class AdvancedConfig(
   * ANN-index toggle (batching is Spark's job).
   */
 object AdvancedConfig {
+
+  /** The executable lowering of an [[AdvancedConfig]] — every configured
+    * dimension has a carrier: `config` (limits, reranker, thresholds, lane
+    * toggles, ANN), `filters` (temporal CNF + entity labels), `groupIds`
+    * and `asOf` (KgSearch's separate scoping parameters).
+    */
+  final case class Lowered(
+      config: KgSearchConfig,
+      filters: SearchFilters.Filters,
+      groupIds: Seq[String],
+      asOf: Option[java.sql.Timestamp],
+  )
 
   /** create_semantic_search_config (integration.py:392-418). */
   def semanticOptimized: AdvancedConfig =

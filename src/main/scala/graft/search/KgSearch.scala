@@ -29,6 +29,12 @@ final case class KgSearchConfig(
     // corpus in the cosine lane (the 100 TB path: ~1/256 of the corpus per
     // query; approximate — same-bucket candidates only)
     annLsh: Boolean = false,
+    // per-method enables (configure_semantic/keyword/graph_search,
+    // advanced_config.py:258-357): a disabled lane neither retrieves nor
+    // joins the RRF fusion; at least one lane must stay enabled
+    keywordLane: Boolean = true,
+    semanticLane: Boolean = true,
+    graphLane: Boolean = true,
 )
 
 final case class SearchResults(
@@ -54,7 +60,7 @@ final class KgSearch(store: SnapshotStore) {
     val g =
       if (groupIds.isEmpty || !df.columns.contains("group_id")) lit(true)
       else col("group_id").isin(groupIds: _*)
-    df.filter(g && SearchFilters.toPredicate(filters))
+    df.filter(g && SearchFilters.toPredicate(filters, df.columns))
   }
 
   private def queryEmbedding(query: String): Column = {
@@ -123,29 +129,33 @@ final class KgSearch(store: SnapshotStore) {
 
     val lanes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // bm25 lane (indexed probe when SearchIndexes are committed)
-    val bm = bm25Lane("edges", edges, "fact", query)
-    lanes += ranked(bm, "id", "score", prefetch)
+    if (config.keywordLane) {
+      val bm = bm25Lane("edges", edges, "fact", query)
+      lanes += ranked(bm, "id", "score", prefetch)
+    }
     // cosine lane (min-score 0.6 as the reference's sim_min_score); with
     // annLsh: probe only the query's signature bucket of edge_ann
-    val cosBase =
-      if (config.annLsh && store.exists("edge_ann")) {
-        val spark = edges.sparkSession
-        import spark.implicits._
-        val qdf = Seq((0L, Embedder.embed(query).toSeq)).toDF("qid", "qv")
-        val qsig = graft.sim.Ann.signature(spark, qdf, "qid", "qv").collect()(0).getAs[Int]("sig")
-        SearchIndexes
-          .annForSigs(store, Seq(qsig).toDF("sig"))
-          .join(edges.select(col("uuid")), Seq("uuid"), "left_semi")
-          .withColumn("score", Vectors.cosine(col("v"), queryEmbedding(query)))
-      } else
-        edges.withColumn("score", Vectors.cosine(col("fact_embedding"), queryEmbedding(query)))
-    val cos = cosBase
-      .filter(col("score") >= config.simMinScore)
-      .select(col("uuid"), col("score"))
-    lanes += ranked(cos, "uuid", "score", prefetch)
+    if (config.semanticLane) {
+      val cosBase =
+        if (config.annLsh && store.exists("edge_ann")) {
+          val spark = edges.sparkSession
+          import spark.implicits._
+          val qdf = Seq((0L, Embedder.embed(query).toSeq)).toDF("qid", "qv")
+          val qsig = graft.sim.Ann.signature(spark, qdf, "qid", "qv").collect()(0).getAs[Int]("sig")
+          SearchIndexes
+            .annForSigs(store, Seq(qsig).toDF("sig"))
+            .join(edges.select(col("uuid")), Seq("uuid"), "left_semi")
+            .withColumn("score", Vectors.cosine(col("v"), queryEmbedding(query)))
+        } else
+          edges.withColumn("score", Vectors.cosine(col("fact_embedding"), queryEmbedding(query)))
+      val cos = cosBase
+        .filter(col("score") >= config.simMinScore)
+        .select(col("uuid"), col("score"))
+      lanes += ranked(cos, "uuid", "score", prefetch)
+    }
     // bfs lane: edges whose source is within depth k of the origin,
     // scored 1/(1+dist)
-    originNode.foreach { origin =>
+    if (config.graphLane) originNode.foreach { origin =>
       val spark = edges.sparkSession
       import spark.implicits._
       // with a committed graph_adj index each BFS superstep probes only
@@ -172,6 +182,10 @@ final class KgSearch(store: SnapshotStore) {
       lanes += ranked(prox, "uuid", "score", prefetch)
     }
 
+    require(
+      lanes.nonEmpty,
+      "every retrieval lane is disabled for this call (keyword/semantic off and no graph origin)",
+    )
     val fused = Rerank.rrf(lanes.toSeq).withColumnRenamed("rrf_score", "score")
     val top = applyReranker(fused, edges, config, query, originNode)
     top
@@ -192,13 +206,19 @@ final class KgSearch(store: SnapshotStore) {
   ): DataFrame = {
     val prefetch = config.limit * PrefetchFactor
     val nodes = scoped(store.load("nodes"), groupIds, filters)
-    val bm = bm25Lane("nodes", nodes, "name", query)
-    val cos = nodes
-      .withColumn("score", Vectors.cosine(col("name_embedding"), queryEmbedding(query)))
-      .filter(col("score") >= config.simMinScore)
-      .select(col("uuid"), col("score"))
+    val lanes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (config.keywordLane)
+      lanes += ranked(bm25Lane("nodes", nodes, "name", query), "id", "score", prefetch)
+    if (config.semanticLane) {
+      val cos = nodes
+        .withColumn("score", Vectors.cosine(col("name_embedding"), queryEmbedding(query)))
+        .filter(col("score") >= config.simMinScore)
+        .select(col("uuid"), col("score"))
+      lanes += ranked(cos, "uuid", "score", prefetch)
+    }
+    require(lanes.nonEmpty, "node search needs the keyword or the semantic lane enabled")
     val fused = Rerank
-      .rrf(Seq(ranked(bm, "id", "score", prefetch), ranked(cos, "uuid", "score", prefetch)))
+      .rrf(lanes.toSeq)
       .withColumnRenamed("rrf_score", "score")
       .orderBy(col("score").desc, col("id"))
       .limit(config.limit)

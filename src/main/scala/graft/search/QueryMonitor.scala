@@ -21,8 +21,18 @@ final class QueryMonitor(store: SnapshotStore) {
 
   /** Record a batch of observations: (query, query_type, execution_time
     * seconds, result_count). Appends only the batch (bucketed by type).
+    *
+    * `obs_id` = (batch seq, in-batch index) — NOT a content hash: the log
+    * must count every observation, and hashing (query, time, count) would
+    * silently merge legitimately-repeated identical observations, making
+    * `patterns()` under-report frequency (and concat_ws skips nulls, so
+    * distinct null-bearing rows could even collide).
     */
   def record(observations: DataFrame): Unit = {
+    val seq = store.versions(Table).lastOption.map(_ + 1).getOrElse(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .orderBy(col("query_type"), col("query"), col("execution_time"), col("result_count"))
     val batch = observations
       .select(
         col("query").cast("string"),
@@ -30,7 +40,8 @@ final class QueryMonitor(store: SnapshotStore) {
         col("execution_time").cast("double"),
         col("result_count").cast("long"),
       )
-      .withColumn("obs_id", concat_ws("|", col("query_type"), md5(concat_ws("|", col("query"), col("execution_time"), col("result_count")))))
+      // batch-sized frame: the single-partition window costs nothing here
+      .withColumn("obs_id", concat_ws("|", lit(seq), row_number().over(w)))
     store.mergeBucketed(
       Table, batch, Seq("obs_id"), "query observations", bucketBy = Seq("query_type"),
     )

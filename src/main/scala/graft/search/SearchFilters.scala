@@ -63,4 +63,30 @@ object SearchFilters {
          else Nil)
     parts.reduceOption(_ && _).getOrElse(lit(true))
   }
+
+  /** Schema-aware variant: one Filters object scopes ALL lanes (the
+    * reference keeps node_labels and edge_types side by side in one
+    * SearchFilters, search_filters.py:26-123, and each table applies the
+    * parts that exist for it) — a part referencing a column the frame
+    * lacks is skipped instead of raising UNRESOLVED_COLUMN:
+    *  - `nodeLabels` applies only to label-bearing frames;
+    *  - `edgeTypes` only to true edge frames (endpoint columns present —
+    *    `name` alone is ambiguous: node names are entity surface text);
+    *  - a date-filter OR-group is skipped when any member's column is
+    *    absent (the frame has no such temporal dimension; dropping the
+    *    whole group is the conservative direction — dropping only the
+    *    absent disjuncts would strengthen the OR).
+    */
+  def toPredicate(f: Filters, columns: Seq[String]): Column = {
+    val have = columns.toSet
+    def present(groups: Seq[Seq[DateFilter]]) = groups.filter(_.forall(d => have(d.column)))
+    val isEdgeFrame = have("source_uuid") && have("target_uuid")
+    val parts =
+      Seq(cnf(present(f.validAt)), cnf(present(f.invalidAt)), cnf(present(f.createdAt)), cnf(present(f.expiredAt))).flatten ++
+        (if (f.edgeTypes.nonEmpty && isEdgeFrame && have("name")) Seq(col("name").isin(f.edgeTypes: _*)) else Nil) ++
+        (if (f.nodeLabels.nonEmpty && have("labels"))
+           Seq(arrays_overlap(col("labels"), array(f.nodeLabels.map(lit): _*)))
+         else Nil)
+    parts.reduceOption(_ && _).getOrElse(lit(true))
+  }
 }

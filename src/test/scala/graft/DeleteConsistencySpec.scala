@@ -204,6 +204,51 @@ class DeleteConsistencySpec extends AnyFunSuite {
     assertIndexConsistent(store, prevEdges2, prevDocs2)
   }
 
+  test("resolveConflicts merge: deleted group members leave the edge indexes") {
+    // merge is the one conflict strategy that DELETES rows — it must hold
+    // the same index-consistency contract as the other delete ops. A
+    // minimal edges-only store: one 2-row conflict group + a singleton.
+    val store = new SnapshotStore(spark, Files.createTempDirectory("gconfm").toString)
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val emb1 = Seq(1.0f, 0.0f, 0.5f)
+    val emb2 = Seq(0.0f, 1.0f, 0.5f)
+    val edges = Seq(
+      ("e1", "a", "b", "linked_to", "alpha first fact", "default", Some(ts(10)), None: Option[java.sql.Timestamp], None: Option[java.sql.Timestamp], ts(10), Seq("ep1"), emb1),
+      ("e2", "a", "b", "linked_to", "alpha second fact", "default", Some(ts(20)), None: Option[java.sql.Timestamp], None: Option[java.sql.Timestamp], ts(20), Seq("ep2"), emb2),
+      ("e3", "a", "c", "knows", "gamma single fact", "default", Some(ts(30)), None: Option[java.sql.Timestamp], None: Option[java.sql.Timestamp], ts(30), Seq("ep3"), emb1),
+    ).toDF("uuid", "source_uuid", "target_uuid", "name", "fact", "group_id", "valid_at", "invalid_at", "expired_at", "created_at", "episodes", "fact_embedding")
+    store.commit(edges, "edges", "conflict fixture")
+    SearchIndexes.buildText(store, "edges", "uuid", "fact")
+    SearchIndexes.buildAnn(store)
+    SearchIndexes.buildGraph(store)
+    SearchIndexes.buildTemporal(store)
+
+    val g = new GraphitiSpark(spark, store.root)
+    g.resolveConflicts("merge", ts(99))
+    val live = store.load("edges")
+    assert(live.collect().map(_.getAs[String]("uuid")).sorted.toSeq == Seq("e1", "e3"), "e2 merged away")
+
+    // every edge index view must equal a fresh derivation from live edges
+    // (probe keys widened with the removed row's terms/sig/months)
+    val probeTerms = Bm25.termFreqs(edges.select(col("uuid").as("id"), col("fact").as("text")))
+      .select(col("term")).distinct()
+    val gotPost = SearchIndexes.postingsForTerms(store, "edges", probeTerms)
+      .select(col("term"), col("id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val wantPost = Bm25.termFreqs(live.select(col("uuid").as("id"), col("fact").as("text")))
+      .select(col("term"), col("id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotPost == wantPost, "edges_postings holds a ghost doc after merge")
+    val stats = store.load("edges_bm25stats").collect()(0)
+    assert(stats.getAs[Long]("n_docs") == 2L, "bm25 stats drifted")
+    val probeSigs = edges.select(graft.sim.Ann.signatureCol(col("fact_embedding")).as("sig")).distinct()
+    val gotAnn = SearchIndexes.annForSigs(store, probeSigs)
+      .select(col("uuid")).collect().map(_.getString(0)).toSet
+    assert(gotAnn == Set("e1", "e3"), "edge_ann holds a ghost vector after merge")
+    val gotAdj = SearchIndexes.adjacency(store).groupBy().agg(sum(col("cnt"))).collect()(0).getLong(0)
+    assert(gotAdj == 4L, s"graph_adj pair multiplicity should drop to 2 undirected pairs, got $gotAdj")
+    val gotMonths = SearchIndexes.monthIndex(store).select(col("uuid")).collect().map(_.getString(0)).toSet
+    assert(gotMonths == Set("e1", "e3"), "edge_months holds a ghost row after merge")
+  }
+
   test("deleteGroup purges tables, side tables and indexes") {
     val (g, store) = freshStore()
     val (prevEdges, prevDocs) = snapshotPrev(store)

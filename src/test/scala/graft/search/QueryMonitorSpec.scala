@@ -22,11 +22,19 @@ class QueryMonitorSpec extends AnyFunSuite {
         ("rare term xyzzy", "keyword", 0.1, 0L),
       ).toDF("query", "query_type", "execution_time", "result_count"),
     )
-    // appending a second batch accumulates, not overwrites
-    m.record(Seq(("another", "graph", 1.7, 2L)).toDF("query", "query_type", "execution_time", "result_count"))
+    // appending a second batch accumulates, not overwrites — and
+    // IDENTICAL repeated observations each count (the log is lossless;
+    // a content-keyed id would merge them and under-report frequency)
+    m.record(
+      Seq(
+        ("another", "graph", 1.7, 2L),
+        // byte-identical to a batch-1 observation: must still count
+        ("rare term xyzzy", "keyword", 0.1, 0L),
+      ).toDF("query", "query_type", "execution_time", "result_count"),
+    )
 
     val pats = m.patterns().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(pats == Map("semantic" -> 3L, "graph" -> 2L, "keyword" -> 1L))
+    assert(pats == Map("semantic" -> 3L, "graph" -> 2L, "keyword" -> 2L))
 
     val sugg = m.suggest().collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(sugg == Set(
