@@ -326,8 +326,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val prev = currentVersion(table)
     val prevManifest = prev
       .flatMap(v => readManifest(table, v))
-      // a bucket-count change invalidates the hash layout → full rewrite
-      .filter(_.numBuckets == numBuckets)
+      // a bucket-count OR bucket-column change invalidates the hash layout
+      // → full rewrite (affected-bucket pruning under the new hash would
+      // miss the old rows' buckets and leave stale same-key rows behind)
+      .filter(m => m.numBuckets == numBuckets && (m.bucketBy.isEmpty || m.bucketBy == bCols))
 
     val withB = updates.withColumn("__bucket", bucketExpr(bCols, numBuckets))
     val delB = deleteKeys.map(_.withColumn("__bucket", bucketExpr(bCols, numBuckets)))
@@ -340,6 +342,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     // intermediate).
     val updRows = if (prev.isEmpty) 0L else updates.count()
     val delRows = if (prev.isEmpty) 0L else delB.map(_.count()).getOrElse(0L)
+
+    // ---- NO-OP short-circuit: an empty merge (0 updates, 0 deletes)
+    // changes nothing — without this, recurring empty merges (e.g. a
+    // batch with no duplicate pairs touching uuid_map) would each append
+    // an empty delta, and every MaxDeltaChain-th one would trigger a full
+    // O(corpus) compaction rewrite of a table nothing ever changed.
+    if (prev.isDefined && updRows == 0 && delRows == 0) return prev.get
 
     // ---- DELTA path (merge-on-read): when the batch is small relative to
     // the base, append an update/tombstone delta instead of rewriting the
@@ -365,7 +374,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         dk.select(key.map(col): _*).distinct().coalesce(1)
           .write.mode("overwrite").parquet(deltaDeletesDir(table, next).toString)
       }
-      val manifest = Manifest(numBuckets, m.buckets, m.deltas :+ (next -> updRows), key)
+      val manifest = Manifest(numBuckets, m.buckets, m.deltas :+ (next -> updRows), key, bCols)
       Files.write(dir.resolve("_manifest.json"), manifestJson(manifest).getBytes(StandardCharsets.UTF_8))
       val commitJson =
         s"""{"version":$next,"message":${jstr(message)},"fingerprint":${jstr(fingerprint)},
@@ -455,7 +464,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val carried: Map[Int, (Int, Long)] =
       if (legacyAll) Map.empty
       else prevManifest.map(_.buckets.filterNot { case (b, _) => affected.contains(b) }).getOrElse(Map.empty)
-    val manifest = Manifest(numBuckets, carried ++ writtenCounts)
+    val manifest = Manifest(numBuckets, carried ++ writtenCounts, bucketBy = bCols)
     Files.write(
       dir.resolve("_manifest.json"),
       manifestJson(manifest).getBytes(StandardCharsets.UTF_8),
@@ -485,13 +494,19 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       buckets: Map[Int, (Int, Long)],
       deltas: Seq[(Int, Long)] = Nil,
       deltaKey: Seq[String] = Nil,
+      // the hash-layout columns; a merge under a DIFFERENT bucketBy must
+      // full-rewrite (its affected-bucket pruning would miss the old rows'
+      // buckets, leaving stale same-key rows behind). Nil = unknown
+      // (pre-upgrade manifests) = treated compatible.
+      bucketBy: Seq[String] = Nil,
   )
 
   private def manifestJson(m: Manifest): String = {
     val entries = m.buckets.toSeq.sortBy(_._1).map { case (b, (v, n)) => s""""$b":[$v,$n]""" }.mkString(",")
     val deltas = m.deltas.map { case (v, n) => s"[$v,$n]" }.mkString(",")
     val dkey = m.deltaKey.map(jstr).mkString(",")
-    s"""{"num_buckets":${m.numBuckets},"delta_key":[$dkey],"deltas":[$deltas],"buckets":{$entries}}"""
+    val bby = m.bucketBy.map(jstr).mkString(",")
+    s"""{"num_buckets":${m.numBuckets},"bucket_by":[$bby],"delta_key":[$dkey],"deltas":[$deltas],"buckets":{$entries}}"""
   }
 
   private def readManifest(table: String, version: Int): Option[Manifest] = {
@@ -514,14 +529,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
             .map(m => m.group(1).toInt -> m.group(2).toLong)
             .toSeq
       }
-      val deltaKey = s.indexOf("\"delta_key\"") match {
+      def strArr(field: String): Seq[String] = head.indexOf(s""""$field"""") match {
         case -1 => Nil
-        case _ =>
-          val seg = head.substring(head.indexOf("\"delta_key\""))
+        case i =>
+          val seg = head.substring(i)
           val arr = seg.substring(seg.indexOf('['), seg.indexOf(']') + 1)
           """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(_.group(1)).toSeq
       }
-      Some(Manifest(nb, entries, deltas, deltaKey))
+      Some(Manifest(nb, entries, deltas, strArr("delta_key"), strArr("bucket_by")))
     }
   }
 

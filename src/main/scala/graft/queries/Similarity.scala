@@ -43,7 +43,7 @@ object Similarity {
         val e = T.load(s, dir, "embeddings")
         val queries = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val corpus = e.filter(col("vec_id") >= 10).select(col("vec_id").as("id"), col("embedding").as("v"))
-        Ann.lshBucketTopK(s, queries, corpus, 5).orderBy(col("qid"), col("rk"))
+        Ann.lshBucketTopK(queries, corpus, 5).orderBy(col("qid"), col("rk"))
       },
       Some("""
         WITH planes AS (

@@ -162,7 +162,7 @@ object HybridSearch {
       else if (config.annLsh && store.exists("edge_ann")) {
         // Ann.signature renames its id column to "id" — rename it back
         val qSigs = graft.sim.Ann
-          .signature(spark, qEmbDf, "query_id", "qv")
+          .signature(qEmbDf, "query_id", "qv")
           .select(col("id").as("query_id"), col("sig"))
         SearchIndexes
           .annForSigs(store, qSigs.select(col("sig")).distinct())

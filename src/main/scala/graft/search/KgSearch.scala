@@ -141,7 +141,7 @@ final class KgSearch(store: SnapshotStore) {
           val spark = edges.sparkSession
           import spark.implicits._
           val qdf = Seq((0L, Embedder.embed(query).toSeq)).toDF("qid", "qv")
-          val qsig = graft.sim.Ann.signature(spark, qdf, "qid", "qv").collect()(0).getAs[Int]("sig")
+          val qsig = graft.sim.Ann.signature(qdf, "qid", "qv").collect()(0).getAs[Int]("sig")
           SearchIndexes
             .annForSigs(store, Seq(qsig).toDF("sig"))
             .join(edges.select(col("uuid")), Seq("uuid"), "left_semi")

@@ -54,17 +54,28 @@ object Ann {
   /** Column form of the signature: bit p = 1 iff Σᵢ coef(p,i)·vᵢ > 0.
     * Pure codegen expression (8 zip-aggregates against literal coefficient
     * arrays) — no explode / join / shuffle per signature.
+    *
+    * Defined for ANY vector dimension: planes live on the first
+    * min(dim, 64) coordinates — 64-dim vectors (`Embedder.Dim`) use the
+    * full plane (bit-identical to the fixed-64 form the SQL oracles
+    * re-derive), other dims project onto the shared prefix subspace. The
+    * alternative (a null dot on length mismatch) silently collapsed every
+    * off-dimension vector into signature 0, turning the LSH index into a
+    * single all-corpus bucket and sig-keyed dedup blocks quadratic.
     */
-  def signatureCol(vec: org.apache.spark.sql.Column, nPlanes: Int = 8): org.apache.spark.sql.Column =
+  def signatureCol(vec: org.apache.spark.sql.Column, nPlanes: Int = 8): org.apache.spark.sql.Column = {
+    val n = least(size(vec), lit(64))
+    val v = slice(vec, lit(1), n)
     planeCoefs(nPlanes).zipWithIndex.map { case (coefs, p) =>
-      val coefArr = array(coefs.map(lit): _*)
+      val coefArr = slice(array(coefs.map(lit): _*), lit(1), n)
       // native codegen'd dot (bit-identical to the HOF aggregate/zip_with
       // form, same element order) — 8 of these run per vector
-      when(graft.search.Vectors.dot(vec, coefArr) > 0, lit(1 << p)).otherwise(lit(0))
+      when(graft.search.Vectors.dot(v, coefArr) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
+  }
 
   /** 8-bit signature of a vector under deterministic hyperplanes. */
-  def signature(spark: SparkSession, vecs: DataFrame, idCol: String, vecCol: String, nPlanes: Int = 8): DataFrame =
+  def signature(vecs: DataFrame, idCol: String, vecCol: String, nPlanes: Int = 8): DataFrame =
     vecs.select(col(idCol).as("id"), signatureCol(col(vecCol), nPlanes).as("sig"))
 
   /** IVF (inverted-file) top-k — the FAISS `IndexIVF` analog
@@ -147,7 +158,7 @@ object Ann {
     * signature is computed INLINE on both sides (pure expression) — the
     * former id-self-joins re-shuffled the whole corpus just to attach it.
     */
-  def lshBucketTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.withColumn("sig", signatureCol(col("qv")))
     val c = corpus.withColumn("sig", signatureCol(col("v")))
     val scored = c

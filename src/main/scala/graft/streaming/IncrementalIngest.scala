@@ -117,7 +117,18 @@ object IncrementalIngest {
 
     timed("bootstrap")(bootstrapIndexes(store, spark))
 
-    val withText = newPages.withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
+    // one micro-batch may bundle the same url more than once (source
+    // batching); keep the LATEST crawl per url (warc_ts desc, content
+    // hash as the deterministic tiebreak) — two rows under one episode
+    // uuid would pass every keyed merge intact (replace-by-key keeps all
+    // update rows of a key) and permanently double mention counts,
+    // postings and bm25 stats for that document
+    val urlW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"))
+      .orderBy(col("warc_ts").desc_nulls_last, xxhash64(col("html")).desc)
+    val pages = newPages.withColumn("__rn", row_number().over(urlW)).filter(col("__rn") === 1).drop("__rn")
+
+    val withText = pages.withColumn("text", coalesce(col("text"), HtmlText.textOf(col("html"))))
 
     // episodes: append new urls (entity_edges back-filled after mergeEdges)
     // (pre-merge probe for the search-index refresh: the batch may replace
@@ -140,12 +151,19 @@ object IncrementalIngest {
     // the rows the earlier ingest produced) — a bucketed probe plus
     // re-extraction of the replaced pages only, never a corpus scan.
     // Evaluated BEFORE the episodes merge replaces the stored content.
-    val oldPages =
+    // ONE bucketed probe of the stored episodes serves both the re-ingest
+    // re-extraction and the text-index refresh (these used to be two
+    // identical loadForKeys jobs); checkpointed so the concurrent stage-A
+    // episodes merge below cannot change what the refresh reads
+    val priorEpisodes =
       if (store.exists("episodes"))
         store
           .loadForKeys("episodes", episodes.select(col("uuid")), Seq("uuid"))
-          .select(col("name").as("url"), col("content").as("text"), col("created_at").as("warc_ts"))
-      else withText.select(col("url"), col("text"), col("warc_ts")).limit(0)
+          .select(col("uuid"), col("name"), col("content"), col("created_at"))
+          .localCheckpoint()
+      else episodes.select(col("uuid"), col("name"), col("content"), col("created_at")).limit(0)
+    val oldPages =
+      priorEpisodes.select(col("name").as("url"), col("content").as("text"), col("created_at").as("warc_ts"))
     val oldTriples = Extract
       .triplesTs(spark, oldPages)
       .withColumn("group_id", lit(gid))
@@ -153,10 +171,8 @@ object IncrementalIngest {
     val reIngest = !oldTriples.isEmpty
 
     val oldEpisodeDocs =
-      if (store.exists("episodes") && store.exists("episodes_postings"))
-        store
-          .loadForKeys("episodes", episodes.select(col("uuid")), Seq("uuid"))
-          .select(col("uuid").as("id"), col("content").as("text"))
+      if (store.exists("episodes_postings"))
+        priorEpisodes.select(col("uuid").as("id"), col("content").as("text"))
       else episodes.select(col("uuid").as("id"), col("content").as("text")).limit(0)
     // raw triples for the new pages (single extraction pass, materialized
     // once — reused by surfaces / stats / edges below)

@@ -104,6 +104,34 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(got.size == 2000 && (1 to cap + 1).forall(i => got(i.toLong) == s"d$i"))
   }
 
+  test("empty merge is a NO-OP: no new version, no delta appended") {
+    val (bs, _) = freshStore()
+    bs.mergeBucketed("t", (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), "base", numBuckets = 16)
+    val v0 = bs.versions("t").last
+    val none = Seq.empty[(Long, String)].toDF("k", "v")
+    // MaxDeltaChain+2 empty merges: without the short-circuit these would
+    // build a delta chain and force a full compaction rewrite
+    (1 to 10).foreach(i => bs.mergeBucketed("t", none, Seq("k"), s"empty $i", numBuckets = 16))
+    assert(bs.versions("t").last == v0, "empty merges must not create versions")
+    bs.mergeBucketed("t", none, Seq("k"), "empty w/ empty deletes", numBuckets = 16, deleteKeys = Some(none.select(col("k"))))
+    assert(bs.versions("t").last == v0)
+    assert(rowsOf(bs, "t").size == 200)
+  }
+
+  test("changing bucketBy forces a full rewrite — no stale same-key rows left behind") {
+    val (bs, _) = freshStore()
+    val base = (0L until 300L).map(i => (i, s"g${i % 7}", s"v$i")).toDF("k", "g", "v")
+    bs.mergeBucketed("t", base, Seq("k"), "base by k", numBuckets = 16)
+    // re-layout by a different bucket column; the same keys carry new values
+    val upd = (0L until 300L).map(i => (i, s"g${i % 7}", s"w$i")).toDF("k", "g", "v")
+    bs.mergeBucketed("t", upd, Seq("k"), "relayout by g", numBuckets = 16, bucketBy = Seq("g"))
+    val got = bs.load("t").collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got == (0L until 300L).map(i => i -> s"w$i").toMap, "old-layout rows must not survive")
+    // and the new layout is probe-able by the new bucket column
+    val probed = bs.loadForKeys("t", Seq("g3").toDF("g"), Seq("g")).collect().map(_.getAs[Long]("k")).toSet
+    assert(probed == (0L until 300L).filter(_ % 7 == 3).toSet)
+  }
+
   test("deleteKeys removes rows without re-inserting") {
     val (bs, _) = freshStore()
     bs.mergeBucketed("t", (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), "base", numBuckets = 8)

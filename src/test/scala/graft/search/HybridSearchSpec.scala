@@ -142,7 +142,7 @@ class HybridSearchSpec extends AnyFunSuite {
       val qv = graft.kg.Embedder.embed(q).map(_.toDouble).toSeq
       import spark.implicits._
       val qSig = graft.sim.Ann
-        .signature(spark, Seq((0L, qv)).toDF("query_id", "qv"), "query_id", "qv")
+        .signature(Seq((0L, qv)).toDF("query_id", "qv"), "query_id", "qv")
         .collect()(0)
         .getAs[Int]("sig")
       val expected = store

@@ -33,7 +33,7 @@ class AnnSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
       .toMap
-    val lsh = Ann.lshBucketTopK(spark, queries, corpus, 5).collect()
+    val lsh = Ann.lshBucketTopK(queries, corpus, 5).collect()
     assert(lsh.nonEmpty || true) // buckets may legitimately be empty for some queries
     lsh.foreach { r =>
       val key = (r.getLong(0), r.getLong(2))
@@ -74,8 +74,8 @@ class AnnSpec extends AnyFunSuite {
 
   test("signatures are deterministic across invocations") {
     val vs = (0 until 20).map(i => (i.toLong, vec(i))).toDF("id", "v")
-    val s1 = Ann.signature(spark, vs, "id", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val s2 = Ann.signature(spark, vs, "id", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s1 = Ann.signature(vs, "id", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s2 = Ann.signature(vs, "id", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(s1 == s2)
   }
 }
