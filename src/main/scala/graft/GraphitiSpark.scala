@@ -76,6 +76,22 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
         store.load("uuid_map").join(endpoints, Seq("uuid"), "left_semi")
       else raw.sparkSession.emptyDataFrame
     val remapped = if (hasMap) kg.Linking.remapPointers(raw, m) else raw
+    // the reference resolves against a synthetic episode it never saves
+    // (graphiti.py:1065-1075), leaving the edge's episodes list dangling;
+    // here the manual assertion gets a REAL (empty-content) episodes row,
+    // so the remove-episode cascade and the validator's episodes-resolve
+    // invariant hold for manual triplets too
+    val manualEp = Seq((epUuid, "", "", "manual", "manual triplet", groupId, validAt, validAt))
+      .toDF("uuid", "name", "content", "source", "source_description", "group_id", "created_at", "valid_at")
+    val epIsNew = !store.exists("episodes") ||
+      store.loadForKeys("episodes", manualEp.select(col("uuid")), Seq("uuid")).isEmpty
+    store.mergeBucketed("episodes", manualEp, Seq("uuid"), s"manual episode for triplet $epUuid")
+    if (epIsNew && store.exists("episodes_postings"))
+      SearchIndexes.refreshText(
+        store, "episodes",
+        manualEp.limit(0).select(col("uuid").as("id"), col("content").as("text")),
+        manualEp.select(col("uuid").as("id"), col("content").as("text")),
+      )
     IncrementalIngest.mergeEdges(store, remapped, batchId = -2L)
   }
 

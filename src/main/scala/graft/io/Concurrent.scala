@@ -29,15 +29,24 @@ object Concurrent {
         val futures = tasks.map { t =>
           ecs.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() })
         }
+        def cancelAndDrain(): Unit = {
+          // don't let siblings keep writing while the caller unwinds:
+          // cancel what hasn't run, interrupt in-flight tasks, and WAIT
+          futures.foreach(_.cancel(true))
+          pool.shutdownNow()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        }
         try (1 to tasks.size).foreach(_ => ecs.take().get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            // don't let siblings keep writing while the caller unwinds:
-            // cancel what hasn't run, interrupt in-flight tasks, and WAIT
-            futures.foreach(_.cancel(true))
-            pool.shutdownNow()
-            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+            cancelAndDrain()
             throw e.getCause
+          case e: InterruptedException =>
+            // outer cancellation while blocked in take(): same discipline —
+            // siblings must not commit past the caller's unwind
+            cancelAndDrain()
+            Thread.currentThread().interrupt()
+            throw e
         }
       } finally pool.shutdown()
     }

@@ -42,7 +42,11 @@ object Migration {
       pick("name", "url").cast("string").as("url"),
       coalesce(pick("reference_time", "valid_at", "created_at").cast("timestamp"), lit(defaultTs)).as("warc_ts"),
       lit(null).cast("binary").as("html"),
-      pick("content", "episode_body", "body").cast("string").as("text"),
+      // collapse whitespace runs like the HtmlText pipeline path does —
+      // the engine's tokenizer contract is split-on-single-space, so
+      // un-normalized foreign text (newlines, tabs, double spaces) would
+      // produce glued tokens and inflated doc lengths in every text index
+      trim(regexp_replace(pick("content", "episode_body", "body").cast("string"), "\\s+", " ")).as("text"),
       coalesce(pick("lang").cast("string"), lit("en")).as("lang"),
     )
   }
@@ -64,19 +68,34 @@ object Migration {
       batchSize: Int = 1000,
       skipExisting: Boolean = true,
   ): MigrationStats = {
-    val pages = toPages(episodes)
-      .filter(col("url").isNotNull && col("text").isNotNull)
-      .dropDuplicates("url")
+    val raw = toPages(episodes).localCheckpoint()
+    val totalIn = raw.count()
+    val valid = raw.filter(col("url").isNotNull && col("text").isNotNull)
+    // deterministic latest-crawl-wins per url (same rule as ingestBatch)
+    // — a bare dropDuplicates would migrate an arbitrary version
+    val urlW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"))
+      .orderBy(col("warc_ts").desc_nulls_last, xxhash64(col("html")).desc)
+    val pages = valid
+      .withColumn("__rn", row_number().over(urlW))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
       .localCheckpoint()
     val total = pages.count()
+    val invalid = totalIn - valid.count()
+    // Resume marker: a url counts as DONE only after its whole batch's
+    // ingest returned — keying skip-existing on the episodes table would
+    // silently lose the nodes/edges of a batch killed after its episodes
+    // merge (stage-A) but before its edges merge (stage-B). Re-running a
+    // half-ingested batch is safe: re-ingest of identical content is
+    // idempotent (ReIngestSpec).
     val existing =
-      if (skipExisting && store.exists("episodes"))
-        store.load("episodes").select(col("uuid"))
+      if (skipExisting && store.exists("migration_done"))
+        store.load("migration_done").select(col("uuid"))
       else pages.sparkSession.emptyDataFrame.withColumn("uuid", lit("")).limit(0).select(col("uuid"))
     val fresh = pages
       .withColumn("uuid", md5(concat(lit(s"ep|$groupId|"), col("url"))))
       .join(existing, Seq("uuid"), "left_anti")
-      .drop("uuid")
       .localCheckpoint()
     val toMigrate = fresh.count()
 
@@ -87,9 +106,10 @@ object Migration {
     val sliced = fresh.withColumn("__slice", pmod(xxhash64(col("url")), lit(nBatches)))
     var done = 0
     (0 until nBatches).foreach { b =>
-      val slice = sliced.filter(col("__slice") === b).drop("__slice")
+      val slice = sliced.filter(col("__slice") === b).drop("__slice").localCheckpoint()
       if (!slice.isEmpty) {
-        graft.streaming.IncrementalIngest.ingestBatch(store, slice, batchId = 9000L + b, groupId)
+        graft.streaming.IncrementalIngest.ingestBatch(store, slice.drop("uuid"), batchId = 9000L + b, groupId)
+        store.mergeBucketed("migration_done", slice.select(col("uuid")), Seq("uuid"), s"migration batch $b done")
         done += 1
       }
     }
@@ -100,7 +120,7 @@ object Migration {
       totalRows = total,
       migrated = toMigrate,
       skippedExisting = total - toMigrate,
-      invalidRows = 0,
+      invalidRows = invalid,
       batches = done,
       nodesAdded = nodes1 - nodes0,
       edgesAdded = edges1 - edges0,
@@ -239,11 +259,54 @@ object Migration {
           .select(col("source_uuid").as("uuid"))
           .unionByName(raw.select(col("target_uuid").as("uuid")))
           .distinct()
+        // remap gate mirrors the probe's source exactly (same hazard as
+        // GraphitiSpark.addTriplet: gating on uuid_map alone would discard
+        // a by_uuid-only probe and write raw non-canonical endpoints)
+        val hasMap = store.exists("uuid_map_by_uuid") || store.exists("uuid_map")
         val m =
           if (store.exists("uuid_map_by_uuid")) store.loadForKeys("uuid_map_by_uuid", endpoints, Seq("uuid"))
           else if (store.exists("uuid_map")) store.load("uuid_map").join(endpoints, Seq("uuid"), "left_semi")
           else spark.emptyDataFrame
-        val remapped = if (store.exists("uuid_map")) graft.kg.Linking.remapPointers(raw, m) else raw
+        val remapped = if (hasMap) graft.kg.Linking.remapPointers(raw, m) else raw
+        // the reference's add_triplet resolves against a synthetic episode
+        // it never saves (graphiti.py:1065-1075), leaving the edge's
+        // episodes list dangling; here the manual-assertion episode is a
+        // REAL (empty-content) episodes row, so the remove-episode cascade
+        // and the validator's episodes-resolve invariant hold for manual
+        // triplets too
+        val manualEpisodes = remapped
+          .select(explode(col("episodes")).as("uuid"), col("group_id"), col("valid_at"))
+          .dropDuplicates("uuid")
+          .select(
+            col("uuid"),
+            lit("").as("name"),
+            lit("").as("content"),
+            lit("manual").as("source"),
+            lit("manual triplet").as("source_description"),
+            col("group_id"),
+            col("valid_at").as("created_at"),
+            col("valid_at"),
+          )
+          .localCheckpoint()
+        // refresh stats only for GENUINELY new episode rows — re-asserting
+        // a triplet upserts the same uuid and must not bump n_docs again
+        val newManual =
+          if (!store.exists("episodes")) manualEpisodes
+          else
+            manualEpisodes
+              .join(
+                store.loadForKeys("episodes", manualEpisodes.select(col("uuid")), Seq("uuid")).select(col("uuid")),
+                Seq("uuid"),
+                "left_anti",
+              )
+              .localCheckpoint()
+        store.mergeBucketed("episodes", manualEpisodes, Seq("uuid"), s"batch_add_triplets episodes b=$b")
+        if (store.exists("episodes_postings"))
+          graft.search.SearchIndexes.refreshText(
+            store, "episodes",
+            newManual.limit(0).select(col("uuid").as("id"), col("content").as("text")),
+            newManual.select(col("uuid").as("id"), col("content").as("text")),
+          )
         graft.streaming.IncrementalIngest.mergeEdges(store, remapped, batchId = -(3000L + b))
       }
     }

@@ -94,7 +94,7 @@ object Extract {
       withText
         .select(
           col("url"),
-          explode_outer(
+          explode(
             arrays_zip(
               regexp_extract_all(col("__t"), lit(pat), lit(1)).as("s"),
               regexp_extract_all(col("__t"), lit(pat), lit(2)).as("o"),
@@ -102,7 +102,6 @@ object Extract {
             ),
           ).as("m"),
         )
-        .filter(col("m").isNotNull)
         .select(
           col("url"),
           col("m.s").as("subj"),

@@ -33,13 +33,23 @@ object Linking {
 
   /** Normalized alias key: lowercase, digits unpadded, non-alnum dropped.
     * "Customer#000000042" and "Customer#42" → "customer42".
+    *
+    * A name with NO [a-z0-9] characters (punctuation-only, CJK/other
+    * non-ASCII scripts) would normalize to "" — and since exact-key pairs
+    * are accepted as duplicates by construction, every such name in a
+    * group would silently merge into one entity. Those names fall back to
+    * their raw lowercased form (namespaced so it can never collide with a
+    * real normalized key): identical surfaces still unify, distinct ones
+    * stay distinct.
     */
-  def normName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(
+  def normName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val norm = regexp_replace(
       regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), "\\b0+(\\d)", "$1"),
       " ",
       "",
     )
+    when(norm === "", concat(lit("raw:"), lower(trim(c)))).otherwise(norm)
+  }
 
   /** Word-token set of a name (the reference's dedup-blocking token
     * contract: `name.lower().split()`, bulk_utils.py:279-281).

@@ -103,10 +103,11 @@ final class Validator(store: SnapshotStore) {
       .groupBy(col("group_id"), col("source_uuid"), col("name"))
       .agg(count(lit(1)).as("open"))
       .filter(col("open") > 1)
+    val nEdges = edges.count()
     Seq(
       result("graph_no_orphan_nodes", "warning", orphanNodes, nNodes),
-      result("graph_episodes_resolve", "error", missingEpisodes, edges.count()),
-      result("graph_single_open_fact", "warning", multiOpen, edges.count()),
+      result("graph_episodes_resolve", "error", missingEpisodes, nEdges),
+      result("graph_single_open_fact", "warning", multiOpen, nEdges),
     )
   }
 
