@@ -91,12 +91,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "LSH path degenerated to a nested-loop join:\n" + p)
   }
 
-  test("q_dedup_weighted: token-overlap blocking stays an equi-join; no token arrays on pair rows") {
+  test("q_dedup_weighted: block-key candidate generation stays an equi-join") {
     val p = run("q_dedup_weighted")
     assert(!p.contains("CartesianProduct"), "weighted dedup degenerated to a cartesian product:\n" + p)
     assert(!p.contains("BroadcastNestedLoopJoin"), "weighted dedup degenerated to a nested-loop join:\n" + p)
-    // the candidate-pair aggregate must group on (u1, u2): intersection
-    // counts come from the exploded-token equi-join, not per-pair recompute
+    // candidates come from the block-key self-join (pairs keyed u1/u2);
+    // scoring joins the two sides back by uuid — all equi-joins
     assert(p.contains("u1") && p.contains("u2"), p)
   }
 

@@ -111,12 +111,17 @@ class ValidatorDifferentialSpec extends AnyFunSuite {
         "edge_target_present" -> edges.count(e => e.target_uuid.isEmpty || e.target_uuid.contains("")).toLong,
         "edge_fact_nonempty" -> edges.count(e => blank(e.fact)).toLong,
         "edge_temporal_interval" -> edges.count(e => e.invalid_at.exists(_.before(e.valid_at))).toLong,
+        // failures are counted in EDGE units (one row per edge with ≥1
+        // dangling endpoint / unresolved episode), never per exploded
+        // occurrence — otherwise failures could exceed checked
         "edge_endpoints_resolve" ->
-          endpointOccurrences.count(o => !o.exists(nodeUuidSet.contains)).toLong,
+          edges.count(e =>
+            Seq(e.source_uuid, e.target_uuid).exists(o => !o.exists(nodeUuidSet.contains)),
+          ).toLong,
         "graph_no_orphan_nodes" ->
           nodes.count(n => !endpointOccurrences.flatten.toSet.contains(n.uuid)).toLong,
         "graph_episodes_resolve" ->
-          edges.flatMap(_.episodes).distinct.count(!epIds.contains(_)).toLong,
+          edges.count(_.episodes.exists(!epIds.contains(_))).toLong,
         "graph_single_open_fact" ->
           edges
             .filter(_.invalid_at.isEmpty)
