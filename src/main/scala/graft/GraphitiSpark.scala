@@ -718,16 +718,30 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
 
   /** Episode retrieval window (retrieve_episodes,
     * graph_data_operations.py:122-181): last n episodes with
-    * valid_at <= referenceTime.
+    * valid_at <= referenceTime, optionally scoped to `groupIds` and an
+    * episode `source` kind — the reference's two optional Cypher filters
+    * (graph_data_operations.py:144-151). All three predicates push down to
+    * the episodes scan before the distributed top-n.
     */
-  def retrieveEpisodes(referenceTime: Timestamp, lastN: Int = 3): DataFrame = {
+  def retrieveEpisodes(
+      referenceTime: Timestamp,
+      lastN: Int = 3,
+      groupIds: Seq[String] = Nil,
+      source: Option[String] = None,
+  ): DataFrame = {
+    val g = if (groupIds.isEmpty) lit(true) else col("group_id").isin(groupIds: _*)
+    val s = source.map(col("source") === lit(_)).getOrElse(lit(true))
     val picked = store
       .load("episodes")
-      .filter(col("valid_at") <= lit(referenceTime))
+      .filter(col("valid_at") <= lit(referenceTime) && g && s)
       .orderBy(col("valid_at").desc, col("uuid"))
       .limit(lastN)
     attachEntityEdges(picked)
   }
+
+  /** search_results_to_context_string (search_helpers.py:27-80). */
+  def resultsToContextString(results: SearchResults): String =
+    graft.search.ContextString.contextString(results)
 
   /** The reference's episode schema (huggingface_driver.py:284-299) keeps
     * `entity_edges` on the episode row; this engine stores it NORMALIZED in

@@ -239,7 +239,9 @@ final class KgSearch(store: SnapshotStore) {
     val top = ranked(bm, "id", "score", config.limit)
     top
       .join(episodes, top("id") === episodes("uuid"))
-      .select(col("uuid"), col("name"), col("valid_at"), col("rank"))
+      // full episodic row fields the reference returns (EpisodicNode objects,
+      // search.py:148-158) — content/source_description feed ContextString
+      .select(col("uuid"), col("name"), col("content"), col("source_description"), col("valid_at"), col("rank"))
       .orderBy(col("rank"))
   }
 

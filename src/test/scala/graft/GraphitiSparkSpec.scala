@@ -221,4 +221,28 @@ class GraphitiSparkSpec extends AnyFunSuite {
     assert(eps.length == 3)
     assert(eps.forall(_.getAs[Timestamp]("valid_at").getTime <= Fixtures.ts(300L).getTime))
   }
+
+  test("retrieveEpisodes: group_ids and source filters (graph_data_operations.py:144-151)") {
+    val g = fresh()
+    val all = g.retrieveEpisodes(Fixtures.ts(300L), lastN = 100).collect()
+    assert(all.nonEmpty && all.forall(_.getAs[String]("source") == "text"))
+    // matching scope returns the same window; non-matching scope is empty
+    val scoped = g.retrieveEpisodes(Fixtures.ts(300L), lastN = 100, groupIds = Seq("default"), source = Some("text"))
+    assert(scoped.count() == all.length)
+    assert(g.retrieveEpisodes(Fixtures.ts(300L), lastN = 100, groupIds = Seq("other")).count() == 0)
+    assert(g.retrieveEpisodes(Fixtures.ts(300L), lastN = 100, source = Some("json")).count() == 0)
+  }
+
+  test("resultsToContextString: deterministic FACTS/ENTITIES/EPISODES/COMMUNITIES block") {
+    val g = fresh()
+    val res = g.search("works at Supplier#2", config = graft.search.KgSearchConfig(limit = 3))
+    val s1 = g.resultsToContextString(res)
+    val s2 = g.resultsToContextString(g.search("works at Supplier#2", config = graft.search.KgSearchConfig(limit = 3)))
+    assert(s1 == s2, "equal searches must yield byte-equal context strings")
+    for (tag <- Seq("FACTS", "ENTITIES", "EPISODES", "COMMUNITIES"))
+      assert(s1.contains(s"<$tag>") && s1.contains(s"</$tag>"), s"missing $tag section")
+    // open-ended facts serialize invalid_at as "Present" (search_helpers.py:31-36)
+    assert(s1.contains("\"fact\":"), s"no facts in context: $s1")
+    assert(s1.contains("\"invalid_at\":"))
+  }
 }
