@@ -809,6 +809,175 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
   def edgesValidInRange(from: Timestamp, to: Timestamp): DataFrame =
     graft.search.SearchIndexes.edgesValidInRange(store, from, to)
 
+  // ------------------------------------------------------------------
+  // Driver point lookups (huggingface_driver.py:512-643). uuid equality
+  // is a pushed-down parquet predicate; the group lookups order
+  // deterministically before the limit (the reference's head(limit) over
+  // an unordered pandas frame is nondeterministic — here equal calls
+  // return equal rows).
+  // ------------------------------------------------------------------
+
+  private def tableOf(kind: String): String = kind.toLowerCase match {
+    case "entity" | "node" | "nodes" => "nodes"
+    case "episodic" | "episode" | "episodes" => "episodes"
+    case "community" | "communities" => "communities"
+    case "edge" | "edges" | "entityedge" => "edges"
+    case other => sys.error(s"unknown entity kind: $other")
+  }
+
+  /** get_node_by_uuid (huggingface_driver.py:512-534); None = the
+    * reference's NodeNotFoundError.
+    */
+  def getNodeByUuid(uuid: String, nodeType: String = "Entity"): Option[org.apache.spark.sql.Row] =
+    store.load(tableOf(nodeType)).filter(col("uuid") === lit(uuid)).limit(1).collect().headOption
+
+  /** get_edge_by_uuid (huggingface_driver.py:600-622). */
+  def getEdgeByUuid(uuid: String): Option[org.apache.spark.sql.Row] =
+    store.load("edges").filter(col("uuid") === lit(uuid)).limit(1).collect().headOption
+
+  /** get_nodes_by_group_ids (huggingface_driver.py:535-556). */
+  def getNodesByGroupIds(groupIds: Seq[String], nodeType: String = "Entity", limit: Option[Int] = None): DataFrame = {
+    val base = store
+      .load(tableOf(nodeType))
+      .filter(col("group_id").isin(groupIds: _*))
+      .orderBy(col("uuid"))
+    limit.fold(base)(base.limit)
+  }
+
+  /** get_edges_by_group_ids (huggingface_driver.py:623-643). */
+  def getEdgesByGroupIds(groupIds: Seq[String], limit: Option[Int] = None): DataFrame = {
+    val base = store.load("edges").filter(col("group_id").isin(groupIds: _*)).orderBy(col("uuid"))
+    limit.fold(base)(base.limit)
+  }
+
+  // ------------------------------------------------------------------
+  // Vector queries (query_*_by_embedding + batch variants,
+  // huggingface_driver.py:644-817). Single-vector calls are the batch
+  // path with one query; the batch path runs EVERY query vector in ONE
+  // distributed job (the reference loops semantic_search per vector).
+  // Edges probe the committed `edge_ann` signature buckets when present
+  // (~1/256 of the corpus per query, FAISS-index analog); nodes /
+  // communities score their (much smaller) tables exactly.
+  // ------------------------------------------------------------------
+
+  private def topKByEmbedding(
+      table: String,
+      vecCol: String,
+      embeddings: Seq[Array[Float]],
+      k: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val queries = embeddings.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("qid", "qv")
+    val corpus = store.load(table)
+    val scored = graft.sim.Ann
+      .bruteForceTopK(queries, corpus.select(col("uuid").as("id"), col(vecCol).as("v")), k)
+      .filter(col("score") >= lit(threshold))
+    scored.join(corpus, scored("id") === corpus("uuid")).drop("id").orderBy(col("qid"), col("rk"))
+  }
+
+  /** query_nodes_by_embedding (:644-668): top-k nodes by name-embedding
+    * cosine ≥ threshold, full node rows + (qid, rk, score).
+    */
+  def queryNodesByEmbedding(embedding: Array[Float], k: Int = 10, threshold: Double = 0.0): DataFrame =
+    topKByEmbedding("nodes", "name_embedding", Seq(embedding), k, threshold)
+
+  /** query_communities_by_embedding (:696-720). */
+  def queryCommunitiesByEmbedding(embedding: Array[Float], k: Int = 10, threshold: Double = 0.0): DataFrame =
+    topKByEmbedding("communities", "summary_embedding", Seq(embedding), k, threshold)
+
+  /** batch_query_nodes_by_embedding (:722-752) — one job for all vectors. */
+  def batchQueryNodesByEmbedding(embeddings: Seq[Array[Float]], k: Int = 10, threshold: Double = 0.0): DataFrame =
+    topKByEmbedding("nodes", "name_embedding", embeddings, k, threshold)
+
+  /** query_edges_by_embedding (:670-694) / batch (:754-784): probes the
+    * edge_ann signature buckets when the index exists (same-bucket
+    * candidates only — the IVF-style approximation disclosed on the
+    * search lane); exact corpus scoring otherwise.
+    */
+  def queryEdgesByEmbedding(embedding: Array[Float], k: Int = 10, threshold: Double = 0.0): DataFrame =
+    batchQueryEdgesByEmbedding(Seq(embedding), k, threshold)
+
+  def batchQueryEdgesByEmbedding(embeddings: Seq[Array[Float]], k: Int = 10, threshold: Double = 0.0): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val queries = embeddings.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("qid", "qv")
+    val edges = store.load("edges")
+    val scored =
+      if (store.exists("edge_ann")) {
+        val q = graft.sim.Ann
+          .signature(queries, "qid", "qv")
+          .withColumnRenamed("id", "qid")
+          .join(queries, Seq("qid"))
+        val cands = graft.search.SearchIndexes
+          .annForSigs(store, q.select(col("sig")).distinct())
+          // dropped/invalid uuids may linger in a stale bucket between
+          // refreshes — trim to live edges before scoring
+          .join(edges.select(col("uuid")), Seq("uuid"), "left_semi")
+        val all = cands
+          .join(broadcast(q), Seq("sig"))
+          .withColumn("score", round(graft.search.Vectors.cosine(col("v"), col("qv")), 6))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("uuid"))
+        all
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("qid"), col("rk"), col("uuid").as("id"), col("score"))
+      } else
+        graft.sim.Ann.bruteForceTopK(queries, edges.select(col("uuid").as("id"), col("fact_embedding").as("v")), k)
+    val kept = scored.filter(col("score") >= lit(threshold))
+    kept.join(edges, kept("id") === edges("uuid")).drop("id").orderBy(col("qid"), col("rk"))
+  }
+
+  /** get_vector_search_stats (:786-817): per-index row counts/versions
+    * from the committed search-index statistics, filtered to the vector
+    * surface.
+    */
+  def vectorSearchStats: DataFrame =
+    graft.search.SearchIndexes.statistics(store).filter(col("index").startsWith("edge_ann"))
+
+  // ------------------------------------------------------------------
+  // Traversal facade (traverse_graph / batch_traversal,
+  // huggingface_driver.py:862-1077)
+  // ------------------------------------------------------------------
+
+  /** BFS reachability (node, dist) from one start node — probes the
+    * src-bucketed adjacency index when committed (work ∝ frontier), full
+    * edge-relation joins otherwise.
+    */
+  def traverseGraph(start: String, maxDepth: Int = 3): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    if (store.exists("graph_adj"))
+      graft.graph.GraphOps.bfsIndexed(
+        frontier => graft.search.SearchIndexes.adjacencyForKeys(store, frontier).select(col("src"), col("dst")),
+        Seq(start).toDF("node"),
+        maxDepth,
+      )
+    else {
+      val adj = store.load("edges").select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+      graft.graph.GraphOps.bfs(graft.graph.GraphOps.undirect(adj), Seq(start).toDF("node"), maxDepth)
+    }
+  }
+
+  /** batch_traversal (:1028-1077) — every start node's BFS advances in the
+    * SAME superstep joins (one distributed job), not the reference's
+    * per-start loop. Returns (origin, node, dist).
+    */
+  def batchTraversal(starts: Seq[String], maxDepth: Int = 3): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val sources = starts.map(s => (s, s)).toDF("origin", "node")
+    val adj = store.load("edges").select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+    graft.graph.GraphOps.bfsMulti(graft.graph.GraphOps.undirect(adj), sources, maxDepth)
+  }
+
   /** Export graph tables to json / csv / parquet under outDir — the
     * export surface of `export_communities` (huggingface_driver.py:
     * 2604-2641: format + include_embeddings + group_ids), generalized to

@@ -63,6 +63,41 @@ object GraphOps {
     visited
   }
 
+  /** Multi-origin BFS in ONE distributed job: `sources` is (origin, node)
+    * and the visited set is keyed (origin, node), so every origin's
+    * traversal advances in the same superstep joins — the batch analog of
+    * the reference's per-start-node `traverse_graph` loop
+    * (`batch_traversal`, huggingface_driver.py:1028-1077). Returns
+    * (origin, node, dist). Shared frontier nodes are expanded once per
+    * superstep against the edge relation regardless of how many origins
+    * reached them (the join is on node).
+    */
+  def bfsMulti(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("origin"), col("node")).distinct().withColumn("dist", lit(0))
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      depth += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("origin"), col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("origin", "node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
   /** Level-synchronous BFS whose neighbor expansion PROBES an adjacency
     * index instead of joining the full edge relation: `probe(frontier)`
     * receives the frontier's node column (named `src`) and must return
