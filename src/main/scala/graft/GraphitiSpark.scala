@@ -810,6 +810,77 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     graft.search.SearchIndexes.edgesValidInRange(store, from, to)
 
   // ------------------------------------------------------------------
+  // Temporal analysis surface (get_temporal_stats / consistency /
+  // dedup / anomalies / range / point / aggregation wrappers,
+  // huggingface_driver.py:2064-2368) — all delegating to the
+  // distributed aggregations in kg.TemporalOps.
+  // ------------------------------------------------------------------
+
+  /** get_temporal_stats (temporal_statistics, temporal_manager.py:977). */
+  def getTemporalStats: DataFrame = TemporalOps.temporalStats(store)
+
+  /** event_occurrence_distribution by month (temporal_manager.py:100). */
+  def temporalOccurrenceDistribution: DataFrame = TemporalOps.occurrenceDistribution(store)
+
+  /** temporal_consistency_check (temporal_manager.py:713-768). */
+  def temporalConsistencyCheck(
+      checkTypes: Seq[String] = Seq("validity_periods", "overlapping_records", "missing_temporal_data"),
+  ): DataFrame = TemporalOps.consistencyCheck(store, checkTypes)
+
+  /** temporal_deduplication (temporal_manager.py:620-712): invalidates
+    * every within-window duplicate but the latest-created per logical
+    * edge, routed through [[invalidateEdges]] so every derived index
+    * tracks the stamped rows. Returns the number invalidated. The uuid
+    * list is collected — it is ∝ duplicates found, not corpus; callers
+    * on a corpus suspected of massive duplication should bound the sweep
+    * by group via deleteGroup-style partitioning first.
+    */
+  def temporalDeduplication(at: Timestamp, windowHours: Int = 24): Long = {
+    val dups = TemporalOps.duplicateTemporalUuids(store, windowHours).collect().map(_.getString(0)).toSeq
+    if (dups.nonEmpty) invalidateEdges(dups, at, "temporal_deduplication")
+    dups.size.toLong
+  }
+
+  /** detect_temporal_anomalies (temporal_manager.py:1182-1225). */
+  def detectTemporalAnomalies(
+      anomalyTypes: Seq[String] = Seq("gaps", "overlaps", "inconsistencies", "outliers"),
+  ): DataFrame = TemporalOps.detectAnomalies(store, anomalyTypes)
+
+  /** temporal_range_query (temporal_manager.py:812-849). */
+  def temporalRangeQuery(
+      start: Timestamp,
+      end: Timestamp,
+      entityType: String = "edge",
+      groupIds: Seq[String] = Nil,
+      limit: Option[Int] = None,
+  ): DataFrame = TemporalOps.rangeQuery(store, start, end, entityType, groupIds, limit)
+
+  /** temporal_point_query (temporal_manager.py:850-884). */
+  def temporalPointQuery(t: Timestamp, entityType: String = "edge"): DataFrame =
+    TemporalOps.pointQuery(store, t, entityType)
+
+  /** temporal_aggregation (temporal_manager.py:885-975). */
+  def temporalAggregation(
+      aggregationType: String,
+      start: Timestamp,
+      end: Timestamp,
+      groupBy: Option[String] = None,
+      entityType: String = "edge",
+  ): DataFrame = TemporalOps.aggregation(store, aggregationType, start, end, groupBy, entityType)
+
+  /** get_historical_data (huggingface_driver.py:2135-2178) — the
+    * range-query rows; the reference's envelope counts are one count()
+    * away.
+    */
+  def getHistoricalData(
+      start: Timestamp,
+      end: Timestamp,
+      entityType: String = "edge",
+      groupIds: Seq[String] = Nil,
+      limit: Option[Int] = None,
+  ): DataFrame = temporalRangeQuery(start, end, entityType, groupIds, limit)
+
+  // ------------------------------------------------------------------
   // Driver point lookups (huggingface_driver.py:512-643). uuid equality
   // is a pushed-down parquet predicate; the group lookups order
   // deterministically before the limit (the reference's head(limit) over

@@ -67,6 +67,16 @@ class DriverParitySpec extends AnyFunSuite {
     assert(g.vectorSearchStats.collect().map(_.getAs[String]("index")).contains("edge_ann"))
   }
 
+  test("temporal facade wrappers run over the live store") {
+    val stats = g.getTemporalStats.collect()(0)
+    assert(stats.getAs[Long]("total_records") == g.store.load("edges").count())
+    val checks = g.temporalConsistencyCheck().collect().map(_.getString(0)).toSet
+    assert(checks == Set("validity_periods", "overlapping_records", "missing_temporal_data"))
+    assert(g.temporalOccurrenceDistribution.count() > 0)
+    val span = (stats.getAs[java.sql.Timestamp]("span_start"), stats.getAs[java.sql.Timestamp]("span_end"))
+    assert(g.temporalRangeQuery(span._1, new java.sql.Timestamp(span._2.getTime + 1000)).count() > 0)
+  }
+
   test("traverseGraph / batchTraversal: multi-origin one-job BFS equals per-origin BFS") {
     val starts = g.store
       .load("edges")
