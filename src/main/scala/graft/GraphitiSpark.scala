@@ -570,6 +570,63 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
 
   def buildCommunities(): Unit = Communities.build(store)
 
+  /** detect_graph_communities (huggingface_driver.py:2431-2477): scoped
+    * detection with the reference's config knobs; a group-scoped run
+    * replaces only those groups' communities.
+    */
+  def detectGraphCommunities(
+      groupIds: Seq[String] = Nil,
+      algorithm: String = "label_prop",
+      kClusters: Option[Int] = None,
+      minClusterSize: Int = 1,
+      maxIterations: Int = 10,
+  ): Unit = Communities.build(store, maxIterations, algorithm, groupIds, minClusterSize, kClusters)
+
+  /** batch_community_detection (:2643-2694): the reference loops the
+    * detector per batch of group ids; each batch here is one scoped
+    * distributed run (disjoint groups never interact — entity uuids are
+    * group-scoped).
+    */
+  def batchCommunityDetection(
+      groupIdBatches: Seq[Seq[String]],
+      algorithm: String = "label_prop",
+      kClusters: Option[Int] = None,
+      minClusterSize: Int = 1,
+  ): Unit = groupIdBatches.foreach(b => detectGraphCommunities(b, algorithm, kClusters, minClusterSize))
+
+  /** parallel_community_detection (:2726-2776): the reference fans a
+    * thread pool over group ids; here ALL requested groups run in ONE
+    * distributed job — label propagation/CC/louvain never cross group
+    * boundaries (no inter-group edges), so a single scoped run IS the
+    * parallel execution, with the cluster as the worker pool.
+    */
+  def parallelCommunityDetection(
+      groupIds: Seq[String],
+      algorithm: String = "label_prop",
+      kClusters: Option[Int] = None,
+      minClusterSize: Int = 1,
+  ): Unit = detectGraphCommunities(groupIds, algorithm, kClusters, minClusterSize)
+
+  /** get_community_info (:2478-2533). */
+  def getCommunityInfo(communityUuid: Option[String] = None, groupIds: Seq[String] = Nil): DataFrame =
+    Communities.info(store, communityUuid, groupIds)
+
+  /** community_versioning create/list/restore (:2777-2803) over the
+    * snapshot store's version chain.
+    */
+  def communityVersioning(action: String, versionId: Option[Int] = None): DataFrame =
+    Communities.versioning(store, action, versionId)
+
+  /** community_caching (:2804-2859): pin the communities frame in
+    * executor memory under a key with a TTL.
+    */
+  def communityCaching(cacheKey: String, ttlSeconds: Long = 3600L): Long =
+    Communities.cacheCommunities(store, cacheKey, ttlSeconds, System.currentTimeMillis())
+
+  /** get_cached_communities (:2832-2859): the pinned frame while fresh. */
+  def getCachedCommunities(cacheKey: String): Option[DataFrame] =
+    Communities.cachedCommunities(cacheKey, System.currentTimeMillis())
+
   /** Find communities similar to a query embedding
     * (query_communities_by_embedding, huggingface_driver.py:696-720).
     */

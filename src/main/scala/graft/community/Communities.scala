@@ -25,13 +25,28 @@ object Communities {
     * "label_prop" (default — the reference's own fallback); unknown names
     * fail fast.
     */
-  def build(store: SnapshotStore, maxIter: Int = 10, algorithm: String = "label_prop"): Unit = {
-    val edges = store.load("edges")
-    val nodes = store.load("nodes")
+  def build(
+      store: SnapshotStore,
+      maxIter: Int = 10,
+      algorithm: String = "label_prop",
+      groupIds: Seq[String] = Nil,
+      minClusterSize: Int = 1,
+      kClusters: Option[Int] = None,
+  ): Unit = {
+    // group_ids scoping (detect_graph_communities, huggingface_driver.py:
+    // 2431-2477): entity uuids are group-scoped, so filtering nodes and
+    // keeping only edges between surviving nodes confines every algorithm
+    // to the requested partitions
+    val nodes0 = store.load("nodes")
+    val nodes = if (groupIds.isEmpty) nodes0 else nodes0.filter(col("group_id").isin(groupIds: _*))
+    val edges0 = store.load("edges")
+    val edges =
+      if (groupIds.isEmpty) edges0
+      else edges0.filter(col("group_id").isin(groupIds: _*))
 
     // string-uuid graph (GraphOps/Louvain are id-type generic)
     val adj = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
-    val labels = algorithm match {
+    val rawLabels = algorithm match {
       case "label_prop" => GraphOps.labelPropagation(adj, maxIter)
       case "louvain" => Louvain.cluster(adj).select(col("node"), col("community").as("label"))
       case "ward" =>
@@ -39,8 +54,21 @@ object Communities {
         // the reference's small-graph bound; k ≈ √n like its default
         val n = nodes.count().toInt
         Hierarchical
-          .wardCommunities(nodes, "uuid", "name_embedding", k = math.max(1, math.sqrt(n.toDouble).toInt))
+          .wardCommunities(
+            nodes,
+            "uuid",
+            "name_embedding",
+            k = kClusters.getOrElse(math.max(1, math.sqrt(n.toDouble).toInt)),
+          )
           .select(col("id").as("node"), col("community").as("label"))
+      case "kmeans" =>
+        // embedding-space kmeans (community_detector.py:299-315), k ≈ √n
+        // unless configured (k_clusters)
+        val n = math.max(1, nodes.count().toInt)
+        val k = kClusters.getOrElse(math.max(1, math.sqrt(n.toDouble).toInt))
+        KMeansCommunities
+          .assign(nodes.sparkSession, nodes, k)
+          .select(col("uuid").as("node"), col("community").cast("string").as("label"))
       case "clique" =>
         // k=3 clique percolation (community_detector.py:269-297);
         // membership OVERLAPS (a node may get several labels) and
@@ -48,8 +76,16 @@ object Communities {
         // semantics, which the HAS_MEMBER materialization below carries
         // through unchanged
         CliquePercolation.communities(adj).select(col("node"), col("community_key").as("label"))
-      case other => sys.error(s"unknown community algorithm: $other (label_prop|louvain|ward|clique)")
+      case other => sys.error(s"unknown community algorithm: $other (label_prop|louvain|ward|kmeans|clique)")
     }
+    // min_cluster_size (CommunityDetectionConfig, community_detector.py:
+    // 66-78): drop communities below the floor BEFORE materialization
+    val labels =
+      if (minClusterSize <= 1) rawLabels
+      else {
+        val big = rawLabels.groupBy(col("label")).agg(count(lit(1)).as("csz")).filter(col("csz") >= minClusterSize)
+        rawLabels.join(big.select(col("label")), Seq("label"), "left_semi")
+      }
 
     // HAS_MEMBER edges: community label → entity member. group_id is
     // carried from the member nodes — edges never cross groups (entity
@@ -94,17 +130,20 @@ object Communities {
         graft.functions.Functions.embedText(col("top_members")).as("summary_embedding"),
         col("n_members"),
       )
-    store.commit(communities, "communities", "label-propagation communities")
-    store.commit(
-      members.select(
-        md5(concat(lit("co|"), col("group_id"), lit("|"), col("community_key"))).as("community_uuid"),
-        col("entity_uuid"),
-        lit("HAS_MEMBER").as("name"),
-        col("group_id"),
-      ),
-      "community_edges",
-      "community HAS_MEMBER entity",
+    val communityEdges = members.select(
+      md5(concat(lit("co|"), col("group_id"), lit("|"), col("community_key"))).as("community_uuid"),
+      col("entity_uuid"),
+      lit("HAS_MEMBER").as("name"),
+      col("group_id"),
     )
+    // a group-scoped run replaces ONLY the scoped groups' communities —
+    // other groups' rows ride along unchanged (the reference's per-group
+    // re-detection leaves sibling groups intact)
+    def withSiblings(fresh: DataFrame, table: String): DataFrame =
+      if (groupIds.isEmpty || !store.exists(table)) fresh
+      else store.load(table).filter(!col("group_id").isin(groupIds: _*)).unionByName(fresh)
+    store.commit(withSiblings(communities, "communities"), "communities", s"$algorithm communities")
+    store.commit(withSiblings(communityEdges, "community_edges"), "community_edges", "community HAS_MEMBER entity")
   }
 
   /** Cosine top-k over community summary embeddings —
@@ -178,5 +217,102 @@ object Communities {
       .limit(1)
       .collect()
     votes.headOption.map(_.getString(0))
+  }
+
+  /** get_community_info (huggingface_driver.py:2478-2533). With a uuid:
+    * that community's row + member uuids/count (the reference's
+    * `_get_connected_entities` walk is a HAS_MEMBER join here); without:
+    * one row per community with its member count — the rollup the
+    * reference builds per-community in a Python loop, as a single
+    * groupBy.
+    */
+  def info(store: SnapshotStore, communityUuid: Option[String] = None, groupIds: Seq[String] = Nil): DataFrame = {
+    val base0 = store.load("communities")
+    val base = if (groupIds.isEmpty) base0 else base0.filter(col("group_id").isin(groupIds: _*))
+    val members = store.load("community_edges")
+    communityUuid match {
+      case Some(u) =>
+        val m = members
+          .filter(col("community_uuid") === lit(u))
+          .groupBy(col("community_uuid"))
+          .agg(
+            count(lit(1)).as("member_count"),
+            sort_array(collect_list(col("entity_uuid"))).as("members"),
+          )
+        base.filter(col("uuid") === lit(u)).join(m, base("uuid") === m("community_uuid"), "left").drop("community_uuid")
+      case None =>
+        val counts = members.groupBy(col("community_uuid")).agg(count(lit(1)).as("member_count"))
+        base
+          .join(counts, base("uuid") === counts("community_uuid"), "left")
+          .drop("community_uuid")
+          .withColumn("member_count", coalesce(col("member_count"), lit(0L)))
+          .orderBy(col("uuid"))
+    }
+  }
+
+  /** community_versioning (huggingface_driver.py:2777-2803,
+    * community_detector.py): community evolution rides the snapshot
+    * store's version chain — `create` commits the current rows as a new
+    * version, `list` reads the chain, `restore` republishes an older
+    * version (content-addressed; nothing is copied).
+    */
+  def versioning(store: SnapshotStore, action: String, versionId: Option[Int] = None): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    action match {
+      case "create" =>
+        val v = store.commit(store.load("communities"), "communities", s"community version checkpoint")
+        Seq((v, "created")).toDF("version", "status")
+      case "list" =>
+        store
+          .versions("communities")
+          .map(v => (v, store.commitInfo("communities", v)))
+          .toDF("version", "message")
+      case "restore" =>
+        val v = versionId.getOrElse(sys.error("restore needs a versionId"))
+        store.rollback("communities", v)
+        Seq((v, "restored")).toDF("version", "status")
+      case other => sys.error(s"unknown versioning action: $other (create|list|restore)")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // community_caching / get_cached_communities (huggingface_driver.py:
+  // 2804-2945): the reference parks the community frames in an in-process
+  // dict with a TTL. The Spark analog pins the communities DataFrame in
+  // executor memory (persist) under a key; get returns it while fresh and
+  // unpersists + misses after the TTL. The clock is a parameter so tests
+  // are deterministic.
+  // ------------------------------------------------------------------
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+
+  /** Pin the current communities under `key` for `ttlSeconds` starting at
+    * `nowMillis`. Returns the row count (forces the persist).
+    */
+  def cacheCommunities(store: SnapshotStore, key: String, ttlSeconds: Long, nowMillis: Long): Long = {
+    val df = store.load("communities").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = df.count()
+    cache.put(key, (df, nowMillis + ttlSeconds * 1000L)).foreach(_._1.unpersist())
+    n
+  }
+
+  /** Cached communities under `key`, None when absent or expired (expired
+    * entries are unpinned on access).
+    */
+  def cachedCommunities(key: String, nowMillis: Long): Option[DataFrame] =
+    cache.get(key) match {
+      case Some((df, deadline)) if nowMillis < deadline => Some(df)
+      case Some((df, _)) =>
+        cache.remove(key)
+        df.unpersist()
+        None
+      case None => None
+    }
+
+  /** Unpin everything (cache invalidation surface, :2905-2945). */
+  def clearCommunityCache(): Unit = {
+    cache.values.foreach(_._1.unpersist())
+    cache.clear()
   }
 }
