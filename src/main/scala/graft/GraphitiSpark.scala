@@ -762,6 +762,33 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
       config: graft.search.HybridSearch.HybridConfig = graft.search.HybridSearch.HybridConfig(),
   ): DataFrame = graft.search.HybridSearch.searchWithCenter(store, query, centerNode, config)
 
+  /** optimize_search_performance (huggingface_driver.py:1252-1269):
+    * force → fold every index from the primaries; else rebuild only the
+    * indexes whose delta log outgrew the staleness threshold.
+    */
+  def optimizeSearchPerformance(forceRebuild: Boolean = false): DataFrame = {
+    if (forceRebuild) buildSearchIndexes()
+    else graft.search.SearchIndexes.autoRebuild(store)
+    getPerformanceMetrics
+  }
+
+  /** get_performance_metrics (:1270-1281): per-index rows/versions. */
+  def getPerformanceMetrics: DataFrame = graft.search.SearchIndexes.statistics(store)
+
+  /** auto_rebuild_indices / rebuild_indices_if_needed (:1282-1314,
+    * 1514-1529): staleness-ratio-triggered rebuilds, one row per index
+    * with the action taken.
+    */
+  def autoRebuildIndices(threshold: Double = 0.8): DataFrame =
+    graft.search.SearchIndexes.autoRebuild(store, threshold)
+
+  def rebuildIndicesIfNeeded(threshold: Double = 0.8): DataFrame = autoRebuildIndices(threshold)
+
+  /** Query-pattern monitor (performance_optimizer.py:788-920): record
+    * observations, aggregate patterns, get rule-based tuning suggestions.
+    */
+  lazy val queryMonitor = new graft.search.QueryMonitor(store)
+
   /** batch_search_hybrid (huggingface_driver.py:1192-1236): every query in
     * ONE distributed job (the reference loops hybrid_search per query).
     */

@@ -414,6 +414,39 @@ object SearchIndexes {
         store.deleteTable(t)
       }
 
+  /** Rebuild every index whose pending delta log has outgrown `threshold`
+    * × its base rows — `auto_rebuild_indices` / `rebuild_indices_if_needed`
+    * (`huggingface_driver.py:1282-1314,1514-1529`), with the reference's
+    * "data size changed significantly" heuristic made precise: the
+    * STALENESS RATIO delta_rows / base_rows is what actually degrades an
+    * index here (every probe folds the log on the fly), so it is the
+    * rebuild trigger. Returns one row per index:
+    * (index, base_rows, delta_rows, ratio, action).
+    */
+  def autoRebuild(store: SnapshotStore, threshold: Double = 0.8): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val surfaces: Seq[(String, () => Unit)] =
+      TextSurfaces.map { case (t, i, x) => (s"${t}_postings", () => buildText(store, t, i, x)) } ++
+        Seq(
+          ("edge_ann", () => buildAnn(store)),
+          ("graph_adj", () => buildGraph(store)),
+          ("edge_months", () => buildTemporal(store)),
+        )
+    surfaces
+      .filter { case (t, _) => store.exists(t) }
+      .map { case (t, rebuild) =>
+        val base = store.approxRowCount(t).getOrElse(store.load(t).count())
+        val delta = graft.io.DeltaLog.logRows(store, t)
+        val ratio = if (base > 0) delta.toDouble / base else (if (delta > 0) Double.MaxValue else 0.0)
+        val action =
+          if (ratio > threshold) { rebuild(); "rebuilt" }
+          else "fresh"
+        (t, base, delta, if (ratio == Double.MaxValue) -1.0 else ratio, action)
+      }
+      .toDF("index", "base_rows", "delta_rows", "ratio", "action")
+  }
+
   /** One row per committed index with its size and version — the
     * `get_index_statistics` surface (`performance_optimizer.py:733-787`).
     */

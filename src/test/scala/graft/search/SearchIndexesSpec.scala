@@ -282,6 +282,55 @@ class SearchIndexesSpec extends AnyFunSuite {
     assert(s.load("edges_postings").collect().map(_.toString).toSet == before)
   }
 
+  test("autoRebuild folds only indexes whose delta log crosses the threshold") {
+    val s = new SnapshotStore(spark, Files.createTempDirectory("gidxauto").toString)
+    new KgPipeline(s).run(Fixtures.pagesDf(), "fixture-v1")
+    SearchIndexes.build(s)
+    // freshly built: no delta logs anywhere → nothing rebuilt even at 0
+    val fresh = SearchIndexes.autoRebuild(s, threshold = 0.0).collect()
+    assert(fresh.nonEmpty && fresh.forall(_.getAs[String]("action") == "fresh"))
+    // push a pair delta into the graph_adj log (a real edge duplicated —
+    // rebuilds fold from the primaries, so orphan pairs would not survive
+    // a fold), leave the other indexes clean
+    val picked = s
+      .load("edges")
+      .select(col("source_uuid"), col("target_uuid"))
+      .orderBy(col("source_uuid"), col("target_uuid"))
+      .limit(1)
+      .collect()(0)
+    val (src0, dst0) = (picked.getString(0), picked.getString(1))
+    val one = Seq((src0, dst0)).toDF("source_uuid", "target_uuid")
+    SearchIndexes.refreshGraph(s, one.limit(0), one)
+    assert(graft.io.DeltaLog.logRows(s, "graph_adj") > 0)
+    // the primaries' true multiplicity for the pair (both directions)
+    val baseCnt = s
+      .load("edges")
+      .filter(
+        (col("source_uuid") === src0 && col("target_uuid") === dst0) ||
+          (col("source_uuid") === dst0 && col("target_uuid") === src0),
+      )
+      .count()
+    // live view shows the incremented multiplicity
+    assert(
+      SearchIndexes.adjacency(s).filter(col("src") === src0 && col("dst") === dst0).collect()(0).getAs[Long]("cnt")
+        == baseCnt + 1,
+    )
+    // high threshold: the tiny delta stays pending
+    val kept = SearchIndexes.autoRebuild(s, threshold = 0.8).collect()
+    assert(kept.find(_.getString(0) == "graph_adj").get.getAs[String]("action") == "fresh")
+    // zero threshold: graph_adj folds, siblings untouched
+    val acted = SearchIndexes.autoRebuild(s, threshold = 0.0).collect()
+    val byIdx = acted.map(r => r.getString(0) -> r.getAs[String]("action")).toMap
+    assert(byIdx("graph_adj") == "rebuilt")
+    assert(byIdx.filterNot(_._1 == "graph_adj").values.forall(_ == "fresh"))
+    assert(graft.io.DeltaLog.logRows(s, "graph_adj") == 0)
+    // folded back to the primaries' truth
+    assert(
+      SearchIndexes.adjacency(s).filter(col("src") === src0 && col("dst") === dst0).collect()(0).getAs[Long]("cnt")
+        == baseCnt,
+    )
+  }
+
   test("degreeCentrality = degree/(n-1)") {
     val d = SearchIndexes.degreeCentrality(store).collect()
     val n = d.length
