@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *  - deleteGroup / deleteByUuids → driver delete ops
   *    (huggingface_driver.py:433-444, nodes.py:183-345)
   */
-final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: String = "default") {
+final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupId: String = "default") {
 
   val store = new SnapshotStore(spark, storeRoot)
   private val searcher = new KgSearch(store)
@@ -568,6 +568,29 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     }
   }
 
+  /** Hard-delete edges by uuid (remove_edges_incremental /
+    * `_remove_edge_by_uuid`, incremental_updater.py:348-389, 1175-1198) —
+    * the surviving rows of the touched contention groups re-enter their
+    * buckets, every edge-backed index refreshes with the removed rows,
+    * and citing episodes' entity_edges lists are patched. Returns the
+    * number removed.
+    */
+  def deleteEdgesByUuids(uuids: Seq[String]): Long = {
+    if (uuids.isEmpty) return 0L
+    val groupKey = Seq("group_id", "source_uuid", "name")
+    val hit = col("uuid").isin(uuids: _*)
+    val removed = store.load("edges").filter(hit).localCheckpoint()
+    val affected = removed.select(groupKey.map(col): _*).distinct().localCheckpoint()
+    val stored = store.loadForKeys("edges", affected, groupKey)
+    store.mergeBucketed(
+      "edges", stored.filter(!hit), groupKey, s"delete ${uuids.size} edges",
+      deleteKeys = Some(affected),
+    )
+    refreshEdgeIndexes(removed)
+    dropFromEntityEdges(removed)
+    removed.count()
+  }
+
   def buildCommunities(): Unit = Communities.build(store)
 
   /** detect_graph_communities (huggingface_driver.py:2431-2477): scoped
@@ -788,6 +811,11 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, groupId: S
     * observations, aggregate patterns, get rule-based tuning suggestions.
     */
   lazy val queryMonitor = new graft.search.QueryMonitor(store)
+
+  /** Delta operation log (create/apply/rollback/merge/chunked deltas,
+    * incremental_updater.py Delta machinery) — see streaming.Deltas.
+    */
+  lazy val deltas = new graft.streaming.Deltas(this)
 
   /** batch_search_hybrid (huggingface_driver.py:1192-1236): every query in
     * ONE distributed job (the reference loops hybrid_search per query).

@@ -152,6 +152,59 @@ object Migration {
     * Returns stats; invalid rows are counted, not thrown (the reference
     * logs-and-continues).
     */
+  /** save_node insert-if-absent for a batch of entity `names` (name
+    * column): surfaces enter nodes_raw / node_blocks / nodes with the
+    * pipeline's exact row shapes, and the nodes keyword index refreshes
+    * with the inserted rows (skipping it would leave keyword search
+    * silently missing every saved entity). Existing uuids pass through
+    * untouched. Returns the number inserted. (No node_stats row: stats
+    * are mention-derived, and a manual save asserts no extracted
+    * mentions — a later extraction batch creates the row via its own
+    * partial aggregate.)
+    */
+  def saveNodes(
+      store: SnapshotStore,
+      names: DataFrame,
+      groupId: String,
+      createdAt: java.sql.Timestamp,
+      tag: String = "save_nodes",
+  ): Long = {
+    val surfaces = Extract.entityNodes(names.select(col("name")).distinct(), groupId).localCheckpoint()
+    val known =
+      if (store.exists("nodes_raw"))
+        store.loadForKeys("nodes_raw", surfaces.select(col("uuid")), Seq("uuid")).select(col("uuid"))
+      else surfaces.select(col("uuid")).limit(0)
+    val newSurfaces = surfaces.join(known, Seq("uuid"), "left_anti").localCheckpoint()
+    if (newSurfaces.isEmpty) return 0L
+    store.mergeBucketed("nodes_raw", newSurfaces, Seq("uuid"), s"$tag nodes_raw")
+    store.mergeBucketed(
+      "node_blocks", graft.kg.Linking.blockingKeys(newSurfaces), Seq("key", "uuid"),
+      s"$tag blocks", bucketBy = Seq("key"),
+    )
+    val nodeRows = newSurfaces.select(
+      col("uuid"),
+      col("name"),
+      col("group_id"),
+      array(col("label")).as("labels"),
+      lit(createdAt).as("created_at"),
+      col("name_embedding"),
+      col("name").as("summary"),
+      map(
+        lit("entity_type"), col("label"),
+        lit("mention_count"), lit("0"),
+      ).as("attributes"),
+    )
+    if (store.exists("nodes"))
+      store.mergeBucketed("nodes", nodeRows, Seq("uuid"), s"$tag nodes")
+    else store.commit(nodeRows, "nodes", s"$tag nodes")
+    graft.search.SearchIndexes.refreshText(
+      store, "nodes",
+      nodeRows.limit(0).select(col("uuid").as("id"), col("name").as("text")),
+      nodeRows.select(col("uuid").as("id"), col("name").as("text")),
+    )
+    newSurfaces.count()
+  }
+
   def batchAddTriplets(
       store: SnapshotStore,
       triplets: DataFrame,
@@ -190,55 +243,16 @@ object Migration {
       if (!batch.isEmpty) {
         // ---- save_node: surfaces insert-if-absent (uuid/name/label/
         // embedding shaped exactly like the pipeline's nodes_raw rows) ----
-        val surfaces = Extract
-          .entityNodes(
-            batch
-              .select(col("source").as("name"))
-              .unionByName(batch.select(col("target").as("name")))
-              .distinct(),
-            gid,
-          )
-          .localCheckpoint()
-        val known =
-          if (store.exists("nodes_raw"))
-            store.loadForKeys("nodes_raw", surfaces.select(col("uuid")), Seq("uuid")).select(col("uuid"))
-          else surfaces.select(col("uuid")).limit(0)
-        val newSurfaces = surfaces.join(known, Seq("uuid"), "left_anti").localCheckpoint()
-        if (!newSurfaces.isEmpty) {
-          store.mergeBucketed("nodes_raw", newSurfaces, Seq("uuid"), s"batch_add_triplets nodes_raw b=$b")
-          store.mergeBucketed(
-            "node_blocks", graft.kg.Linking.blockingKeys(newSurfaces), Seq("key", "uuid"),
-            s"batch_add_triplets blocks b=$b", bucketBy = Seq("key"),
-          )
-          val nodeRows = newSurfaces.select(
-            col("uuid"),
-            col("name"),
-            col("group_id"),
-            array(col("label")).as("labels"),
-            lit(validAt).as("created_at"),
-            col("name_embedding"),
-            col("name").as("summary"),
-            map(
-              lit("entity_type"), col("label"),
-              lit("mention_count"), lit("0"),
-            ).as("attributes"),
-          )
-          if (store.exists("nodes"))
-            store.mergeBucketed("nodes", nodeRows, Seq("uuid"), s"batch_add_triplets nodes b=$b")
-          else store.commit(nodeRows, "nodes", s"batch_add_triplets nodes b=$b")
-          // keep the nodes keyword index consistent with the primaries —
-          // the edges half of this batch is index-maintained inside
-          // mergeEdges, so skipping this would leave keyword search over
-          // nodes silently missing every triplet-added entity. (No
-          // node_stats row: stats are mention-derived, and a manual
-          // triplet asserts no extracted mentions — a later extraction
-          // batch creates the row via its own partial aggregate.)
-          graft.search.SearchIndexes.refreshText(
-            store, "nodes",
-            nodeRows.limit(0).select(col("uuid").as("id"), col("name").as("text")),
-            nodeRows.select(col("uuid").as("id"), col("name").as("text")),
-          )
-        }
+        saveNodes(
+          store,
+          batch
+            .select(col("source").as("name"))
+            .unionByName(batch.select(col("target").as("name")))
+            .distinct(),
+          gid,
+          validAt,
+          tag = s"batch_add_triplets b=$b",
+        )
 
         // ---- save_edge: raw facts through the canonical-probe + merge
         // path (same algebra as GraphitiSpark.addTriplet, but one

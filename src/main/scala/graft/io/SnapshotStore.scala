@@ -48,6 +48,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
 
   def exists(table: String): Boolean = currentVersion(table).isDefined
 
+  /** Every published table under this store (directories with a _LATEST). */
+  def tables: Seq[String] =
+    listDir(Paths.get(root))
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_LATEST")))
+      .map(_.getFileName.toString)
+      .sorted
+
   /** Commit `df` as the next snapshot of `table`. Computes per-partition
     * lineage metrics (row count per Spark partition) and stores them with
     * the commit message and optional stage fingerprint. Returns the new
