@@ -817,6 +817,41 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     */
   lazy val deltas = new graft.streaming.Deltas(this)
 
+  /** upsert_entity / add_entity_incremental / bulk_upsert_entities
+    * (huggingface_driver.py:1315-1331, 1616-1705): insert-if-absent node
+    * saves through the pipeline's exact surfaces (nodes_raw, node_blocks,
+    * nodes, keyword index). One distributed merge for any batch size.
+    * Returns the number inserted (existing names pass through).
+    */
+  def bulkUpsertEntities(names: Seq[String], createdAt: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")): Long = {
+    import spark.implicits._
+    graft.io.Migration.saveNodes(store, names.toDF("name"), groupId, createdAt, tag = "bulk_upsert_entities")
+  }
+
+  def upsertEntity(name: String, createdAt: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")): Long =
+    bulkUpsertEntities(Seq(name), createdAt)
+
+  /** upsert_edge / add_edge_incremental / bulk_upsert_edges
+    * (huggingface_driver.py:1333-1351, 1641-1749): triplets through the
+    * canonical-probe merge — re-asserted facts adopt the stored row
+    * (append episode, keep original valid_at), contradictions invalidate;
+    * every edge index refreshes inside the merge.
+    */
+  def bulkUpsertEdges(triplets: Seq[(String, String, String)], validAt: Timestamp): Unit = {
+    import spark.implicits._
+    graft.io.Migration.batchAddTriplets(
+      store,
+      triplets.toDF("source", "relation", "target"),
+      groupId,
+      batchSize = Int.MaxValue,
+      validAt = validAt,
+    )
+    ()
+  }
+
+  def upsertEdge(subj: String, pred: String, obj: String, validAt: Timestamp): Unit =
+    addTriplet(subj, pred, obj, validAt)
+
   /** batch_search_hybrid (huggingface_driver.py:1192-1236): every query in
     * ONE distributed job (the reference loops hybrid_search per query).
     */

@@ -104,6 +104,22 @@ class DeltasSpec extends AnyFunSuite {
     assert(g.store.load("nodes").filter(col("name").startsWith("ChunkNode#")).count() == 0)
   }
 
+  test("bulk upserts: entities insert-if-absent, edges adopt on re-assert") {
+    val g = fresh()
+    val nodesBefore = g.store.load("nodes").count()
+    assert(g.bulkUpsertEntities(Seq("UpsertA", "UpsertB")) == 2L)
+    assert(g.bulkUpsertEntities(Seq("UpsertA", "UpsertC")) == 1L) // A already present
+    assert(g.store.load("nodes").count() == nodesBefore + 3)
+    g.bulkUpsertEdges(Seq(("UpsertA", "knows", "UpsertB")), Fixtures.ts(2000L))
+    val e = g.store.load("edges").filter(col("fact") === "UpsertA knows UpsertB").collect()
+    assert(e.length == 1)
+    // re-assert later: adopts (keeps original valid_at), no duplicate row
+    g.bulkUpsertEdges(Seq(("UpsertA", "knows", "UpsertB")), Fixtures.ts(9000L))
+    val e2 = g.store.load("edges").filter(col("fact") === "UpsertA knows UpsertB").collect()
+    assert(e2.length == 1)
+    assert(e2.head.getAs[java.sql.Timestamp]("valid_at") == Fixtures.ts(2000L))
+  }
+
   test("deleteEdgesByUuids keeps siblings and refreshes indexes") {
     val g = fresh()
     g.buildSearchIndexes()
