@@ -271,6 +271,18 @@ final class Deltas(g: GraphitiSpark) {
     // the parent's rollback point is the FIRST chunk's: record it before
     // any chunk mutates
     chunkIds.foreach(applyDelta(_, validate = false))
+    // demote the chunks from independently-rollback-able deltas: after the
+    // PARENT rolls back (restoring the pre-chunk-0 state), rolling back an
+    // individual chunk would re-forward tables to its own pre-version
+    // (post-previous-chunk state) — so chunks carry status "chunk" (the
+    // rollback guard only accepts "applied") and the parent is the one
+    // rollback unit
+    store.merge(
+      State,
+      chunkIds.map(c => (c, "chunk", -1, 0L)).toDF("delta_id", "status", "applied_seq", "n_ops"),
+      Seq("delta_id"),
+      s"delta $deltaId chunks demoted",
+    )
     val prevOfFirst = store
       .loadForKeys(Prev, Seq(chunkIds.head).toDF("delta_id"), Seq("delta_id"))
       .filter(col("delta_id") === chunkIds.head)

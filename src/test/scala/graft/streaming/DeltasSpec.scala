@@ -95,8 +95,11 @@ class DeltasSpec extends AnyFunSuite {
       assert(g.store.load("nodes").filter(col("name") === s"ChunkNode#$i").count() == 1, s"ChunkNode#$i missing")
     // stats roll up by status; clearing drops the two pending deltas
     val stats = d.getUpdateStatistics.collect().map(r => r.getString(0) -> r.getAs[Long]("deltas")).toMap
-    assert(stats.getOrElse("applied", 0L) >= 4L) // big + 3 chunks
+    assert(stats.getOrElse("applied", 0L) >= 1L) // big (the one rollback unit)
+    assert(stats.getOrElse("chunk", 0L) == 3L) // demoted, not independently rollback-able
     assert(stats.getOrElse("pending", 0L) == 3L) // a, b, ab
+    // a demoted chunk refuses individual rollback
+    assert(!d.rollbackDelta("big#0"))
     assert(d.clearPendingDeltas() == 3L)
     assert(d.getUpdateStatistics.collect().map(r => r.getString(0)).toSet.contains("cleared"))
     // rollback of the chunked parent restores the pre-chunk state
