@@ -302,6 +302,42 @@ object Temporal {
       """),
     ),
 
+    // ---- temporal statistics rollup (TemporalStats, temporal_manager.py:
+    // 90-101, 977-1027): per-type record counts, event-time span, and
+    // ingestion rate — ONE grouped aggregation (the kg-store twin is
+    // kg/TemporalOps.temporalStats) ----
+    QueryDef(
+      "q_temporal_stats",
+      (s, dir) => {
+        val e = T.load(s, dir, "events")
+        e.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("total_records"),
+            min(col("ts").cast("timestamp")).as("span_start"),
+            max(col("ts").cast("timestamp")).as("span_end"),
+          )
+          .withColumn(
+            "rate_per_hour",
+            round(
+              col("total_records") * lit(3600.0e6) /
+                (unix_micros(col("span_end")) - unix_micros(col("span_start"))),
+              6,
+            ),
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               count(*) AS total_records,
+               min(ts) AS span_start,
+               max(ts) AS span_end,
+               round(count(*) * 3600000000.0 / (epoch_us(max(ts)) - epoch_us(min(ts))), 6) AS rate_per_hour
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """),
+    ),
+
     // ---- temporal gap detection (diff of consecutive created_at,
     // temporal_manager.py:1749-1784) ----
     QueryDef(
