@@ -219,13 +219,37 @@ final class Branches(store: SnapshotStore) {
       val staged = buffer.map { case (t, df) => t -> store.writeUnpublished(df, t, message) }.toMap
       staged.foreach { case (t, v) => store.publishVersion(t, v) }
       done = true
+      txnClosed()
       staged
     }
 
-    def rollback(): Unit = { buffer.clear(); done = true }
+    def rollback(): Unit = { if (!done) txnClosed(); buffer.clear(); done = true }
   }
 
-  def beginTransaction(): Txn = new Txn()
+  def beginTransaction(): Txn = { openTxns.incrementAndGet(); new Txn() }
+
+  private val openTxns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[io] def txnClosed(): Unit = openTxns.decrementAndGet()
+
+  /** get_concurrency_stats (concurrency_manager.py:832-860 via
+    * huggingface_driver.py:1949-1957): one row per branch (main included)
+    * with its pin count and creation time, plus the open-transaction and
+    * branch totals on every row.
+    */
+  def concurrencyStats(): DataFrame = {
+    val spark = store.spark
+    import spark.implicits._
+    val names = listBranches()
+    val rows = names.map {
+      case "main" => ("main", "", 0L, store.tables.size)
+      case b =>
+        val i = branchInfo(b)
+        (i.name, i.parent, i.createdAt, i.pins.size)
+    }
+    rows
+      .map { case (n, p, c, pins) => (n, p, c, pins, openTxns.get(), names.size) }
+      .toDF("branch", "parent", "created_at", "pinned_tables", "active_transactions", "total_branches")
+  }
 
   // ---------------- json helpers ----------------
 

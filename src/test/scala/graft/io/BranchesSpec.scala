@@ -173,4 +173,18 @@ class BranchesSpec extends AnyFunSuite {
     txn2.rollback()
     assert(store.load("edges").collect()(0).getString(0) == "e9", "rollback leaves pointers alone")
   }
+
+  test("concurrencyStats: per-branch rows, open-transaction and branch totals") {
+    val (store, br) = freshStore()
+    br.createBranch("w1")
+    val txn = br.beginTransaction()
+    val rows = br.concurrencyStats().collect()
+    assert(rows.map(_.getAs[String]("branch")).toSet == Set("main", "w1"))
+    assert(rows.forall(_.getAs[Int]("total_branches") == 2))
+    assert(rows.forall(_.getAs[Int]("active_transactions") == 1))
+    val w1 = rows.find(_.getAs[String]("branch") == "w1").get
+    assert(w1.getAs[String]("parent") == "main")
+    txn.rollback()
+    assert(br.concurrencyStats().collect().forall(_.getAs[Int]("active_transactions") == 0))
+  }
 }
