@@ -246,7 +246,20 @@ object Bench {
     // only; incremental, calib, and the pipeline reps live in
     // BENCH_DETAIL.json
     val compactKeys = results.keySet - "kg_pipeline_e2e_rep1" - "kg_pipeline_e2e_rep2"
-    val qs = results.collect { case (k, v) if compactKeys(k) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // SELF-BUDGETING: the query registry keeps growing, so the compact
+    // line enforces its own byte budget — if the full per-query map would
+    // blow the tail capture, the FASTEST queries drop first (slow ones are
+    // the informative ones; every query stays in BENCH_DETAIL.json's full-
+    // precision map regardless)
+    val QueryBytesBudget = 1650
+    val entriesByValue = results.toSeq
+      .filter(kv => compactKeys(kv._1))
+      .sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bytes = 0
+    for (e <- entriesByValue if bytes + e.length + 1 <= QueryBytesBudget) { kept += e; bytes += e.length + 1 }
+    val qs = kept.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // total = sum of the REPORTED per-query numbers (round-1 semantics);
     // the informational pipeline reps would triple-count the pipeline
