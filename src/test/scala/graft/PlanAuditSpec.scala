@@ -115,6 +115,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang"), "scan reads unprojected documents columns:\n" + readSchema)
   }
 
+  test("q_temporal_stats: one grouped aggregation — single scan, partial combine, one shuffle") {
+    val p = run("q_temporal_stats")
+    // count in the FINAL plan tree only (formatted mode repeats the scan
+    // in the initial-plan section and the node details)
+    val finalTree = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalTree).size <= 1, "events scanned more than once:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(finalTree).size <= 1, "extra shuffle:\n" + p)
+    assert("HashAggregate".r.findAllIn(finalTree).size >= 2, "no partial aggregation:\n" + p)
+  }
+
   test("q_lang_id / q_quality_score: single-scan, one shuffle on the grouping key") {
     for (q <- Seq("q_lang_id", "q_quality_score")) {
       val p = run(q)
