@@ -103,12 +103,18 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
   def removeEpisode(url: String): Unit = {
     import spark.implicits._
     val epUuid = Ids.episode(groupId, url)
+    val groupKey = Seq("group_id", "source_uuid", "name")
     val removedEp = store
       .load("episodes")
       .filter(col("uuid") === epUuid)
       .select(col("uuid").as("id"), col("content").as("text"))
       .localCheckpoint()
-    store.commit(store.load("episodes").filter(col("uuid") =!= epUuid), "episodes", s"remove episode $url")
+    // keyed delete — only the bucket holding the episode's uuid rewrites
+    // (delta-appended when small); a plain pre-bucketed table folds once
+    store.mergeBucketed(
+      "episodes", store.load("episodes").limit(0), Seq("uuid"),
+      s"remove episode $url", deleteKeys = Some(Seq(epUuid).toDF("uuid")),
+    )
     SearchIndexes.refreshText(store, "episodes", removedEp, removedEp.limit(0))
     if (store.exists("episode_entity_edges")) {
       store.mergeBucketed(
@@ -121,28 +127,42 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     }
     // edge rows whose ONLY supporter was this episode vanish — their index
     // entries leave with them; rows merely losing one episode keep their
-    // uuid/fact/endpoints/valid_at, so no other index entry changes
-    val edges0 = store.load("edges")
-    val removedEdges = edges0
-      .filter(array_contains(col("episodes"), epUuid) && size(col("episodes")) === 1)
-      .localCheckpoint()
-    val edges = edges0
-      .withColumn("episodes", array_remove(col("episodes"), epUuid))
-      .filter(size(col("episodes")) > 0)
-    store.commit(edges, "edges", s"cascade remove episode $url")
-    refreshEdgeIndexes(removedEdges)
-    if (store.exists("raw_triples")) {
-      store.commit(
-        store.load("raw_triples").filter(col("url") =!= url),
-        "raw_triples",
-        s"cascade remove episode $url",
+    // uuid/fact/endpoints/valid_at, so no other index entry changes.
+    // Finding the citing rows is one corpus READ (no by-episode edge
+    // index); the WRITE is scoped to the hit contention groups — the rest
+    // of the corpus is carried by manifest reference, never rewritten.
+    val hitRows = store.load("edges").filter(array_contains(col("episodes"), epUuid)).localCheckpoint()
+    if (!hitRows.isEmpty) {
+      val removedEdges = hitRows.filter(size(col("episodes")) === 1).localCheckpoint()
+      val affected = hitRows.select(groupKey.map(col): _*).distinct().localCheckpoint()
+      val patched = store
+        .loadForKeys("edges", affected, groupKey)
+        .withColumn("episodes", array_remove(col("episodes"), epUuid))
+        .filter(size(col("episodes")) > 0)
+      store.mergeBucketed(
+        "edges", patched, groupKey, s"cascade remove episode $url",
+        deleteKeys = Some(affected),
       )
+      refreshEdgeIndexes(removedEdges)
+    }
+    if (store.exists("raw_triples")) {
+      val tripleKey = Seq("group_id", "url", "subj", "pred", "obj")
+      val gone = store
+        .load("raw_triples")
+        .filter(col("url") === url)
+        .select(tripleKey.map(col): _*)
+        .localCheckpoint()
+      if (!gone.isEmpty)
+        store.mergeBucketed(
+          "raw_triples", store.load("raw_triples").limit(0), tripleKey,
+          s"cascade remove episode $url", deleteKeys = Some(gone),
+        )
     }
     // orphaned nodes: mentioned by this episode and by no other
     if (store.exists("episodic_edges")) {
       val ee = store.load("episodic_edges")
-      val orphans = ee
-        .filter(col("episode_uuid") === epUuid)
+      val mine = ee.filter(col("episode_uuid") === epUuid).localCheckpoint()
+      val orphans = mine
         .select(col("entity_uuid"))
         .join(
           ee.filter(col("episode_uuid") =!= epUuid).select(col("entity_uuid")).distinct(),
@@ -150,19 +170,21 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
           "left_anti",
         )
         .localCheckpoint()
-      store.commit(
-        ee.filter(col("episode_uuid") =!= epUuid),
-        "episodic_edges",
-        s"cascade remove episode $url",
-      )
+      if (!mine.isEmpty)
+        store.mergeBucketed(
+          "episodic_edges", ee.limit(0), Seq("episode_uuid", "entity_uuid"),
+          s"cascade remove episode $url",
+          deleteKeys = Some(mine.select(col("episode_uuid"), col("entity_uuid"))),
+          bucketBy = Seq("entity_uuid"),
+        )
       if (store.exists("nodes")) {
         val removedNodes = store
           .loadForKeys("nodes", orphans.select(col("entity_uuid").as("uuid")), Seq("uuid"))
           .localCheckpoint()
-        store.commit(
-          store.load("nodes").join(orphans, col("uuid") === col("entity_uuid"), "left_anti"),
-          "nodes",
+        store.mergeBucketed(
+          "nodes", store.load("nodes").limit(0), Seq("uuid"),
           s"cascade remove orphaned nodes of $url",
+          deleteKeys = Some(orphans.select(col("entity_uuid").as("uuid"))),
         )
         SearchIndexes.refreshText(
           store, "nodes",
@@ -193,11 +215,18 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     * valid_at from the surviving facts and apply least(derived, manual).
     */
   def setValidityPeriod(edgeUuid: String, validFrom: Timestamp, validTo: Option[Timestamp] = None): Unit = {
-    val base = store.load("edges")
-    val withManual =
-      if (base.columns.contains("manual_invalid_at")) base
-      else base.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
+    val groupKey = Seq("group_id", "source_uuid", "name")
     val hit = col("uuid") === lit(edgeUuid)
+    // locate the row (one corpus READ — edges carry no by-uuid index),
+    // then patch ONLY its contention group: the write is a keyed bucketed
+    // merge (delta-appended when small), never a full-table rewrite
+    val hitRow = store.load("edges").filter(hit).localCheckpoint()
+    if (hitRow.isEmpty) return
+    val affected = hitRow.select(groupKey.map(col): _*).distinct().localCheckpoint()
+    val stored = store.loadForKeys("edges", affected, groupKey)
+    val withManual =
+      if (stored.columns.contains("manual_invalid_at")) stored
+      else stored.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
     val withFrom = withManual.withColumn("valid_at", when(hit, lit(validFrom)).otherwise(col("valid_at")))
     val edges = validTo match {
       case Some(to) =>
@@ -215,14 +244,17 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
           .withColumn("expired_at", when(hit, least(lit(to), col("expired_at"))).otherwise(col("expired_at")))
       case None => withFrom
     }
+    store.mergeBucketed(
+      "edges", edges, groupKey, s"set validity period for $edgeUuid",
+      deleteKeys = Some(affected),
+    )
     // the month index is keyed by valid_at — move the row's membership
     // (net delta cancels when the month did not change)
     if (store.exists("edge_months")) {
       val tCols = Seq("uuid", "valid_at", "group_id", "source_uuid", "name").map(col)
-      val oldRow = base.filter(hit).select(tCols: _*).localCheckpoint()
-      store.commit(edges, "edges", s"set validity period for $edgeUuid")
+      val oldRow = hitRow.select(tCols: _*)
       SearchIndexes.refreshTemporal(store, oldRow, oldRow.withColumn("valid_at", lit(validFrom)))
-    } else store.commit(edges, "edges", s"set validity period for $edgeUuid")
+    }
   }
 
   /** The edge row if (and only if) it is valid at `t` (get_valid_at,
@@ -236,16 +268,33 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
       .headOption
 
   def invalidateEdges(uuids: Seq[String], at: Timestamp, reason: String): Unit = {
-    val base = store.load("edges")
-    val withManual =
-      if (base.columns.contains("manual_invalid_at")) base
-      else base.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
+    if (uuids.isEmpty) return
     val hit = col("uuid").isin(uuids: _*)
-    val edges = withManual
+    val groupKey = Seq("group_id", "source_uuid", "name")
+    // locate the targeted rows' contention groups (one corpus READ — edges
+    // carry no by-uuid index, same as deleteEdgesByUuids), then patch ONLY
+    // those groups: the write is a keyed bucketed merge (delta-appended
+    // when the batch is small relative to the corpus — invalidate_edges,
+    // temporal_manager.py:212-286, touches only the targeted rows)
+    val affected = store
+      .load("edges")
+      .filter(hit)
+      .select(groupKey.map(col): _*)
+      .distinct()
+      .localCheckpoint()
+    if (affected.isEmpty) return
+    val stored = store.loadForKeys("edges", affected, groupKey)
+    val withManual =
+      if (stored.columns.contains("manual_invalid_at")) stored
+      else stored.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
+    val patched = withManual
       .withColumn("manual_invalid_at", when(hit, lit(at)).otherwise(col("manual_invalid_at")))
       .withColumn("invalid_at", when(hit, least(lit(at), col("invalid_at"))).otherwise(col("invalid_at")))
       .withColumn("expired_at", when(hit, least(lit(at), col("expired_at"))).otherwise(col("expired_at")))
-    store.commit(edges, "edges", s"invalidate ${uuids.size} edges: $reason")
+    store.mergeBucketed(
+      "edges", patched, groupKey, s"invalidate ${uuids.size} edges: $reason",
+      deleteKeys = Some(affected),
+    )
   }
 
   /** Resolve conflicting temporal records of the same logical edge —
@@ -334,19 +383,48 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     val old = col("invalid_at").isNotNull && col("invalid_at") < lit(cutoff)
     strategy match {
       case "soft" =>
-        val withPrev = if (edges.columns.contains("archived")) edges else edges.withColumn("archived", lit(false))
-        val withFlag = withPrev.withColumn("archived", col("archived") || old)
-        store.commit(withFlag, "edges", s"soft cleanup before $cutoff")
+        // matching rows' contention groups only (one corpus READ to find
+        // them; the WRITE is a keyed bucketed merge scoped to those
+        // groups). Untouched rows keep a NULL `archived` — readers treat
+        // null as false (3VL filters / coalesce), so the flag column
+        // widens lazily instead of rewriting the corpus to backfill false.
+        val groupKey = Seq("group_id", "source_uuid", "name")
+        val hitRows = edges.filter(old).localCheckpoint()
         // records_cleaned = rows MATCHING this call's cutoff (the reference
         // re-counts already-archived matches, temporal_manager.py:1282) —
         // neither the cumulative archived total nor a newly-archived delta
-        edges.filter(old).count()
+        val matched = hitRows.count()
+        if (matched > 0) {
+          val affected = hitRows.select(groupKey.map(col): _*).distinct().localCheckpoint()
+          val stored = store.loadForKeys("edges", affected, groupKey)
+          val withPrev =
+            if (stored.columns.contains("archived")) stored
+            else stored.withColumn("archived", lit(false))
+          val patched =
+            withPrev.withColumn("archived", coalesce(col("archived"), lit(false)) || old)
+          store.mergeBucketed(
+            "edges", patched, groupKey, s"soft cleanup before $cutoff",
+            deleteKeys = Some(affected),
+          )
+        }
+        matched
       case "hard" =>
+        // same scoped shape: delete keys are the matching rows' contention
+        // groups, the surviving rows of those groups re-enter their buckets
+        val groupKey = Seq("group_id", "source_uuid", "name")
         val removed = edges.filter(old).localCheckpoint()
-        store.commit(edges.filter(!coalesce(old, lit(false))), "edges", s"hard cleanup before $cutoff")
-        refreshEdgeIndexes(removed)
-        dropFromEntityEdges(removed)
-        removed.count()
+        val n = removed.count()
+        if (n > 0) {
+          val affected = removed.select(groupKey.map(col): _*).distinct().localCheckpoint()
+          val survivors = store.loadForKeys("edges", affected, groupKey).filter(!coalesce(old, lit(false)))
+          store.mergeBucketed(
+            "edges", survivors, groupKey, s"hard cleanup before $cutoff",
+            deleteKeys = Some(affected),
+          )
+          refreshEdgeIndexes(removed)
+          dropFromEntityEdges(removed)
+        }
+        n
     }
   }
 
@@ -975,17 +1053,36 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
   ): DataFrame = TemporalOps.consistencyCheck(store, checkTypes)
 
   /** temporal_deduplication (temporal_manager.py:620-712): invalidates
-    * every within-window duplicate but the latest-created per logical
-    * edge, routed through [[invalidateEdges]] so every derived index
-    * tracks the stamped rows. Returns the number invalidated. The uuid
-    * list is collected — it is ∝ duplicates found, not corpus; callers
-    * on a corpus suspected of massive duplication should bound the sweep
-    * by group via deleteGroup-style partitioning first.
+    * every within-window duplicate but the latest-created record — edges
+    * per logical edge, routed through [[invalidateEdges]] so every
+    * derived index tracks the stamped rows, AND nodes per (group, name)
+    * cluster, stamped `invalidated_at` in place (the reference's node
+    * half, :672-695 — "nodes don't have direct invalidation", so only
+    * the flag column is written, via the keyed bucketed merge). Returns
+    * the total number invalidated. The uuid lists are collected — they
+    * are ∝ duplicates found, not corpus; callers on a corpus suspected
+    * of massive duplication should bound the sweep by group via
+    * deleteGroup-style partitioning first.
     */
   def temporalDeduplication(at: Timestamp, windowHours: Int = 24): Long = {
     val dups = TemporalOps.duplicateTemporalUuids(store, windowHours).collect().map(_.getString(0)).toSeq
     if (dups.nonEmpty) invalidateEdges(dups, at, "temporal_deduplication")
-    dups.size.toLong
+    val nodeDups =
+      if (!store.exists("nodes")) Seq.empty[String]
+      else TemporalOps.duplicateTemporalNodeUuids(store, windowHours).collect().map(_.getString(0)).toSeq
+    if (nodeDups.nonEmpty) {
+      import spark.implicits._
+      val stored = store.loadForKeys("nodes", nodeDups.toDF("uuid"), Seq("uuid"))
+      val flagged =
+        (if (stored.columns.contains("invalidated_at")) stored
+         else stored.withColumn("invalidated_at", lit(null).cast("timestamp")))
+          .withColumn("invalidated_at", lit(at))
+      store.mergeBucketed(
+        "nodes", flagged, Seq("uuid"),
+        s"temporal_deduplication: ${nodeDups.size} duplicate nodes",
+      )
+    }
+    (dups.size + nodeDups.size).toLong
   }
 
   /** detect_temporal_anomalies (temporal_manager.py:1182-1225). */

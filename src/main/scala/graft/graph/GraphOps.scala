@@ -198,12 +198,15 @@ object GraphOps {
     * parallel — the distribution axis that matters for batch traversals.
     * Like the reference (which gates centrality to ≤1000 nodes,
     * performance_optimizer.py:384-389), intended for subgraphs that fit a
-    * broadcast; extract the subgraph first for larger graphs.
+    * broadcast; extract the subgraph first for larger graphs. The gate is
+    * ENFORCED (`maxNodes`): a larger graph fails fast with a clear message
+    * instead of silently attempting an unbounded driver collect.
     * Returns (start, node, visit_order, depth).
     */
-  def dfs(edges: DataFrame, sources: Seq[Long], maxDepth: Int): DataFrame = {
+  def dfs(edges: DataFrame, sources: Seq[Long], maxDepth: Int, maxNodes: Int = 100000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    requireSmallGraph(edges, maxNodes, "GraphOps.dfs")
     val adj: Map[Long, Array[Long]] = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]
@@ -258,6 +261,23 @@ object GraphOps {
     }
     e.unpersist()
     results.select(col("path"))
+  }
+
+  /** Enforce the reference's small-graph gate (performance_optimizer.py:
+    * 384-389) on ops that driver-collect the adjacency: one distinct-node
+    * count, then a clear failure instead of an unbounded collect.
+    */
+  private def requireSmallGraph(edges: DataFrame, maxNodes: Int, op: String): Unit = {
+    val n = edges
+      .select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+      .count()
+    require(
+      n <= maxNodes,
+      s"$op is gated to graphs with <= $maxNodes nodes (got $n) — extract a subgraph first " +
+        "or raise maxNodes explicitly (reference gate: performance_optimizer.py:384-389)",
+    )
   }
 
   /** Per-node degree (parallel edges counted — the reference's
@@ -337,11 +357,15 @@ object GraphOps {
     * independent sources, so 32 cores do 32 sources at once).
     * Undirected, unweighted, normalized by 2/((n-1)(n-2)) like
     * `nx.betweenness_centrality(normalized=True)`. Returns
-    * (node, betweenness).
+    * (node, betweenness). The reference's ≤1000-node centrality gate is
+    * ENFORCED (`maxNodes`, like Hierarchical.wardCommunities): Brandes is
+    * O(V·E) and the adjacency is driver-collected — a larger graph fails
+    * fast with a clear message instead of attempting it.
     */
-  def betweennessCentrality(edges: DataFrame): DataFrame = {
+  def betweennessCentrality(edges: DataFrame, maxNodes: Int = 1000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    requireSmallGraph(edges, maxNodes, "GraphOps.betweennessCentrality")
     val pairs = undirect(edges)
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]

@@ -170,8 +170,12 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         val dirs = m.buckets.toSeq.sortBy(_._1).map { case (b, (v, _)) =>
           tableDir(table).resolve(s"v=$v").resolve(s"__bucket=$b").toString
         }
+        // mergeSchema: a keyed merge may WIDEN the schema (e.g. a point
+        // mutation adding a flag column) — its rewritten buckets then carry
+        // more columns than the carried ones, and the default
+        // first-file-wins parquet schema would silently drop the new column
         val base =
-          if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+          if (dirs.nonEmpty) spark.read.option("mergeSchema", "true").parquet(dirs: _*)
           else if (m.deltas.nonEmpty) spark.read.parquet(deltaUpdatesDir(table, m.deltas.head._1).toString).limit(0)
           else spark.emptyDataFrame
         applyDeltas(table, m, base)
@@ -224,7 +228,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         else {
           val base =
             if (dirs.isEmpty) spark.read.parquet(deltaUpdatesDir(table, m.deltas.head._1).toString).limit(0)
-            else spark.read.parquet(dirs: _*)
+            // mergeSchema: probed buckets may span a schema-widening merge
+            else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
           // delta chain applies by the MATCH key before the probe filter
           // (the chain is small — bounded by compaction)
           applyDeltas(table, m, base)
@@ -415,7 +420,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
             case (b, (v, _)) if affected.contains(b) =>
               tableDir(table).resolve(s"v=$v").resolve(s"__bucket=$b").toString
           }.toSeq
-          if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+          // mergeSchema: affected buckets may span a schema-widening merge
+          if (dirs.isEmpty) None else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
         }
 
     val keptOld = oldAffected.map { old =>

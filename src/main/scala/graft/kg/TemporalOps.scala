@@ -147,6 +147,27 @@ object TemporalOps {
       .select(col("uuid"))
   }
 
+  /** Node half of temporal_deduplication (`temporal_manager.py:672-695`,
+    * `_group_similar_nodes`): within-window same-name node duplicates per
+    * group — every row of a (group_id, name) cluster whose created_at
+    * falls within `windowHours` of the cluster's latest, EXCEPT the
+    * latest-created record (uuid tiebreak), which is kept.
+    */
+  def duplicateTemporalNodeUuids(store: SnapshotStore, windowHours: Int = 24): DataFrame = {
+    val grpKey = Seq(col("group_id"), col("name"))
+    val n = store.load("nodes").filter(col("created_at").isNotNull)
+    val w = Window.partitionBy(grpKey: _*)
+    val wPick = Window.partitionBy(grpKey: _*).orderBy(col("created_at").desc, col("uuid"))
+    n
+      .withColumn("max_created", max(col("created_at")).over(w))
+      .filter(
+        (unix_micros(col("max_created")) - unix_micros(col("created_at"))) <= lit(windowHours * 3600L * 1000000L),
+      )
+      .withColumn("keep_rank", row_number().over(wPick))
+      .filter(col("keep_rank") > 1)
+      .select(col("uuid"))
+  }
+
   /** detect_temporal_anomalies (`temporal_manager.py:1182-1225`): one row
     * per anomaly with (anomaly_type, uuid, detail). Types:
     *

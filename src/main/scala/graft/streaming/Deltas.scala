@@ -69,7 +69,19 @@ final class Deltas(g: GraphitiSpark) {
     */
   def createDelta(deltaId: String, ops: DataFrame): Long = {
     val rows = normalized(deltaId, ops).localCheckpoint()
-    store.mergeBucketed(Ops, rows, Seq("delta_id", "seq"), s"delta ops $deltaId", bucketBy = Seq("delta_id"))
+    // purge any prior incarnation of this delta id: re-registering with
+    // FEWER ops must not leave the old higher-seq rows behind (applyDelta
+    // would silently run those ghost ops)
+    val stale =
+      if (!store.exists(Ops)) None
+      else {
+        val s = opsOf(deltaId).select(col("delta_id"), col("seq")).localCheckpoint()
+        if (s.isEmpty) None else Some(s)
+      }
+    store.mergeBucketed(
+      Ops, rows, Seq("delta_id", "seq"), s"delta ops $deltaId",
+      deleteKeys = stale, bucketBy = Seq("delta_id"),
+    )
     val n = rows.count()
     store.merge(
       State,
@@ -160,7 +172,16 @@ final class Deltas(g: GraphitiSpark) {
       val summaries = nodeSaves.filter(col("summary").isNotNull)
       if (!summaries.isEmpty) {
         val gid = g.groupId
+        // two ops naming the same entity must collapse to ONE update row
+        // (mergeBucketed keeps ALL update rows of a key — duplicates would
+        // persist as duplicate uuid rows in the nodes primary); the
+        // reference applies ops in seq order, so the LAST summary wins
+        val lastW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("name"))
+          .orderBy(col("seq").desc)
         val keyed = summaries
+          .withColumn("__rn", row_number().over(lastW))
+          .filter(col("__rn") === 1)
           .select(col("name"), col("summary"))
           .as[(String, String)]
           .map { case (n, s) => (graft.kg.Ids.entity(gid, n), s) }
@@ -191,6 +212,21 @@ final class Deltas(g: GraphitiSpark) {
       .select(col("uuid")).collect().map(_.getString(0)).toSeq
     if (nodeRm.nonEmpty) g.deleteNodesByUuids(nodeRm)
 
+    // tables the mutations CREATED (absent pre-apply, present now) are
+    // recorded with version -1 so rollback can distinguish them from
+    // tables created LATER by unrelated non-delta operations (which it
+    // must leave untouched)
+    val preTables = prevRows.map(_._2).toSet
+    val created = store.tables
+      .filterNot(metaTables)
+      .filterNot(preTables)
+      .map(t => (deltaId, t, -1))
+    if (created.nonEmpty)
+      store.mergeBucketed(
+        Prev, created.toDF("delta_id", "table", "version"), Seq("delta_id", "table"),
+        s"delta $deltaId created-tables", bucketBy = Seq("delta_id"),
+      )
+
     store.merge(
       State,
       Seq((deltaId, "applied", nextAppliedSeq, st.getAs[Long]("n_ops")))
@@ -202,8 +238,13 @@ final class Deltas(g: GraphitiSpark) {
   }
 
   /** rollback_delta (incremental_updater.py:527-568): republish every
-    * table's pre-apply version; tables the delta CREATED are dropped.
-    * Guarded to the most recently applied delta.
+    * snapshotted table's pre-apply version; tables recorded as CREATED by
+    * the delta (Prev version -1) are dropped. Tables with NO Prev row were
+    * created by unrelated operations AFTER the apply and are left
+    * untouched. NOTE: intervening non-delta writes to tables the delta
+    * snapshotted ARE discarded by the republish — same hazard as the
+    * reference's per-op inverse writes. Guarded to the most recently
+    * applied delta.
     */
   def rollbackDelta(deltaId: String): Boolean = {
     val st = stateOf(deltaId).getOrElse(return false)
@@ -219,13 +260,10 @@ final class Deltas(g: GraphitiSpark) {
       .collect()
       .map(r => r.getAs[String]("table") -> r.getAs[Int]("version"))
       .toMap
-    val metaTables = Set(Ops, State, Prev, s"${Ops}_delta", s"${State}_delta", s"${Prev}_delta")
-    store.tables.filterNot(metaTables).foreach { t =>
-      prev.get(t) match {
-        case Some(v) if v >= 0 =>
-          if (store.currentVersion(t).exists(_ != v)) store.rollback(t, v)
-        case _ => store.deleteTable(t) // created by this delta
-      }
+    prev.foreach { case (t, v) =>
+      if (v >= 0) {
+        if (store.currentVersion(t).exists(_ != v)) store.rollback(t, v)
+      } else store.deleteTable(t) // created by this delta's apply
     }
     store.merge(
       State,
@@ -283,11 +321,21 @@ final class Deltas(g: GraphitiSpark) {
       Seq("delta_id"),
       s"delta $deltaId chunks demoted",
     )
-    val prevOfFirst = store
-      .loadForKeys(Prev, Seq(chunkIds.head).toDF("delta_id"), Seq("delta_id"))
-      .filter(col("delta_id") === chunkIds.head)
-      .withColumn("delta_id", lit(deltaId))
-    store.mergeBucketed(Prev, prevOfFirst, Seq("delta_id", "table"), s"delta $deltaId pre-versions", bucketBy = Seq("delta_id"))
+    // the parent's rollback point per table = the EARLIEST chunk's record
+    // of it (chunk order = application order): chunk 0's pre-version for
+    // tables that predate the parent, and the -1 created marker from
+    // whichever chunk first saw a table the parent's mutations created
+    val chunkOrder = chunkIds.zipWithIndex.toDF("delta_id", "__ord")
+    val firstPerTable = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("table"))
+      .orderBy(col("__ord"))
+    val prevOfParent = store
+      .loadForKeys(Prev, chunkIds.toDF("delta_id"), Seq("delta_id"))
+      .join(broadcast(chunkOrder), Seq("delta_id"))
+      .withColumn("__rn", row_number().over(firstPerTable))
+      .filter(col("__rn") === 1)
+      .select(lit(deltaId).as("delta_id"), col("table"), col("version"))
+    store.mergeBucketed(Prev, prevOfParent, Seq("delta_id", "table"), s"delta $deltaId pre-versions", bucketBy = Seq("delta_id"))
     store.merge(
       State,
       Seq((deltaId, "applied", nextAppliedSeq, n)).toDF("delta_id", "status", "applied_seq", "n_ops"),
@@ -301,10 +349,20 @@ final class Deltas(g: GraphitiSpark) {
     * deltas apply in order — they mutate the SAME tables, so concurrent
     * application would race the single-writer snapshots; the parallelism
     * that matters (within each delta's distributed mutations) already
-    * spans the cluster.
+    * spans the cluster. Returns ONE state row per delta (uniform schema:
+    * a rejected delta's row reports status `rejected`; its issue list is
+    * available via [[validateDelta]]) — mixing issue frames into the
+    * union would throw after sibling deltas already mutated.
     */
   def parallelDeltaApplication(deltaIds: Seq[String], validate: Boolean = true): DataFrame =
-    deltaIds.map(applyDelta(_, validate)).reduce(_ unionByName _)
+    deltaIds
+      .map { id =>
+        val r = applyDelta(id, validate)
+        // applyDelta returns the issues frame on rejection — normalize to
+        // the (now status=rejected) state row so the union stays uniform
+        if (r.columns.contains("issue")) monitorDeltaProgress(id) else r
+      }
+      .reduce(_ unionByName _)
 
   /** monitor_delta_progress (incremental_updater.py:956-1006). */
   def monitorDeltaProgress(deltaId: String): DataFrame =

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Point mutations must not rewrite the corpus: `invalidateEdges`,
+  * `setValidityPeriod`, `removeEpisode`'s edge cascade and `cleanupAged`
+  * write through the store's keyed bucketed merge (delta-appended when the
+  * touched set is small, affected-bucket rewrite otherwise) — the same
+  * primitive incremental ingest uses — never a full-table `commit`.
+  * Asserted here on the MANIFEST: on a 64-bucket edges table, a
+  * uuid-targeted invalidation leaves every bucket owned by its original
+  * version (delta path), and a compaction-sized one rewrites only the hit
+  * groups' buckets (reference contract: `invalidate_edges`,
+  * temporal_manager.py:212-286, touches only the targeted rows).
+  */
+class ScopedMutationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private val GroupKey = Seq("group_id", "source_uuid", "name")
+
+  /** bucket → owning version, from the current snapshot's manifest. */
+  private def bucketOwners(root: String, table: String): Map[Int, Int] = {
+    val latest = new String(
+      Files.readAllBytes(Paths.get(root, table, "_LATEST")),
+      StandardCharsets.UTF_8,
+    ).trim.toInt
+    val mf = Paths.get(root, table, s"v=$latest", "_manifest.json")
+    assert(Files.exists(mf), s"$table v=$latest has no manifest — not a bucketed snapshot")
+    val s = new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+    val bucketsAt = s.indexOf("\"buckets\"")
+    """"(\d+)":\[(\d+),(\d+)\]""".r
+      .findAllMatchIn(s.substring(bucketsAt))
+      .map(m => m.group(1).toInt -> m.group(2).toInt)
+      .toMap
+  }
+
+  private def currentCommitJson(root: String, table: String): String = {
+    val latest = new String(
+      Files.readAllBytes(Paths.get(root, table, "_LATEST")),
+      StandardCharsets.UTF_8,
+    ).trim.toInt
+    new String(
+      Files.readAllBytes(Paths.get(root, table, s"v=$latest", "_commit.json")),
+      StandardCharsets.UTF_8,
+    )
+  }
+
+  /** 64 contention groups × 40 rows, committed BUCKETED (64 buckets). */
+  private def freshBucketed(): GraphitiSpark = {
+    import spark.implicits._
+    val g = new GraphitiSpark(spark, Files.createTempDirectory("scoped-mut").toString)
+    val rows = for (grp <- 0 until 64; i <- 0 until 40) yield (
+      f"e$grp%02d-$i%02d",
+      "default",
+      f"s$grp%02d",
+      "rel",
+      f"t$i%02d",
+      ts(100L + i),
+      if (i % 3 == 0) Some(ts(200L + i)) else Option.empty[Timestamp],
+      Option.empty[Timestamp],
+      Seq(f"ep$grp%02d"),
+    )
+    val df = rows
+      .toDF("uuid", "group_id", "source_uuid", "name", "target_uuid", "valid_at", "invalid_at", "expired_at", "episodes")
+    g.store.mergeBucketed("edges", df, GroupKey, "bucketed fixture")
+    g
+  }
+
+  test("uuid-targeted invalidation rides the delta path: zero buckets rewritten") {
+    val g = freshBucketed()
+    val before = bucketOwners(g.store.root, "edges")
+    assert(before.nonEmpty)
+
+    g.invalidateEdges(Seq("e05-07"), ts(1000), "scoped test")
+
+    val after = bucketOwners(g.store.root, "edges")
+    assert(after == before, "a 1-uuid invalidation must carry every base bucket by reference")
+    assert(currentCommitJson(g.store.root, "edges").contains("\"delta\":true"), "expected a merge-on-read delta commit")
+    // semantics intact: the hit row is stamped, its group's other rows are not
+    val got = g.store
+      .load("edges")
+      .filter(col("group_id") === "default" && col("source_uuid") === "s05")
+      .collect()
+      .map(r => r.getAs[String]("uuid") -> Option(r.getAs[Timestamp]("expired_at")))
+      .toMap
+    assert(got("e05-07").contains(ts(1000)))
+    assert(got("e05-06").isEmpty)
+    assert(got.size == 40)
+  }
+
+  test("compaction-sized invalidation rewrites ONLY the hit groups' buckets") {
+    val g = freshBucketed()
+    val before = bucketOwners(g.store.root, "edges")
+    // 16 whole groups (640 rows of 2560): over the 10× delta threshold →
+    // affected-bucket rewrite path
+    val uuids = for (grp <- 0 until 16; i <- 0 until 40) yield f"e$grp%02d-$i%02d"
+    g.invalidateEdges(uuids, ts(1000), "scoped rewrite test")
+
+    val after = bucketOwners(g.store.root, "edges")
+    assert(after.keySet == before.keySet, "bucket layout unchanged")
+    val rewritten = after.count { case (b, v) => before(b) != v }
+    assert(rewritten > 0, "a compaction-sized mutation takes the rewrite path")
+    assert(rewritten <= 16, s"at most one bucket per hit group may rewrite, got $rewritten")
+    val carried = after.count { case (b, v) => before(b) == v }
+    assert(carried >= after.size - 16, "untouched buckets must be carried by manifest reference")
+    // values: every targeted row stamped, every untouched group pristine
+    val stamped = g.store.load("edges").filter(col("expired_at") === ts(1000)).count()
+    assert(stamped == 640L)
+  }
+
+  test("setValidityPeriod and soft/hard cleanup stay bucket-scoped") {
+    val g = freshBucketed()
+    val base = bucketOwners(g.store.root, "edges")
+
+    g.setValidityPeriod("e10-03", ts(50), Some(ts(99)))
+    val afterSet = bucketOwners(g.store.root, "edges")
+    assert(afterSet == base, "1-row validity patch must be a delta append")
+    assert(
+      g.store.load("edges").filter(col("uuid") === "e10-03").collect().head.getAs[Timestamp]("valid_at") == ts(50),
+    )
+
+    // soft cleanup: matches live in EVERY group here (i % 3 == 0 rows),
+    // so only the value contract is asserted plus merge-not-commit (the
+    // table keeps a manifest — a full `commit` would drop it)
+    val n = g.cleanupAged("soft", ts(205))
+    assert(n > 0)
+    assert(
+      bucketOwners(g.store.root, "edges").nonEmpty,
+      "soft cleanup must go through the bucketed merge (manifest preserved)",
+    )
+    val archived = g.store.load("edges").filter(col("archived")).count()
+    assert(archived == n)
+
+    val h = g.cleanupAged("hard", ts(205))
+    assert(h == archived)
+    assert(bucketOwners(g.store.root, "edges").nonEmpty, "hard cleanup must keep the bucketed layout")
+    assert(g.store.load("edges").filter(col("invalid_at") < ts(205)).count() == 0L)
+  }
+}

@@ -99,4 +99,17 @@ class CentralitySpec extends AnyFunSuite {
     assert(probed == direct)
     und.unpersist()
   }
+
+  test("driver-collect ops enforce the reference's small-graph gate") {
+    // a 12-node path exceeds an explicit maxNodes=10 gate → fail fast
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val eb = intercept[IllegalArgumentException](GraphOps.betweennessCentrality(path, maxNodes = 10))
+    assert(eb.getMessage.contains("gated to graphs with <= 10 nodes"))
+    val ed = intercept[IllegalArgumentException](GraphOps.dfs(path, Seq(1L), 3, maxNodes = 10))
+    assert(ed.getMessage.contains("gated to graphs with <= 10 nodes"))
+    // at/below the gate both still run (values pinned by the nx goldens
+    // and the DFS differential elsewhere in the suite)
+    assert(GraphOps.betweennessCentrality(path, maxNodes = 12).count() == 12L)
+    assert(GraphOps.dfs(path, Seq(1L), 3, maxNodes = 12).count() == 4L)
+  }
 }

@@ -99,6 +99,53 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(dups == Set("d1")) // d2 kept (latest created_at); d0 outside the 24h window
   }
 
+  test("duplicateTemporalNodeUuids: within-window same-name duplicates, latest kept") {
+    import spark.implicits._
+    val s = new SnapshotStore(spark, Files.createTempDirectory("temporalops-nodes").toString)
+    val nodes = Seq(
+      // (g, Alice): n1/n2 within 24h of cluster max — n2 (latest) kept;
+      // n0 is 40h before the max → outside the window, untouched
+      ("n0", "g", "Alice", t(0)),
+      ("n1", "g", "Alice", t(39)),
+      ("n2", "g", "Alice", t(40)),
+      // other name: singleton, untouched
+      ("n3", "g", "Bob", t(40)),
+      // same name, OTHER group: singleton, untouched (clusters are scoped)
+      ("n4", "h", "Alice", t(40)),
+    ).toDF("uuid", "group_id", "name", "created_at")
+    s.commit(nodes, "nodes", "node dedup fixture")
+    val dups = TemporalOps.duplicateTemporalNodeUuids(s, windowHours = 24).collect().map(_.getString(0)).toSet
+    assert(dups == Set("n1"))
+  }
+
+  test("temporalDeduplication stamps invalidated_at on duplicate nodes (reference node half)") {
+    import spark.implicits._
+    val g = new graft.GraphitiSpark(spark, Files.createTempDirectory("temporal-dedup-nodes").toString)
+    g.store.commit(
+      Seq(
+        ("n1", "g", "Alice", t(39)),
+        ("n2", "g", "Alice", t(40)),
+        ("n3", "g", "Bob", t(40)),
+      ).toDF("uuid", "group_id", "name", "created_at"),
+      "nodes",
+      "fixture",
+    )
+    g.store.commit(
+      Seq(edge("e1", "A", "rel", "B", 0, Some(0))).toDS().toDF(),
+      "edges",
+      "fixture",
+    )
+    val n = g.temporalDeduplication(t(100), windowHours = 24)
+    assert(n == 1L) // n1 (node); no edge duplicates
+    val stamped = g.store
+      .load("nodes")
+      .collect()
+      .map(r => r.getAs[String]("uuid") -> Option(r.getAs[Timestamp]("invalidated_at")))
+      .toMap
+    assert(stamped("n1").contains(t(100)))
+    assert(stamped("n2").isEmpty && stamped("n3").isEmpty)
+  }
+
   test("temporalStats: one-row aggregate over counts, span, per-relation map") {
     val row = TemporalOps.temporalStats(store).collect()(0)
     assert(row.getAs[Long]("total_records") == 19L)
