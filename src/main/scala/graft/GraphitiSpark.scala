@@ -29,16 +29,32 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
   val store = new SnapshotStore(spark, storeRoot)
   private val searcher = new KgSearch(store)
 
-  /** Bulk episodic ingest of a pages frame (url, warc_ts, html, text, lang). */
-  def addEpisodeBulk(pages: DataFrame, corpusFingerprint: String): Unit =
-    new KgPipeline(store, groupId).run(pages, corpusFingerprint)
+  /** Bulk episodic ingest of a pages frame (url, warc_ts, html, text,
+    * lang). `excludedEntityTypes` drops entities of those types (and the
+    * triples referencing them) at extraction — the reference's
+    * `extract_nodes(excluded_entity_types)` option
+    * (node_operations.py:74,163-164).
+    */
+  def addEpisodeBulk(
+      pages: DataFrame,
+      corpusFingerprint: String,
+      excludedEntityTypes: Seq[String] = Nil,
+  ): Unit =
+    new KgPipeline(store, groupId, excludedEntityTypes = excludedEntityTypes)
+      .run(pages, corpusFingerprint)
 
   /** Single-episode ingest = incremental batch of one page. */
-  def addEpisode(url: String, warcTs: Timestamp, html: Array[Byte], lang: String = "en"): Unit = {
+  def addEpisode(
+      url: String,
+      warcTs: Timestamp,
+      html: Array[Byte],
+      lang: String = "en",
+      excludedEntityTypes: Seq[String] = Nil,
+  ): Unit = {
     import spark.implicits._
     val page = Seq((url, warcTs, html, null.asInstanceOf[String], lang))
       .toDF("url", "warc_ts", "html", "text", "lang")
-    IncrementalIngest.ingestBatch(store, page, batchId = -1L, groupId)
+    IncrementalIngest.ingestBatch(store, page, batchId = -1L, groupId, excludedEntityTypes)
   }
 
   /** Manual triple insert with full resolution (add_triplet,
@@ -1083,6 +1099,22 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
       )
     }
     (dups.size + nodeDups.size).toLong
+  }
+
+  /** Episode-level validation report (EpisodeProcessor.validate_episode,
+    * episode_processor.py:526-577): re-extracts deterministically from the
+    * STORED episode content and reports (url, issue, detail) rows —
+    * empty-name/fact, dangling edge endpoints, inverted validity
+    * intervals, sub-10% content coverage. One url or the whole corpus in
+    * one distributed pass.
+    */
+  def validateEpisodes(url: Option[String] = None, coverageFloor: Double = 0.1): DataFrame = {
+    var eps = store.load("episodes")
+    url.foreach(u => eps = eps.filter(col("name") === u))
+    EpisodeValidation.validatePages(
+      eps.select(col("name").as("url"), col("content").as("text"), col("valid_at").as("warc_ts")),
+      coverageFloor,
+    )
   }
 
   /** detect_temporal_anomalies (temporal_manager.py:1182-1225). */

@@ -46,6 +46,22 @@ object Extract {
     ("supplies", s"($EntityPattern) supplies ($EntityPattern)\\."),
   )
 
+  /** Every entity type [[entityTypeOf]] can emit. */
+  val KnownEntityTypes: Seq[String] = Seq("Entity", "Person", "Organization", "Place")
+
+  /** validate_excluded_entity_types (`graphiti_core/helpers.py`; exercised
+    * by `tests/test_entity_exclusion_int.py:294-331`): an exclusion list
+    * naming an unknown type fails fast.
+    */
+  def validateExcludedEntityTypes(excluded: Seq[String]): Unit = {
+    val bad = excluded.filterNot(KnownEntityTypes.contains)
+    require(
+      bad.isEmpty,
+      s"unknown entity types in excludedEntityTypes: ${bad.mkString(", ")} " +
+        s"(known: ${KnownEntityTypes.mkString(", ")})",
+    )
+  }
+
   /** Entity type from surface shape (gazetteer-free deterministic NER). */
   def entityTypeOf(surface: String): String =
     if (surface.startsWith("Customer#")) "Person"
@@ -72,9 +88,20 @@ object Extract {
     * native `graft_embed` (== [[Embedder.embed]]) — no encoder boundary,
     * no per-row Scala closure. Replaces the old `mapPartitions` node
     * build in the bulk pipeline, incremental ingest and migration.
+    * `excludedTypes` drops surfaces whose entity type is excluded — the
+    * reference's `extract_nodes(excluded_entity_types)` filter
+    * (`node_operations.py:74,163-164`).
     */
-  def entityNodes(surfaces: DataFrame, groupId: String, keep: Seq[String] = Nil): DataFrame =
-    surfaces.select(
+  def entityNodes(
+      surfaces: DataFrame,
+      groupId: String,
+      keep: Seq[String] = Nil,
+      excludedTypes: Seq[String] = Nil,
+  ): DataFrame = {
+    val kept =
+      if (excludedTypes.isEmpty) surfaces
+      else surfaces.filter(!entityTypeCol(col("name")).isin(excludedTypes: _*))
+    kept.select(
       Seq(
         md5(concat(lit(s"en|$groupId|"), col("name"))).as("uuid"),
         col("name"),
@@ -83,6 +110,22 @@ object Extract {
         lit(groupId).as("group_id"),
       ) ++ keep.map(col): _*
     )
+  }
+
+  /** Drop triples with an excluded-type endpoint — the downstream effect
+    * of the reference's entity-type exclusion: an edge referencing an
+    * excluded (never-extracted) entity cannot resolve and never forms
+    * (`node_operations.py:163-164`; exercised by
+    * `tests/test_entity_exclusion_int.py`). A pure codegen filter — at
+    * scale it rides the extraction scan, no extra pass.
+    */
+  def excludeTypes(triples: DataFrame, excludedTypes: Seq[String]): DataFrame =
+    if (excludedTypes.isEmpty) triples
+    else
+      triples.filter(
+        !entityTypeCol(col("subj")).isin(excludedTypes: _*) &&
+          !entityTypeCol(col("obj")).isin(excludedTypes: _*),
+      )
 
   /** pages(url, text) → triples(url, subj, pred, obj, fact). One pass per
     * relation pattern, unioned; each pass is scan → regexp_extract_all →

@@ -17,10 +17,25 @@ import org.apache.spark.sql.functions._
   * snapshot is a partitioned table and the same code runs per
   * url-hash-bucket; nothing below collects rows to the driver.
   */
-final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildIndexes: Boolean = true) {
+final class KgPipeline(
+    store: SnapshotStore,
+    groupId: String = "default",
+    buildIndexes: Boolean = true,
+    // extract_nodes(excluded_entity_types) — entities of these types (and
+    // the triples referencing them) never enter the graph
+    // (node_operations.py:74,163-164)
+    excludedEntityTypes: Seq[String] = Nil,
+) {
 
   private def fp(stage: String, parts: Seq[Any]): String =
     graft.kg.Ids.entity("fp", stage + "|" + parts.mkString("|"))
+
+  Extract.validateExcludedEntityTypes(excludedEntityTypes)
+
+  // the exclusion config participates in every post-extraction stage
+  // fingerprint: a resume under a DIFFERENT exclusion list must rebuild,
+  // not silently reuse the old extraction's snapshots
+  private val exclKey = excludedEntityTypes.sorted.mkString(",")
 
   private val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
 
@@ -54,8 +69,8 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
     // output back on the critical path. On resume (episodes committed,
     // triples not) extraction falls back to the committed snapshot. ----
     val episodesFp = fp("episodes", Seq(inputFingerprint, groupId))
-    val episodesEeFp = fp("episodes_ee", Seq(inputFingerprint, groupId))
-    val triplesFp = fp("raw_triples", Seq(inputFingerprint, groupId))
+    val episodesEeFp = fp("episodes_ee", Seq(inputFingerprint, groupId, exclKey))
+    val triplesFp = fp("raw_triples", Seq(inputFingerprint, groupId, exclKey))
     var triplesMem: DataFrame = null
     timed("episodes+triples") {
       val needEpisodes = !store.hasFingerprint("episodes", episodesFp)
@@ -80,7 +95,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       if (needTriples) {
         val withText = (if (needEpisodes) episodesMem else store.load("episodes"))
           .select(col("name").as("url"), col("content").as("text"), col("valid_at").as("warc_ts"))
-        triplesMem = Extract.triplesTs(spark, withText)
+        triplesMem = Extract.excludeTypes(Extract.triplesTs(spark, withText), excludedEntityTypes)
           .withColumn("group_id", lit(groupId))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
@@ -102,10 +117,10 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       if (triplesMem != null) triplesMem
       else store.load("raw_triples").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId))
-    val mapFp = fp("uuid_map", Seq(inputFingerprint, groupId))
-    val nodesFp = fp("nodes", Seq(inputFingerprint, groupId))
-    val edgesFp = fp("edges", Seq(inputFingerprint, groupId))
+    val nodesRawFp = fp("nodes_raw", Seq(inputFingerprint, groupId, exclKey))
+    val mapFp = fp("uuid_map", Seq(inputFingerprint, groupId, exclKey))
+    val nodesFp = fp("nodes", Seq(inputFingerprint, groupId, exclKey))
+    val edgesFp = fp("edges", Seq(inputFingerprint, groupId, exclKey))
 
     // ---- stages 3+4 (raw entity nodes → linking + canonical map), run
     // CONCURRENTLY with (a) the per-SURFACE mention-stats aggregation
@@ -406,7 +421,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
 
     // ---- stage 7: episodic MENTIONS edges (build_episodic_edges,
     // edge_operations.py:48-65) ----
-    val epeFp = fp("episodic_edges", Seq(inputFingerprint, groupId))
+    val epeFp = fp("episodic_edges", Seq(inputFingerprint, groupId, exclKey))
     def stageEpisodicEdges(): Unit = timed("episodic_edges") { if (!store.hasFingerprint("episodic_edges", epeFp)) {
       val t = rawTriples
       val mapRows = store.approxRowCount("uuid_map").getOrElse(0L)
@@ -443,7 +458,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
 
     // ---- stage 8: IS_DUPLICATE_OF edges (build_duplicate_of_edges,
     // edge_operations.py:68-91) ----
-    val dupFp = fp("duplicate_of_edges", Seq(inputFingerprint, groupId))
+    val dupFp = fp("duplicate_of_edges", Seq(inputFingerprint, groupId, exclKey))
     def stageDuplicateOf(): Unit = timed("duplicate_of_edges") { if (!store.hasFingerprint("duplicate_of_edges", dupFp)) {
       val m = store.load("uuid_map")
       val dupEdges = m
@@ -479,7 +494,7 @@ final class KgPipeline(store: SnapshotStore, groupId: String = "default", buildI
       // the corpus: prebuilt indices, performance_optimizer.py:184-237,
       // vector_search.py:36-189). The two groups write DISJOINT tables —
       // one concurrent group, not two serial phases.
-      val sidxFp = fp("search_indexes", Seq(inputFingerprint, groupId))
+      val sidxFp = fp("search_indexes", Seq(inputFingerprint, groupId, exclKey))
       timed("indexes") {
         graft.io.Concurrent.runAll(Seq(
           () => graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark),

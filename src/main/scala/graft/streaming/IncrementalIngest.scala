@@ -109,7 +109,19 @@ object IncrementalIngest {
     * huggingface_driver.py:535-554; entity uuids must NOT collide across
     * groups).
     */
-  def ingestBatch(store: SnapshotStore, newPages: DataFrame, batchId: Long, groupId: String = "default"): Unit = {
+  def ingestBatch(
+      store: SnapshotStore,
+      newPages: DataFrame,
+      batchId: Long,
+      groupId: String = "default",
+      // extract_nodes(excluded_entity_types): excluded-type entities (and
+      // triples referencing them) never enter (node_operations.py:74,
+      // 163-164). Re-ingest re-derivation applies the SAME list — mixed
+      // exclusion configs across batches are the caller's responsibility,
+      // as in the reference (a per-call option).
+      excludedEntityTypes: Seq[String] = Nil,
+  ): Unit = {
+    Extract.validateExcludedEntityTypes(excludedEntityTypes)
     if (newPages.isEmpty) return
     val spark = newPages.sparkSession
     import spark.implicits._
@@ -165,7 +177,7 @@ object IncrementalIngest {
     val oldPages =
       priorEpisodes.select(col("name").as("url"), col("content").as("text"), col("created_at").as("warc_ts"))
     val oldTriples = Extract
-      .triplesTs(spark, oldPages)
+      .excludeTypes(Extract.triplesTs(spark, oldPages), excludedEntityTypes)
       .withColumn("group_id", lit(gid))
       .localCheckpoint()
     val reIngest = !oldTriples.isEmpty
@@ -177,7 +189,7 @@ object IncrementalIngest {
     // raw triples for the new pages (single extraction pass, materialized
     // once — reused by surfaces / stats / edges below)
     val triples = Extract
-      .triplesTs(spark, withText)
+      .excludeTypes(Extract.triplesTs(spark, withText), excludedEntityTypes)
       .withColumn("group_id", lit(gid))
       .localCheckpoint()
     // facts the re-ingested pages RETRACTED (asserted before, not now)
