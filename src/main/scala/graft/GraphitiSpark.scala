@@ -1257,10 +1257,14 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     val edges = store.load("edges")
     val scored =
       if (store.exists("edge_ann")) {
-        val q = graft.sim.Ann
-          .signature(queries, "qid", "qv")
-          .withColumnRenamed("id", "qid")
-          .join(queries, Seq("qid"))
+        val annP = graft.search.SearchIndexes.annPlanes
+        val q = queries.select(
+          col("qid"),
+          col("qv"),
+          explode(
+            graft.sim.Ann.probeSignaturesCol(col("qv"), annP, graft.search.SearchIndexes.annProbes),
+          ).as("sig"),
+        )
         val cands = graft.search.SearchIndexes
           .annForSigs(store, q.select(col("sig")).distinct())
           // dropped/invalid uuids may linger in a stale bucket between

@@ -49,21 +49,33 @@ final case class DeduplicationConfig(
     embeddingWeight: Double = 0.4,
     attributeWeight: Double = 0.2,
     conflictResolution: String = "merge",
-    // Block keys shared by more rows than this are dropped from candidate
-    // generation (quadratic-blowup guard for corpus-wide hot keys: a name
-    // token or attribute entry shared by 1M rows would otherwise emit
-    // ~5·10^11 candidate pairs). Exact-name (`nm:`) and edge-endpoint
-    // (`st:`) keys are EXEMPT — their block sizes measure genuine
-    // duplicate density, not vocabulary skew. Recall is lost only for
-    // pairs whose EVERY shared block key is hot (disclosed approximation;
-    // the reference's O(n²) matrix has no analog of this bound because it
+    // Affordable-pairs budget per block key: a block of b rows emits
+    // ~b²/2 candidate pairs, so the row cap below is derived as
+    // √(2·budget) — the block size at which ONE key exhausts the budget.
+    // Default 2M pairs → cap 2000 rows: a key just under the cap costs a
+    // bounded ~2M-pair verify, never the ~5·10⁹ the old absolute cap of
+    // 100k rows permitted. Exact-name (`nm:`) and edge-endpoint (`st:`)
+    // keys are EXEMPT — their block sizes measure genuine duplicate
+    // density, not vocabulary skew. Recall is lost only for pairs whose
+    // EVERY shared block key is hot (disclosed approximation; the
+    // reference's O(n²) matrix has no analog of this bound because it
     // has no analog of this scale).
-    hotBlockCap: Int = 100000,
+    maxPairsPerBlock: Long = 2_000_000L,
+    // Explicit row-cap override (opt-up): 0 = derive from
+    // maxPairsPerBlock. Callers who accept the quadratic cost of bigger
+    // blocks may raise it deliberately.
+    hotBlockCap: Int = 0,
 ) {
   require(
     Set("merge", "keep_newer", "keep_older", "keep_better", "keep_first")(conflictResolution),
     s"unknown conflict_resolution '$conflictResolution'",
   )
+  require(maxPairsPerBlock > 0, "maxPairsPerBlock must be positive")
+
+  /** Row cap per block key: explicit override, else √(2·pairs budget). */
+  def effectiveHotBlockCap: Int =
+    if (hotBlockCap > 0) hotBlockCap
+    else math.max(2, math.sqrt(2.0 * maxPairsPerBlock.toDouble).toInt)
 }
 
 /** Result of a dedup pass: the resolved table + the reference's stats
@@ -220,7 +232,7 @@ object Deduplicator {
     val toks = nodes.select(col("uuid"), tokens(col("name")).as("toks"))
     val sizes = toks.select(col("uuid"), size(col("toks")).as("n"))
     val ex = toks.select(col("uuid"), explode(col("toks")).as("tok"))
-    val cand = pairsFromKeys(dropHotKeys(entityBlockKeys(nodes, cfg), cfg.hotBlockCap))
+    val cand = pairsFromKeys(dropHotKeys(entityBlockKeys(nodes, cfg), cfg.effectiveHotBlockCap))
       .localCheckpoint()
     val overlap = cand
       .join(ex.select(col("uuid").as("u1"), col("tok")), Seq("u1"))
@@ -311,7 +323,7 @@ object Deduplicator {
     val blocks = tok.unionByName(structural).unionByName(sig)
     // the hot cap backstops prefix filtering: a prefix-surviving token can
     // still be corpus-hot when facts are short (n < 10 keeps every token)
-    val cand = pairsFromKeys(dropHotKeys(blocks, cfg.hotBlockCap))
+    val cand = pairsFromKeys(dropHotKeys(blocks, cfg.effectiveHotBlockCap))
     cand
       .join(
         base.select(col("uuid").as("u1"), col("fact").as("a_fact"), col("src").as("a_src"), col("dst").as("a_dst"), col("emb").as("a_emb")),
@@ -532,7 +544,7 @@ object Deduplicator {
       if (edges) edgeAllBlockKeys(_, cfg) else entityBlockKeys(_, cfg)
     val batchKeys = keysOf(incoming).select(col("key")).distinct().localCheckpoint()
     val touchedExisting = existing.join(
-      dropHotKeys(keysOf(existing), cfg.hotBlockCap)
+      dropHotKeys(keysOf(existing), cfg.effectiveHotBlockCap)
         .join(batchKeys, Seq("key"), "left_semi")
         .select(col("uuid"))
         .distinct(),

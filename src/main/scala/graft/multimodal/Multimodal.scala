@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * → width/height + 16-bin luminance histogram + per-channel means
   * ([[decodeImage]]). AUDIO decode is REAL: `javax.sound.sampled`
   * (WAV/AIFF/AU — ships in the JDK) → rate/channels/duration/rms +
-  * amplitude histogram ([[decodeAudio]]). Video decode is STUBBED (no
+  * amplitude histogram ([[decodeAudio]]). VIDEO container metadata is
+  * REAL: MP4/ISO-BMFF box parsing (pure JVM) → width/height/duration/
+  * track count ([[decodeVideoMeta]]); FRAME decode stays stubbed (no
   * video codec libraries ship in this environment): [[decodeStub]]
   * produces a deterministic byte-histogram "feature vector" so the
   * Spark-side plumbing — schema, url-hash partitioning, batch shape,
@@ -94,6 +96,85 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL video container metadata (MP4/ISO-BMFF box parsing — pure JVM,
+    * no codec needed): walks the box tree to `moov/mvhd` (timescale +
+    * duration) and every `moov/trak/tkhd` (16.16 fixed-point width/
+    * height; the max across tracks is the video track — audio tracks
+    * carry 0×0), emitting
+    * [width, height, durationSec, nTracks, 16-bin byte histogram] —
+    * 20 floats, same shape family as the other modalities. FRAME decode
+    * stays stubbed (no codecs ship in this environment; the histogram
+    * tail stands in for pixel features). Returns None when the bytes are
+    * not a parseable MP4 (caller falls back to [[decodeStub]]).
+    */
+  def decodeVideoMeta(media: Array[Byte]): Option[Array[Float]] = {
+    def u32(o: Int): Long =
+      if (o + 4 > media.length) -1L
+      else ((media(o) & 0xffL) << 24) | ((media(o + 1) & 0xffL) << 16) | ((media(o + 2) & 0xffL) << 8) | (media(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def boxType(o: Int): String =
+      if (o + 8 > media.length) ""
+      else new String(media, o + 4, 4, "ISO-8859-1")
+
+    // (offset, payloadStart, end) per box in [lo, hi)
+    def boxes(lo: Int, hi: Int): Iterator[(Int, Int, Int)] = new Iterator[(Int, Int, Int)] {
+      private var o = lo
+      def hasNext: Boolean = o + 8 <= hi && u32(o) != -1L
+      def next(): (Int, Int, Int) = {
+        val sz = u32(o)
+        val (payload, end) =
+          if (sz == 1L) (o + 16, o + math.min(u64(o + 8), (hi - o).toLong).toInt)
+          else if (sz == 0L) (o + 8, hi)
+          else (o + 8, o + math.min(sz, (hi - o).toLong).toInt)
+        val r = (o, payload, math.max(end, payload))
+        o = r._3
+        r
+      }
+    }
+
+    try {
+      val top = boxes(0, media.length).map(b => (boxType(b._1), b)).toSeq
+      // a real MP4 leads with ftyp (or styp for segments); require it so
+      // arbitrary bytes don't parse accidentally
+      if (!top.headOption.exists(t => t._1 == "ftyp" || t._1 == "styp")) return None
+      val moov = top.collectFirst { case ("moov", b) => b }.getOrElse(return None)
+
+      var timescale = 0L
+      var duration = 0L
+      var nTracks = 0
+      var w = 0f
+      var h = 0f
+      boxes(moov._2, moov._3).foreach { b =>
+        boxType(b._1) match {
+          case "mvhd" =>
+            val v = media(b._2) & 0xff
+            if (v == 1) { timescale = u32(b._2 + 20); duration = u64(b._2 + 24) }
+            else { timescale = u32(b._2 + 12); duration = u32(b._2 + 16) }
+          case "trak" =>
+            nTracks += 1
+            boxes(b._2, b._3).foreach { t =>
+              if (boxType(t._1) == "tkhd") {
+                val v = media(t._2) & 0xff
+                // width/height are the LAST 8 bytes of tkhd's fixed
+                // layout (after the 36-byte matrix), same offset from the
+                // end for both versions
+                val whOff = t._2 + (if (v == 1) 4 + 8 + 8 + 4 + 4 + 8 else 4 + 4 + 4 + 4 + 4 + 4) + 8 + 2 + 2 + 2 + 2 + 36
+                val tw = (u32(whOff) >> 16).toFloat
+                val th = (u32(whOff + 4) >> 16).toFloat
+                if (tw > w || th > h) { w = tw; h = th }
+              }
+            }
+          case _ =>
+        }
+      }
+      if (timescale == 0L && nTracks == 0) None
+      else {
+        val durSec = if (timescale > 0) duration.toFloat / timescale else 0f
+        Some(Array(w, h, durSec, nTracks.toFloat) ++ decodeStub(media))
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** STUB decode: 16-bin byte histogram, L1-normalized. Deterministic
     * pure function of the bytes — stands in for pixel/audio decoding.
     */
@@ -129,6 +210,7 @@ object Multimodal {
           val feats = kind match {
             case "image" => decodeImage(bytes).getOrElse(decodeStub(bytes))
             case "audio" => decodeAudio(bytes).getOrElse(decodeStub(bytes))
+            case "video" => decodeVideoMeta(bytes).getOrElse(decodeStub(bytes))
             case _ => decodeStub(bytes)
           }
           MediaFeatures(id, kind, bytes.length.toLong, feats)

@@ -262,6 +262,63 @@ object Graph {
       """),
     ),
 
+    // ---- betweenness centrality (the other ≤1000-node nx centrality the
+    // reference computes, performance_optimizer.py:384-389): Brandes on a
+    // bounded deterministic subgraph (suppliers ≤ 6, ~150 nodes, diameter
+    // ≤ 6), re-derived relationally by the oracle — every shortest path
+    // enumerated as a cycle-free minimal walk, σ_st as the count per
+    // (s,t), pair dependencies as interior-node credit Σ σ_st(v)/σ_st,
+    // nx-normalized. Matches nx.betweenness_centrality(normalized=True)
+    // exactly (6 dp on both sides absorbs summation-order ulps). ----
+    QueryDef(
+      "q_graph_betweenness",
+      (s, dir) => {
+        val sub = edges(s, dir).filter(col("src") <= 6)
+        GraphOps
+          .betweennessCentrality(sub)
+          .select(col("node"), round(col("betweenness"), 6).as("betweenness"))
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        bedges AS (SELECT src, dst FROM ($edgesSql) b WHERE src <= 6),
+        uedges AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM bedges
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM bedges) u),
+        allnodes AS (SELECT DISTINCT src AS node FROM uedges),
+        walk(start, node, d, path) AS (
+          SELECT node, node, 0, [node] FROM allnodes
+          UNION ALL
+          SELECT w.start, e.dst, w.d + 1, list_append(w.path, e.dst)
+          FROM walk w JOIN uedges e ON e.src = w.node
+          WHERE w.d < 10 AND NOT list_contains(w.path, e.dst)
+        ),
+        mind AS (SELECT start, node, min(d) AS d FROM walk GROUP BY start, node),
+        sp AS (SELECT w.start, w.node, w.path
+               FROM walk w JOIN mind m ON w.start = m.start AND w.node = m.node AND w.d = m.d
+               WHERE w.d > 0),
+        sigma AS (SELECT start, node, count(*) AS s FROM sp GROUP BY start, node),
+        through AS (
+          SELECT sp.start, sp.node AS tgt, u.v AS v, count(*) AS cnt
+          FROM sp, UNNEST(sp.path) AS u(v)
+          WHERE u.v != sp.start AND u.v != sp.node
+          GROUP BY sp.start, sp.node, u.v
+        ),
+        dep AS (
+          SELECT t.v AS node, sum(CAST(t.cnt AS DOUBLE) / sg.s) AS d
+          FROM through t JOIN sigma sg ON sg.start = t.start AND sg.node = t.tgt
+          GROUP BY t.v
+        ),
+        nn AS (SELECT count(*) AS n FROM allnodes)
+        SELECT a.node,
+               round(coalesce(dep.d, 0.0) *
+                     CASE WHEN nn.n > 2 THEN 1.0/((nn.n-1.0)*(nn.n-2.0)) ELSE 0.0 END, 6) AS betweenness
+        FROM allnodes a LEFT JOIN dep ON dep.node = a.node, nn
+        ORDER BY a.node
+      """),
+    ),
+
     // ---- subgraph extraction around seeds (graph_traversal.py:464-502):
     // edges with both endpoints within BFS depth 2 of node 1 ----
     QueryDef(

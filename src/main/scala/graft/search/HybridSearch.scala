@@ -160,10 +160,14 @@ object HybridSearch {
     val semBase =
       if (!runSem) Seq.empty[(Long, String, Double)].toDF("query_id", "id", "score")
       else if (config.annLsh && store.exists("edge_ann")) {
-        // Ann.signature renames its id column to "id" — rename it back
-        val qSigs = graft.sim.Ann
-          .signature(qEmbDf, "query_id", "qv")
-          .select(col("id").as("query_id"), col("sig"))
+        // probe signatures at the index's configured width (+ optional
+        // multi-probe low-margin bit flips)
+        val qSigs = qEmbDf.select(
+          col("query_id"),
+          explode(
+            graft.sim.Ann.probeSignaturesCol(col("qv"), SearchIndexes.annPlanes, SearchIndexes.annProbes),
+          ).as("sig"),
+        )
         SearchIndexes
           .annForSigs(store, qSigs.select(col("sig")).distinct())
           .join(broadcast(qSigs), Seq("sig"))

@@ -141,9 +141,15 @@ final class KgSearch(store: SnapshotStore) {
           val spark = edges.sparkSession
           import spark.implicits._
           val qdf = Seq((0L, Embedder.embed(query).toSeq)).toDF("qid", "qv")
-          val qsig = graft.sim.Ann.signature(qdf, "qid", "qv").collect()(0).getAs[Int]("sig")
+          // probe signatures at the index's configured width (+ optional
+          // multi-probe low-margin bit flips)
+          val qsigs = qdf.select(
+            explode(
+              graft.sim.Ann.probeSignaturesCol(col("qv"), SearchIndexes.annPlanes, SearchIndexes.annProbes),
+            ).as("sig"),
+          )
           SearchIndexes
-            .annForSigs(store, Seq(qsig).toDF("sig"))
+            .annForSigs(store, qsigs)
             .join(edges.select(col("uuid")), Seq("uuid"), "left_semi")
             .withColumn("score", Vectors.cosine(col("v"), queryEmbedding(query)))
         } else

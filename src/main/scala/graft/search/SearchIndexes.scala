@@ -86,6 +86,24 @@ object SearchIndexes {
     probed.join(broadcast(df), Seq("term"))
   }
 
+  /** Hyperplane count for the `edge_ann` signature — a deployment knob
+    * (`-Dgraft.ann.planes=N`, default 8) shared by EVERY build / refresh /
+    * probe site. Each extra plane halves expected bucket occupancy (a
+    * probe reads ~2^-N of the corpus — 8 bits prune only 1/256 at 100 TB;
+    * 16-24 bits are the corpus-scale setting); near neighbors straddling
+    * a plane are lost, and `-Dgraft.ann.nprobe=M` multi-probe (flip the
+    * lowest-margin bits, Ann.probeSignaturesCol) buys that recall back at
+    * M x probe cost — the hyperplane analog of the minhash band trade.
+    * Changing the width requires an index rebuild (buildAnn): committed
+    * buckets are keyed by the width they were built at.
+    */
+  def annPlanes: Int = Integer.getInteger("graft.ann.planes", 8)
+
+  /** Multi-probe count for edge_ann queries (`-Dgraft.ann.nprobe`, default
+    * 1 = exact-signature probe only).
+    */
+  def annProbes: Int = Integer.getInteger("graft.ann.nprobe", 1)
+
   /** Reconciled ANN bucket rows for the probe signatures. */
   def annForSigs(store: SnapshotStore, sigs: DataFrame): DataFrame =
     graft.io.DeltaLog.probe(store, "edge_ann", sigs, Seq("sig"), Seq("sig", "uuid"), Seq("v"))
@@ -94,7 +112,7 @@ object SearchIndexes {
     val edges = store.load("edges")
     // signature is a pure codegen expression — no join/shuffle per row
     val ann0 = edges.select(
-      graft.sim.Ann.signatureCol(col("fact_embedding")).as("sig"),
+      graft.sim.Ann.signatureCol(col("fact_embedding"), annPlanes).as("sig"),
       col("uuid"),
       col("fact_embedding").as("v"),
     )
@@ -180,7 +198,7 @@ object SearchIndexes {
   def refreshAnn(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame): Unit = {
     if (!store.exists("edge_ann")) return
     def rows(df: DataFrame): DataFrame = df.select(
-      graft.sim.Ann.signatureCol(col("fact_embedding")).as("sig"),
+      graft.sim.Ann.signatureCol(col("fact_embedding"), annPlanes).as("sig"),
       col("uuid"),
       col("fact_embedding").as("v"),
     )

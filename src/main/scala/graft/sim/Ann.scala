@@ -74,9 +74,42 @@ object Ann {
     }.reduce(_ + _).cast("int")
   }
 
-  /** 8-bit signature of a vector under deterministic hyperplanes. */
+  /** n-bit signature of a vector under deterministic hyperplanes. */
   def signature(vecs: DataFrame, idCol: String, vecCol: String, nPlanes: Int = 8): DataFrame =
     vecs.select(col(idCol).as("id"), signatureCol(col(vecCol), nPlanes).as("sig"))
+
+  /** Multi-probe signature set of a QUERY vector: the exact signature plus
+    * the `nProbe − 1` variants with the LOWEST-MARGIN bits flipped (margin
+    * = |plane dot| — the planes the vector sits closest to, i.e. the bits
+    * most likely to differ on a true near neighbor). This is the standard
+    * multi-probe LSH recall/cost trade, the hyperplane analog of the
+    * minhash band trade documented on `Dedup.lshCandidates`: widening the
+    * signature (nPlanes ↑) cuts probe cost ~2× per bit but loses near
+    * neighbors that straddle a plane; multi-probe (nProbe ↑) buys the
+    * recall back at nProbe× probe cost — still exponentially cheaper than
+    * a narrow signature at corpus scale. Corpus rows keep ONE signature;
+    * only queries fan out.
+    */
+  def probeSignaturesCol(
+      vec: org.apache.spark.sql.Column,
+      nPlanes: Int = 8,
+      nProbe: Int = 1,
+  ): org.apache.spark.sql.Column = {
+    val base = signatureCol(vec, nPlanes)
+    if (nProbe <= 1) array(base)
+    else {
+      val n = least(size(vec), lit(64))
+      val v = slice(vec, lit(1), n)
+      // (|margin|, bit mask) per plane; sort ascending → flip the closest
+      // planes first (deterministic: mask breaks margin ties)
+      val margins = array(planeCoefs(nPlanes).zipWithIndex.map { case (coefs, p) =>
+        val coefArr = slice(array(coefs.map(lit): _*), lit(1), n)
+        struct(abs(graft.search.Vectors.dot(v, coefArr)).as("m"), lit(1 << p).as("mask"))
+      }: _*)
+      val flips = slice(sort_array(margins), 1, math.min(nProbe - 1, nPlanes))
+      concat(array(base), transform(flips, f => base.bitwiseXOR(f.getField("mask"))))
+    }
+  }
 
   /** IVF (inverted-file) top-k — the FAISS `IndexIVF` analog
     * (`vector_search.py:36-189` uses flat/IVF FAISS indexes): the corpus is
@@ -154,13 +187,23 @@ object Ann {
       )
   }
 
-  /** LSH-bucketed top-k: score only same-signature candidates. The
-    * signature is computed INLINE on both sides (pure expression) — the
-    * former id-self-joins re-shuffled the whole corpus just to attach it.
+  /** LSH-bucketed top-k: score only candidates whose corpus signature
+    * matches one of the query's probe signatures. The signature is
+    * computed INLINE on both sides (pure expression) — the former
+    * id-self-joins re-shuffled the whole corpus just to attach it.
+    * `nPlanes` widens the signature (probe cost ~2⁻ⁿ of the corpus per
+    * probe); `nProbe` flips the lowest-margin bits to buy recall back —
+    * see [[probeSignaturesCol]] for the trade.
     */
-  def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.withColumn("sig", signatureCol(col("qv")))
-    val c = corpus.withColumn("sig", signatureCol(col("v")))
+  def lshBucketTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nPlanes: Int = 8,
+      nProbe: Int = 1,
+  ): DataFrame = {
+    val q = queries.withColumn("sig", explode(probeSignaturesCol(col("qv"), nPlanes, nProbe)))
+    val c = corpus.withColumn("sig", signatureCol(col("v"), nPlanes))
     val scored = c
       .join(broadcast(q), Seq("sig"))
       .withColumn("score", round(Vectors.cosine(col("v"), col("qv")), 6))

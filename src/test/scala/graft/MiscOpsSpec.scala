@@ -89,6 +89,41 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(Multimodal.sampleStub(feats("m2").features.map(_ => 1.toByte), 2).length == 8)
   }
 
+  test("multimodal: REAL mp4 container metadata (moov/mvhd/tkhd box parsing)") {
+    def u32(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer
+        .allocate(payload.length + 8)
+        .putInt(payload.length + 8)
+        .put(tp.getBytes("ISO-8859-1"))
+        .put(payload)
+        .array()
+    // mvhd v0: timescale 600, duration 1800 → 3.0 s
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(1800) ++ Array.fill[Byte](80)(0))
+    // tkhd v0: 4 ver/flags + ctime/mtime/id/res/dur (20) + res 8 +
+    // layer/alt/vol/res (8) + matrix 36 + 16.16 width/height (8) = 84
+    def tkhd(w: Long, h: Long) = box(
+      "tkhd",
+      Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(1800) ++
+        Array.fill[Byte](8 + 8 + 36)(0) ++ u32(w << 16) ++ u32(h << 16),
+    )
+    val moov = box("moov", mvhd ++ box("trak", tkhd(640, 360)) ++ box("trak", tkhd(0, 0)))
+    val mp4 = box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++ moov
+
+    val f = Multimodal.decodeVideoMeta(mp4).get
+    assert(f(0) == 640f && f(1) == 360f, s"width/height: ${f(0)}x${f(1)}")
+    assert(f(2) == 3.0f, s"duration: ${f(2)}")
+    assert(f(3) == 2f, "track count")
+    assert(f.length == 20 && math.abs(f.drop(4).sum - 1.0f) < 1e-5, "byte-histogram tail, L1")
+
+    // non-MP4 bytes refuse to parse → batch path falls back to the stub
+    assert(Multimodal.decodeVideoMeta(Array.fill[Byte](64)(7)).isEmpty)
+    val media = Seq(("v1", "video", mp4), ("v2", "video", Array.fill[Byte](64)(7))).toDF("id", "kind", "media")
+    val rows = Multimodal.extractFeatures(spark, media).collect().map(r => r.id -> r.features).toMap
+    assert(rows("v1").toSeq == f.toSeq)
+    assert(rows("v2").length == 16, "fallback keeps the stub shape")
+  }
+
   test("multimodal: REAL png decode via javax.imageio (width/height/channel means/lum histogram)") {
     // 4×2 image: left half pure red, right half pure blue — known stats
     val im = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -455,6 +455,27 @@ class DeduplicatorSpec extends AnyFunSuite {
     assert(pairs == Seq(("h5", "h6")))
   }
 
+  test("hot-block cap derives from the affordable-pairs budget; opt-up is explicit") {
+    // derivation: cap = √(2·budget) — budget 50 pairs → cap 10 rows;
+    // explicit hotBlockCap overrides; default budget 2M → cap 2000
+    assert(DeduplicationConfig(maxPairsPerBlock = 50).effectiveHotBlockCap == 10)
+    assert(DeduplicationConfig(maxPairsPerBlock = 50, hotBlockCap = 3).effectiveHotBlockCap == 3)
+    assert(DeduplicationConfig().effectiveHotBlockCap == 2000)
+
+    // synthetic hot-block corpus: 120 rows, every block key (shared token,
+    // shared embedding signature) is one corpus-hot block; names all
+    // distinct so the exempt nm: block never pairs. Under the derived cap
+    // the hot blocks are dropped → ZERO candidates (sub-quadratic: the
+    // quadratic join never materializes); opting up past the block size
+    // admits all C(120,2) pairs at a threshold every candidate crosses.
+    import spark.implicits._
+    val ns = (0 until 120).map(i => TNode(f"q$i%03d", s"hot uniq$i", "g", Seq("L"), ts(i), embX, "", Map.empty))
+    val low = DeduplicationConfig(similarityThreshold = 0.1, maxPairsPerBlock = 50)
+    assert(Deduplicator.duplicateEntityPairs(ns.toDF(), low).count() == 0L)
+    val optUp = DeduplicationConfig(similarityThreshold = 0.1, hotBlockCap = 500)
+    assert(Deduplicator.duplicateEntityPairs(ns.toDF(), optUp).count() == (120L * 119L) / 2L)
+  }
+
   test("incremental edges: batch edge adopts into the existing duplicate; others untouched") {
     val cfg = DeduplicationConfig(similarityThreshold = 0.8)
     val res = Deduplicator.deduplicateIncremental(

@@ -78,4 +78,43 @@ class AnnSpec extends AnyFunSuite {
     val s2 = Ann.signature(vs, "id", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(s1 == s2)
   }
+
+  test("wider signatures shrink buckets; multi-probe buys recall back") {
+    import org.apache.spark.sql.functions._
+    val n = 400
+    val corpus = (0 until n).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    // expected bucket occupancy halves per extra plane: max bucket at 16
+    // planes must be well under max bucket at 8 planes
+    def maxBucket(planes: Int): Long = corpus
+      .select(Ann.signatureCol(col("v"), planes).as("sig"))
+      .groupBy(col("sig")).count().agg(max(col("count"))).collect()(0).getLong(0)
+    val m8 = maxBucket(8)
+    val m16 = maxBucket(16)
+    assert(m16 < m8, s"16-plane buckets ($m16) must be smaller than 8-plane ($m8)")
+
+    // probe set: first element is the exact signature; flips are distinct
+    // single-bit variants, deterministic across invocations
+    val queries = (0 until 30).map(i => (i.toLong, vec(1000 + i))).toDF("qid", "qv")
+    val probes = queries
+      .select(col("qid"), Ann.probeSignaturesCol(col("qv"), 16, 4).as("ps"), Ann.signatureCol(col("qv"), 16).as("sig"))
+      .collect()
+    probes.foreach { r =>
+      val ps = r.getSeq[Int](1)
+      assert(ps.length == 4 && ps.distinct.length == 4)
+      assert(ps.head == r.getInt(2), "first probe must be the exact signature")
+      ps.tail.foreach(p => assert(Integer.bitCount(p ^ ps.head) == 1, "flips are single-bit"))
+    }
+
+    // recall: candidates reachable at (16 planes, nProbe=4) ⊇ (16, 1);
+    // every multi-probe result is still brute-force-scored identically
+    val bf = Ann.bruteForceTopK(queries, corpus, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val narrow = Ann.lshBucketTopK(queries, corpus, 1000, nPlanes = 16, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = Ann.lshBucketTopK(queries, corpus, 1000, nPlanes = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(narrow.subsetOf(multi.map(t => (t._1, t._2)).toSet))
+    assert(multi.size > narrow.size, "low-margin bit flips must reach extra candidates")
+    multi.foreach { case (q, id, s) => assert(bf((q, id)) == s) }
+  }
 }

@@ -107,6 +107,59 @@ class DeltasSpec extends AnyFunSuite {
     assert(g.store.load("nodes").filter(col("name").startsWith("ChunkNode#")).count() == 0)
   }
 
+  test("rollback restores only tables snapshotted at apply time; later unrelated tables survive") {
+    val g = fresh()
+    val d = g.deltas
+    d.createDelta("r1", Seq(("add", "node", "RollNode#1")).toDF("op", "entity_type", "name"))
+    d.applyDelta("r1")
+    // an unrelated non-delta write AFTER the apply creates a new table —
+    // the rollback must not delete it (it has no Prev row)
+    g.store.commit(Seq(("x", 1L)).toDF("k", "v"), "unrelated_after", "post-apply table")
+    assert(d.rollbackDelta("r1"))
+    assert(g.store.exists("unrelated_after"), "tables created after the apply must survive rollback")
+    assert(g.store.load("nodes").filter(col("name") === "RollNode#1").count() == 0)
+  }
+
+  test("duplicate summary ops on one entity collapse to the last (no duplicate node rows)") {
+    val g = fresh()
+    val d = g.deltas
+    val ops = Seq(
+      (1, "add", "node", "DupNode#1", "first summary"),
+      (2, "update", "node", "DupNode#1", "second summary"),
+    ).toDF("seq", "op", "entity_type", "name", "summary")
+    d.createDelta("dup1", ops)
+    d.applyDelta("dup1")
+    val rows = g.store.load("nodes").filter(col("name") === "DupNode#1").collect()
+    assert(rows.length == 1, s"exactly one node row, got ${rows.length}")
+    assert(rows.head.getAs[String]("summary") == "second summary", "last op by seq wins")
+  }
+
+  test("re-registering a delta id purges the prior incarnation's ops") {
+    val g = fresh()
+    val d = g.deltas
+    d.createDelta("ghost", (1 to 4).map(i => ("add", "node", s"GhostNode#$i")).toDF("op", "entity_type", "name"))
+    // re-register with FEWER ops: the old higher-seq rows must vanish
+    assert(d.createDelta("ghost", Seq(("add", "node", "GhostNode#9")).toDF("op", "entity_type", "name")) == 1L)
+    d.applyDelta("ghost")
+    assert(g.store.load("nodes").filter(col("name") === "GhostNode#9").count() == 1)
+    assert(
+      g.store.load("nodes").filter(col("name").startsWith("GhostNode#") && col("name") =!= "GhostNode#9").count() == 0,
+      "ghost ops from the first incarnation must not apply",
+    )
+  }
+
+  test("parallelDeltaApplication returns uniform state rows even when one delta is rejected") {
+    val g = fresh()
+    val d = g.deltas
+    d.createDelta("ok1", Seq(("add", "node", "ParNode#1")).toDF("op", "entity_type", "name"))
+    d.createDelta("bad2", Seq(("remove", "node", "no-such-uuid")).toDF("op", "entity_type", "uuid"))
+    d.createDelta("ok3", Seq(("add", "node", "ParNode#3")).toDF("op", "entity_type", "name"))
+    val res = d.parallelDeltaApplication(Seq("ok1", "bad2", "ok3")).collect()
+    val byId = res.map(r => r.getAs[String]("delta_id") -> r.getAs[String]("status")).toMap
+    assert(byId == Map("ok1" -> "applied", "bad2" -> "rejected", "ok3" -> "applied"))
+    assert(g.store.load("nodes").filter(col("name").isin("ParNode#1", "ParNode#3")).count() == 2)
+  }
+
   test("bulk upserts: entities insert-if-absent, edges adopt on re-assert") {
     val g = fresh()
     val nodesBefore = g.store.load("nodes").count()
