@@ -117,6 +117,47 @@ object Bench {
     math.min(s1, s2)
   }
 
+  /** Probe-cost vs signature-width evidence (the 100 TB scale path): the
+    * SAME replicated embedding corpus and query set probed at LSH widths
+    * 8/16/24 — candidates scored per query shrink ~2× per added plane
+    * (the fraction of the corpus a probe reads), and multi-probe at the
+    * wider signature buys recall back at a measured candidate cost.
+    * Returns a JSON fragment: per-width mean candidates/query + probe
+    * seconds, plus the width-16 nProbe=1-vs-4 candidate counts.
+    */
+  def annWidthSweep(spark: SparkSession, sfDir: String, scale: Int): String = {
+    val base = T.load(spark, sfDir, "embeddings")
+    val corpus = (0 until scale)
+      .map(i => base.select((col("vec_id") + lit(i * 2_000_000L)).as("id"), col("embedding").as("v")))
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    val n = corpus.count()
+    val queries = base
+      .limit(16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .localCheckpoint()
+    val nq = queries.count()
+    def candCount(w: Int, probes: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val c = corpus
+        .withColumn("sig", sim.Ann.signatureCol(col("v"), w))
+        .join(
+          broadcast(queries.select(explode(sim.Ann.probeSignaturesCol(col("qv"), w, probes)).as("sig"))),
+          Seq("sig"),
+        )
+        .count()
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+    val widths = Seq(8, 16, 24).map { w =>
+      val (c, sec) = candCount(w, 1)
+      s""""$w":{"cand_per_query":${c / math.max(1L, nq)},"sec":$sec}"""
+    }
+    val (c1, _) = candCount(16, 1)
+    val (c4, _) = candCount(16, 4)
+    s"""{"corpus":$n,"queries":$nq,"widths":{${widths.mkString(",")}},""" +
+      s""""multiprobe_w16":{"nprobe1_cand":$c1,"nprobe4_cand":$c4}}"""
+  }
+
   /** Host-speed calibration: a FIXED reference workload timed at bench
     * start — (st) one core hashing 2M strings, (mt) an all-cores Spark
     * aggregate over 200M longs (exercises memory bandwidth, the resource
@@ -227,6 +268,9 @@ object Bench {
     results("inc_batch_small_corpus") = incSmall
     results("inc_batch_big_corpus") = incBig
 
+    // signature-width probe-cost sweep (scale-path evidence; detail only)
+    val annSweep = annWidthSweep(spark, sfDir, math.max(scale, 32))
+
     // second calibration at run END: this VM's throughput can collapse
     // MID-RUN (measured 3-4× within one bench); start/end probes bound
     // the host state each phase actually saw
@@ -276,6 +320,7 @@ object Bench {
         s""""pages_per_sec":$pagesPerSec,"triples_per_sec":$triplesPerSec,"scale":$scale},""" +
         s""""incremental":{"batch_pages":100,"batch_reps":2,"small_corpus_sec":$incSmall,"big_corpus_sec":$incBig,""" +
         s""""big_over_small":${incBig / incSmall},"corpus_ratio":$scale},""" +
+        s""""ann_width_sweep":$annSweep,""" +
         s""""calib":{"st_sec":$calibSt,"mt_sec":$calibMt,"st_sec_end":$calibSt2,"mt_sec_end":$calibMt2}}"""
     try Files.write(java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }

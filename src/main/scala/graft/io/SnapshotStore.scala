@@ -170,12 +170,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         val dirs = m.buckets.toSeq.sortBy(_._1).map { case (b, (v, _)) =>
           tableDir(table).resolve(s"v=$v").resolve(s"__bucket=$b").toString
         }
-        // mergeSchema: a keyed merge may WIDEN the schema (e.g. a point
+        // mergeSchema only when the manifest records heterogeneous bucket
+        // schemas: a keyed merge may WIDEN the schema (e.g. a point
         // mutation adding a flag column) — its rewritten buckets then carry
         // more columns than the carried ones, and the default
-        // first-file-wins parquet schema would silently drop the new column
+        // first-file-wins parquet schema would silently drop the new
+        // column. The uniform-schema common case skips the footer sweep.
         val base =
-          if (dirs.nonEmpty) spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+          if (dirs.nonEmpty) bucketRead(m).parquet(dirs: _*)
           else if (m.deltas.nonEmpty) spark.read.parquet(deltaUpdatesDir(table, m.deltas.head._1).toString).limit(0)
           else spark.emptyDataFrame
         applyDeltas(table, m, base)
@@ -228,8 +230,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         else {
           val base =
             if (dirs.isEmpty) spark.read.parquet(deltaUpdatesDir(table, m.deltas.head._1).toString).limit(0)
-            // mergeSchema: probed buckets may span a schema-widening merge
-            else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+            // mergeSchema only when bucket schemas are heterogeneous
+            else bucketRead(m).parquet(dirs: _*)
           // delta chain applies by the MATCH key before the probe filter
           // (the chain is small — bounded by compaction)
           applyDeltas(table, m, base)
@@ -386,7 +388,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         dk.select(key.map(col): _*).distinct().coalesce(1)
           .write.mode("overwrite").parquet(deltaDeletesDir(table, next).toString)
       }
-      val manifest = Manifest(numBuckets, m.buckets, m.deltas :+ (next -> updRows), key, bCols)
+      // bucket dirs unchanged by a delta append → schema flags carried
+      val manifest = Manifest(numBuckets, m.buckets, m.deltas :+ (next -> updRows), key, bCols, m.cols, m.mixed)
       Files.write(dir.resolve("_manifest.json"), manifestJson(manifest).getBytes(StandardCharsets.UTF_8))
       val commitJson =
         s"""{"version":$next,"message":${jstr(message)},"fingerprint":${jstr(fingerprint)},
@@ -420,8 +423,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
             case (b, (v, _)) if affected.contains(b) =>
               tableDir(table).resolve(s"v=$v").resolve(s"__bucket=$b").toString
           }.toSeq
-          // mergeSchema: affected buckets may span a schema-widening merge
-          if (dirs.isEmpty) None else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+          // mergeSchema only when bucket schemas are heterogeneous
+          if (dirs.isEmpty) None else Some(bucketRead(m).parquet(dirs: _*))
         }
 
     val keptOld = oldAffected.map { old =>
@@ -477,7 +480,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val carried: Map[Int, (Int, Long)] =
       if (legacyAll) Map.empty
       else prevManifest.map(_.buckets.filterNot { case (b, _) => affected.contains(b) }).getOrElse(Map.empty)
-    val manifest = Manifest(numBuckets, carried ++ writtenCounts, bucketBy = bCols)
+    // heterogeneous-schema tracking: a write that carries old buckets
+    // alongside a WIDER (or narrower) new schema leaves the table mixed
+    // until the next full fold; mixed tables read with parquet mergeSchema
+    val newCols = merged.drop("__bucket").columns.toSeq
+    val mixedNow =
+      carried.nonEmpty &&
+        prevManifest.exists(p => p.mixed || p.cols.isEmpty || p.cols.toSet != newCols.toSet)
+    val manifest = Manifest(numBuckets, carried ++ writtenCounts, bucketBy = bCols, cols = newCols, mixed = mixedNow)
     Files.write(
       dir.resolve("_manifest.json"),
       manifestJson(manifest).getBytes(StandardCharsets.UTF_8),
@@ -498,6 +508,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     */
   val MaxDeltaChain = 8
 
+  /** Parquet reader for a manifest's bucket dirs: schema-merging ONLY when
+    * the manifest records heterogeneous bucket schemas (mixed) — the
+    * footer sweep is wasted work in the uniform common case, and it ran on
+    * every index probe.
+    */
+  private def bucketRead(m: Manifest) =
+    if (m.mixed) spark.read.option("mergeSchema", "true") else spark.read
+
   /** buckets: bucket → (version that owns its files, row count);
     * deltas: merge-on-read chain in version order (version, update rows);
     * deltaKey: the match key the chain's replacements apply by.
@@ -512,6 +530,12 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       // buckets, leaving stale same-key rows behind). Nil = unknown
       // (pre-upgrade manifests) = treated compatible.
       bucketBy: Seq[String] = Nil,
+      // column names of the newest bucket write; `mixed` = live bucket
+      // dirs may differ from it (schema-widening merge with carried
+      // buckets) → reads need parquet mergeSchema. Pre-upgrade manifests
+      // (cols empty) are treated as mixed (safe).
+      cols: Seq[String] = Nil,
+      mixed: Boolean = true,
   )
 
   private def manifestJson(m: Manifest): String = {
@@ -519,7 +543,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val deltas = m.deltas.map { case (v, n) => s"[$v,$n]" }.mkString(",")
     val dkey = m.deltaKey.map(jstr).mkString(",")
     val bby = m.bucketBy.map(jstr).mkString(",")
-    s"""{"num_buckets":${m.numBuckets},"bucket_by":[$bby],"delta_key":[$dkey],"deltas":[$deltas],"buckets":{$entries}}"""
+    val cols = m.cols.map(jstr).mkString(",")
+    val mixed = if (m.mixed) 1 else 0
+    s"""{"num_buckets":${m.numBuckets},"mixed":$mixed,"cols":[$cols],"bucket_by":[$bby],"delta_key":[$dkey],"deltas":[$deltas],"buckets":{$entries}}"""
   }
 
   private def readManifest(table: String, version: Int): Option[Manifest] = {
@@ -549,7 +575,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
           val arr = seg.substring(seg.indexOf('['), seg.indexOf(']') + 1)
           """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(_.group(1)).toSeq
       }
-      Some(Manifest(nb, entries, deltas, strArr("delta_key"), strArr("bucket_by")))
+      val cols = strArr("cols")
+      // absent flag (pre-upgrade manifest) → mixed (safe: mergeSchema)
+      val mixed = """"mixed":(\d)""".r.findFirstMatchIn(head).map(_.group(1) == "1").getOrElse(true)
+      Some(Manifest(nb, entries, deltas, strArr("delta_key"), strArr("bucket_by"), cols, mixed))
     }
   }
 

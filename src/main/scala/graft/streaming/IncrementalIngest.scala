@@ -45,6 +45,13 @@ object IncrementalIngest {
     r
   }
 
+  /** manual_invalid_at rides along so explicit invalidate_edges() calls
+    * survive group rebuilds (the window pass never overwrites it).
+    */
+  private def withManualCol(df: DataFrame): DataFrame =
+    if (df.columns.contains("manual_invalid_at")) df
+    else df.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
+
   /** One-time index bootstrap for stores created by the BULK pipeline
     * before these indexes existed (KgPipeline now commits them itself).
     * Must run BEFORE the batch's rows are merged, so batch contributions
@@ -167,48 +174,93 @@ object IncrementalIngest {
     // re-extraction and the text-index refresh (these used to be two
     // identical loadForKeys jobs); checkpointed so the concurrent stage-A
     // episodes merge below cannot change what the refresh reads
-    val priorEpisodes =
-      if (store.exists("episodes"))
-        store
-          .loadForKeys("episodes", episodes.select(col("uuid")), Seq("uuid"))
-          .select(col("uuid"), col("name"), col("content"), col("created_at"))
-          .localCheckpoint()
-      else episodes.select(col("uuid"), col("name"), col("content"), col("created_at")).limit(0)
-    val oldPages =
-      priorEpisodes.select(col("name").as("url"), col("content").as("text"), col("created_at").as("warc_ts"))
-    val oldTriples = Extract
-      .excludeTypes(Extract.triplesTs(spark, oldPages), excludedEntityTypes)
-      .withColumn("group_id", lit(gid))
-      .localCheckpoint()
-    val reIngest = !oldTriples.isEmpty
+    // two independent materialization chains — (stored-episode probe →
+    // prior-fact re-extraction) and (batch extraction → surfaces) — run as
+    // concurrent jobs: each is a string of small checkpoints whose cost is
+    // mostly fixed job latency, so overlapping them halves the pre-merge
+    // constant of a steady micro-batch
+    var priorEpisodes: DataFrame = null
+    var oldTriples: DataFrame = null
+    var reIngest = false
+    var triples: DataFrame = null
+    var surfaces: DataFrame = null
+    timed("probe+extract") {
+      graft.io.Concurrent.runAll(Seq(
+        () => {
+          priorEpisodes =
+            if (store.exists("episodes"))
+              store
+                .loadForKeys("episodes", episodes.select(col("uuid")), Seq("uuid"))
+                .select(col("uuid"), col("name"), col("content"), col("created_at"))
+                .localCheckpoint()
+            else episodes.select(col("uuid"), col("name"), col("content"), col("created_at")).limit(0)
+          val oldPages =
+            priorEpisodes.select(col("name").as("url"), col("content").as("text"), col("created_at").as("warc_ts"))
+          oldTriples = Extract
+            .excludeTypes(Extract.triplesTs(spark, oldPages), excludedEntityTypes)
+            .withColumn("group_id", lit(gid))
+            .localCheckpoint()
+          reIngest = !oldTriples.isEmpty
+        },
+        () => {
+          // raw triples for the new pages (single extraction pass,
+          // materialized once — reused by surfaces / stats / edges below)
+          triples = Extract
+            .excludeTypes(Extract.triplesTs(spark, withText), excludedEntityTypes)
+            .withColumn("group_id", lit(gid))
+            .localCheckpoint()
+          surfaces = Extract
+            .entityNodes(
+              triples
+                .select(col("subj").as("name"))
+                .unionByName(triples.select(col("obj").as("name")))
+                .distinct(),
+              gid,
+            )
+            .localCheckpoint()
+        },
+      ))
+    }
 
     val oldEpisodeDocs =
       if (store.exists("episodes_postings"))
         priorEpisodes.select(col("uuid").as("id"), col("content").as("text"))
       else episodes.select(col("uuid").as("id"), col("content").as("text")).limit(0)
-    // raw triples for the new pages (single extraction pass, materialized
-    // once — reused by surfaces / stats / edges below)
-    val triples = Extract
-      .excludeTypes(Extract.triplesTs(spark, withText), excludedEntityTypes)
-      .withColumn("group_id", lit(gid))
-      .localCheckpoint()
     // facts the re-ingested pages RETRACTED (asserted before, not now)
     val retractedTriples =
       if (reIngest)
         oldTriples.join(triples, Seq("group_id", "url", "subj", "pred", "obj"), "left_anti").localCheckpoint()
       else oldTriples
-
-    // new surfaces (batch-sized)
-    val surfaces = Extract
-      .entityNodes(
-        triples
-          .select(col("subj").as("name"))
-          .unionByName(triples.select(col("obj").as("name")))
-          .distinct(),
-        gid,
-      )
-      .localCheckpoint()
     val newBlocks = Linking.blockingKeys(surfaces)
+
+    // ---- speculative edges probe: the contention groups keyed by the
+    // batch's PRE-remap facts depend only on extraction, not on linking —
+    // probe them on a side thread while stage-A and linking run (the edges
+    // table is not written until stage-B). mergeEdges unions in the
+    // (usually empty) remap/retraction extras. ~1.5 s of the old critical
+    // path now rides in linking's shadow.
+    val newRawBase = triples.select(
+      md5(concat(lit(s"en|$gid|"), col("subj"))).as("source_uuid"),
+      col("pred").as("name"),
+      md5(concat(lit(s"en|$gid|"), col("obj"))).as("target_uuid"),
+      col("fact"),
+      lit(gid).as("group_id"),
+      col("warc_ts").as("valid_at"),
+      col("warc_ts").as("created_at"),
+      array(md5(concat(lit(s"ep|$gid|"), col("url")))).as("episodes"),
+    )
+    var earlyKeys: DataFrame = null
+    var earlyStored: DataFrame = null
+    val earlyPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val earlyProbe = earlyPool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        earlyKeys = newRawBase.select(GroupKey.map(col): _*).distinct().localCheckpoint()
+        earlyStored =
+          if (store.exists("edges"))
+            withManualCol(store.loadForKeys("edges", earlyKeys, GroupKey)).localCheckpoint()
+          else null
+      }
+    })
 
     // ---- stage-A writes: five DISJOINT output tables whose inputs are
     // all checkpointed (or, for oldEpisodeDocs, pinned to version dirs at
@@ -249,6 +301,137 @@ object IncrementalIngest {
     }
     if (compactEpisodes.get()) timed("compact episodes idx")(graft.search.SearchIndexes.compactText(store, "episodes"))
 
+    def canonicalNow(df: DataFrame, uuidCol: String): DataFrame =
+      IncrementalIngest.canonicalNow(store, df, uuidCol)
+
+    // ---- canonical nodes: decomposable stats (min/min/sum) combine batch
+    // partials with the stored rows of affected canonicals only. Packaged
+    // as a function so the COMMON steady batch (no duplicate pairs, no
+    // re-ingest, no touched components) can run it SPECULATIVELY under an
+    // identity remap, concurrent with linking — the same
+    // compute-in-the-shadow trick as the bulk pipeline's edges_pre — and
+    // adopt the result unchanged when linking indeed found nothing.
+    // (combined, statKeys, rebuiltNodes, nodeDelKeys, oldNodeDocs)
+    def statsChain(
+        remapMapF: DataFrame,
+        deltaF: DataFrame,
+        affCanonF: DataFrame,
+        ccF: DataFrame,
+        withNeg: Boolean,
+    ): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val partial = triples
+        .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+        .withColumn("uuid", md5(concat(lit(s"en|$gid|"), col("name"))))
+        .join(broadcast(remapMapF), Seq("uuid"), "left")
+        .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
+        .groupBy(col("cuuid"))
+        .agg(
+          min(col("fact")).as("summary"),
+          min(col("warc_ts")).as("created_at"),
+          count(lit(1)).as("mention_count"),
+        )
+      // re-ingested pages: SUBTRACT the prior contributions of their old
+      // mentions (counts are decomposable; summary/created_at are mins,
+      // which nulls leave untouched — created_at keeps the earliest-ever
+      // assertion, matching the reference's immutable node created_at; a
+      // retracted lexicographic-min summary can persist until a rebuild)
+      val negPartial =
+        if (!withNeg) partial.limit(0)
+        else
+          canonicalNow(
+            oldTriples
+              .select(explode(array(col("subj"), col("obj"))).as("name"))
+              .withColumn("cuuid", md5(concat(lit(s"en|$gid|"), col("name")))),
+            "cuuid",
+          )
+            .groupBy(col("cuuid"))
+            .agg((-count(lit(1))).as("mention_count"))
+            .withColumn("summary", lit(null).cast("string"))
+            .withColumn("created_at", lit(null).cast("timestamp"))
+            .select(col("cuuid"), col("summary"), col("created_at"), col("mention_count"))
+      // affCanon misses a member that was never in uuid_map (no prior
+      // duplicates) yet loses canonical status this batch — its stats row
+      // is keyed by its OWN uuid, so the moved members (delta.uuid) must
+      // also be probed (and deleted) or their counts silently drop out
+      val statKeys = timed("stat keys") { partial
+        .select(col("cuuid"))
+        .unionByName(negPartial.select(col("cuuid")))
+        .unionByName(affCanonF.select(col("canonical").as("cuuid")))
+        .unionByName(deltaF.select(col("uuid").as("cuuid")))
+        .distinct()
+        .localCheckpoint()
+      }
+      val existingStats =
+        if (store.exists("node_stats"))
+          store
+            .loadForKeys("node_stats", statKeys, Seq("cuuid"))
+            // re-key rows whose canonical moved (component merge)
+            .join(broadcast(deltaF.withColumnRenamed("uuid", "cuuid").withColumnRenamed("canonical", "new_c")), Seq("cuuid"), "left")
+            .withColumn("cuuid", coalesce(col("new_c"), col("cuuid")))
+            .drop("new_c")
+        else partial.limit(0)
+      val combinedAll = timed("stats combine") { existingStats
+        .unionByName(partial)
+        .unionByName(negPartial)
+        .groupBy(col("cuuid"))
+        .agg(
+          min(col("summary")).as("summary"),
+          min(col("created_at")).as("created_at"),
+          sum(col("mention_count")).as("mention_count"),
+        )
+        .localCheckpoint()
+      }
+      // an entity whose every mention was retracted leaves the stats AND
+      // the nodes table (a bulk rebuild over the final corpus would never
+      // have created it); deletion rides deleteKeys = statKeys/nodeDelKeys
+      val combined = combinedAll.filter(col("mention_count") > 0)
+      val goneStats = combinedAll.filter(col("mention_count") <= 0).select(col("cuuid"))
+      // rebuild node rows ONLY for canonicals whose stats or membership
+      // changed; members that stopped being canonical are deleted
+      val rebuiltNodes = store
+        .loadForKeys("nodes_raw", combined.select(col("cuuid").as("uuid")), Seq("uuid"))
+        .join(combined, col("uuid") === col("cuuid"), "inner")
+        .select(
+          col("uuid"),
+          col("name"),
+          col("group_id"),
+          array(col("label")).as("labels"),
+          col("created_at"),
+          col("name_embedding"),
+          coalesce(col("summary"), col("name")).as("summary"),
+          map(
+            lit("entity_type"), col("label"),
+            lit("mention_count"), coalesce(col("mention_count"), lit(0L)).cast("string"),
+          ).as("attributes"),
+        )
+      val nodeDelKeys = ccF.select(col("uuid")).unionByName(goneStats.select(col("cuuid").as("uuid")))
+      val oldNodeDocs = timed("node docs probe") {
+        if (store.exists("nodes") && store.exists("nodes_postings"))
+          store
+            .loadForKeys("nodes", nodeDelKeys.unionByName(combined.select(col("cuuid").as("uuid"))).distinct(), Seq("uuid"))
+            .select(col("uuid").as("id"), col("name").as("text"))
+            .localCheckpoint()
+        else rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")).limit(0)
+      }
+      (combined, statKeys, rebuiltNodes, nodeDelKeys, oldNodeDocs)
+    }
+
+    // speculative run of the chain (identity remap, no retraction side):
+    // overlaps linking; reads only checkpointed batch frames + tables
+    // stage-A already merged (nodes_raw) or stage-B will write later
+    // (node_stats / nodes — snapshot-isolated reads). Skipped on
+    // re-ingests (their negative partials make the chains differ).
+    val specPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val specStats: java.util.concurrent.Future[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] =
+      if (reIngest) null
+      else
+        specPool.submit(new java.util.concurrent.Callable[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] {
+          def call(): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+            val e = Seq.empty[(String, String)].toDF("uuid", "canonical")
+            statsChain(e, e, e, e, withNeg = false)
+          }
+        })
+
     // ---- incremental linking: candidates = nodes sharing a blocking key
     // with the batch (node_blocks index probe); components = CC over
     // (new pairs ∪ the existing components they touch) ----
@@ -268,7 +451,7 @@ object IncrementalIngest {
     // existing components touched by the new pairs (probe by member uuid,
     // then fetch whole components by canonical); the by_uuid probe copy may
     // not exist yet if the bulk map was empty — fall back to the plain map
-    val affCanon =
+    val affCanon = timed("affCanon probe") {
       (if (store.exists("uuid_map_by_uuid"))
          store.loadForKeys("uuid_map_by_uuid", pairNodes, Seq("uuid"))
        else if (hasMap)
@@ -277,17 +460,25 @@ object IncrementalIngest {
         .select(col("canonical"))
         .distinct()
         .localCheckpoint()
+    }
     val oldMapAff =
       if (hasMap) store.loadForKeys("uuid_map", affCanon, Seq("canonical")).select(col("uuid"), col("canonical"))
       else Seq.empty[(String, String)].toDF("uuid", "canonical")
-    val cc = graft.graph.GraphOps
-      .connectedComponents(
-        pairs
-          .select(col("u1").as("src"), col("u2").as("dst"))
-          .unionByName(oldMapAff.select(col("uuid").as("src"), col("canonical").as("dst"))),
-      )
-      .select(col("node").as("uuid"), col("component").as("canonical"))
-      .localCheckpoint()
+    val cc = timed("cc") {
+      // the common steady batch finds NO duplicate pairs and touches no
+      // existing component — skip the superstep loop outright
+      if (pairs.isEmpty && affCanon.isEmpty)
+        Seq.empty[(String, String)].toDF("uuid", "canonical").localCheckpoint()
+      else
+        graft.graph.GraphOps
+          .connectedComponents(
+            pairs
+              .select(col("u1").as("src"), col("u2").as("dst"))
+              .unionByName(oldMapAff.select(col("uuid").as("src"), col("canonical").as("dst"))),
+          )
+          .select(col("node").as("uuid"), col("component").as("canonical"))
+          .localCheckpoint()
+    }
     timed("uuid_map merges") {
       // two bucketed copies of the same (checkpointed) map → concurrent
       graft.io.Concurrent.runAll(Seq(
@@ -299,111 +490,26 @@ object IncrementalIngest {
     // the remap DELTA: entries whose canonical changed this batch, plus the
     // batch's own surface entries — small and broadcastable (the full map
     // is never loaded)
-    val delta = cc
+    val delta = timed("remap delta") { cc
       .join(oldMapAff.withColumnRenamed("canonical", "old_c"), Seq("uuid"), "left")
       .withColumn("old_c", coalesce(col("old_c"), col("uuid")))
       .filter(col("canonical") =!= col("old_c"))
       .select(col("uuid"), col("canonical"))
       .localCheckpoint()
+    }
     val batchEntries = cc.join(surfaces.select(col("uuid")), Seq("uuid"), "left_semi")
-    val remapMap = delta.unionByName(batchEntries).distinct().localCheckpoint()
+    val remapMap = timed("remap map")(delta.unionByName(batchEntries).distinct().localCheckpoint())
 
-    def canonicalNow(df: DataFrame, uuidCol: String): DataFrame =
-      IncrementalIngest.canonicalNow(store, df, uuidCol)
-
-    // ---- canonical nodes: decomposable stats (min/min/sum) combine batch
-    // partials with the stored rows of affected canonicals only ----
-    val partial = triples
-      .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
-      .withColumn("uuid", md5(concat(lit(s"en|$gid|"), col("name"))))
-      .join(broadcast(remapMap), Seq("uuid"), "left")
-      .withColumn("cuuid", coalesce(col("canonical"), col("uuid")))
-      .groupBy(col("cuuid"))
-      .agg(
-        min(col("fact")).as("summary"),
-        min(col("warc_ts")).as("created_at"),
-        count(lit(1)).as("mention_count"),
-      )
-    // re-ingested pages: SUBTRACT the prior contributions of their old
-    // mentions (counts are decomposable; summary/created_at are mins,
-    // which nulls leave untouched — created_at keeps the earliest-ever
-    // assertion, matching the reference's immutable node created_at; a
-    // retracted lexicographic-min summary can persist until a full rebuild)
-    val negPartial =
-      if (!reIngest) partial.limit(0)
-      else
-        canonicalNow(
-          oldTriples
-            .select(explode(array(col("subj"), col("obj"))).as("name"))
-            .withColumn("cuuid", md5(concat(lit(s"en|$gid|"), col("name")))),
-          "cuuid",
-        )
-          .groupBy(col("cuuid"))
-          .agg((-count(lit(1))).as("mention_count"))
-          .withColumn("summary", lit(null).cast("string"))
-          .withColumn("created_at", lit(null).cast("timestamp"))
-          .select(col("cuuid"), col("summary"), col("created_at"), col("mention_count"))
-    // affCanon misses a member that was never in uuid_map (no prior
-    // duplicates) yet loses canonical status this batch — its stats row is
-    // keyed by its OWN uuid, so the moved members (delta.uuid) must also be
-    // probed (and deleted) or their counts silently drop out of the merge
-    val statKeys = partial
-      .select(col("cuuid"))
-      .unionByName(negPartial.select(col("cuuid")))
-      .unionByName(affCanon.select(col("canonical").as("cuuid")))
-      .unionByName(delta.select(col("uuid").as("cuuid")))
-      .distinct()
-      .localCheckpoint()
-    val existingStats =
-      if (store.exists("node_stats"))
-        store
-          .loadForKeys("node_stats", statKeys, Seq("cuuid"))
-          // re-key rows whose canonical moved (component merge)
-          .join(broadcast(delta.withColumnRenamed("uuid", "cuuid").withColumnRenamed("canonical", "new_c")), Seq("cuuid"), "left")
-          .withColumn("cuuid", coalesce(col("new_c"), col("cuuid")))
-          .drop("new_c")
-      else partial.limit(0)
-    val combinedAll = existingStats
-      .unionByName(partial)
-      .unionByName(negPartial)
-      .groupBy(col("cuuid"))
-      .agg(
-        min(col("summary")).as("summary"),
-        min(col("created_at")).as("created_at"),
-        sum(col("mention_count")).as("mention_count"),
-      )
-      .localCheckpoint()
-    // an entity whose every mention was retracted leaves the stats AND the
-    // nodes table (a bulk rebuild over the final corpus would never have
-    // created it); deletion rides deleteKeys = statKeys / nodeDelKeys
-    val combined = combinedAll.filter(col("mention_count") > 0)
-    val goneStats = combinedAll.filter(col("mention_count") <= 0).select(col("cuuid"))
-    // rebuild node rows ONLY for canonicals whose stats or membership
-    // changed; members that stopped being canonical are deleted
-    val rebuiltNodes = store
-      .loadForKeys("nodes_raw", combined.select(col("cuuid").as("uuid")), Seq("uuid"))
-      .join(combined, col("uuid") === col("cuuid"), "inner")
-      .select(
-        col("uuid"),
-        col("name"),
-        col("group_id"),
-        array(col("label")).as("labels"),
-        col("created_at"),
-        col("name_embedding"),
-        coalesce(col("summary"), col("name")).as("summary"),
-        map(
-          lit("entity_type"), col("label"),
-          lit("mention_count"), coalesce(col("mention_count"), lit(0L)).cast("string"),
-        ).as("attributes"),
-      )
-    val nodeDelKeys = cc.select(col("uuid")).unionByName(goneStats.select(col("cuuid").as("uuid")))
-    val oldNodeDocs =
-      if (store.exists("nodes") && store.exists("nodes_postings"))
-        store
-          .loadForKeys("nodes", nodeDelKeys.unionByName(combined.select(col("cuuid").as("uuid"))).distinct(), Seq("uuid"))
-          .select(col("uuid").as("id"), col("name").as("text"))
-          .localCheckpoint()
-      else rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")).limit(0)
+    // adopt the speculative run iff linking found NOTHING (cc empty ⟺
+    // pairs ∪ affCanon empty ⟹ delta/remapMap empty — exactly the frames
+    // the speculative run used)
+    val specValid = specStats != null && pairs.isEmpty && affCanon.isEmpty
+    val (combined, statKeys, rebuiltNodes, nodeDelKeys, oldNodeDocs) = timed("stats chain") {
+      val specRes = if (specStats != null) specStats.get() else null
+      specPool.shutdown()
+      if (specValid) specRes
+      else statsChain(remapMap, delta, affCanon, cc, reIngest)
+    }
 
     val mentionRows = triples
       .select(col("url"), explode(array(col("subj"), col("obj"))).as("name"))
@@ -437,16 +543,6 @@ object IncrementalIngest {
         )
 
     // ---- edges: rebuild only affected contention groups ----
-    val newRawBase = triples.select(
-      md5(concat(lit(s"en|$gid|"), col("subj"))).as("source_uuid"),
-      col("pred").as("name"),
-      md5(concat(lit(s"en|$gid|"), col("obj"))).as("target_uuid"),
-      col("fact"),
-      lit(gid).as("group_id"),
-      col("warc_ts").as("valid_at"),
-      col("warc_ts").as("created_at"),
-      array(md5(concat(lit(s"ep|$gid|"), col("url")))).as("episodes"),
-    )
     // a batch of entirely-new unique surfaces has an empty remap map
     // (checkpointed above) — the two canonical joins are identity then
     val newRaw =
@@ -476,6 +572,8 @@ object IncrementalIngest {
     // deadlock). The two episodic_edges merges stay ORDERED inside one
     // task: oldMentionKeys' delete keys are canonical-NOW, which is only
     // what the stored rows hold after the remap pass re-keys them.
+    // join the speculative edges probe (it raced stage-A + linking)
+    timed("early probe join") { try earlyProbe.get() finally earlyPool.shutdown() }
     var rebuilt: DataFrame = null
     timed("stage-B merges") {
       graft.io.Concurrent.runAll(Seq(
@@ -521,29 +619,22 @@ object IncrementalIngest {
           )
           ()
         },
-        () => { rebuilt = mergeEdges(store, newRaw, batchId, delta, retractedKeyed, gid); () },
+        () => {
+          rebuilt = mergeEdges(
+            store, newRaw, batchId, delta, retractedKeyed, gid,
+            preKeys = earlyKeys, preStored = earlyStored,
+            // entity_edges rows for every episode cited by replaced/
+            // rebuilt edges are patched inside mergeEdges; batch episodes
+            // that produced no edges still need an explicit (empty) row —
+            // folding them into the same patch replaces what used to be a
+            // separate probe + merge after the stage group
+            ensureEpisodes = episodes.select(col("uuid")),
+          )
+          ()
+        },
       ))
     }
     if (compactNodes.get()) timed("compact nodes idx")(graft.search.SearchIndexes.compactText(store, "nodes"))
-
-    // entity_edges rows for every episode cited by replaced/rebuilt edges
-    // are patched inside mergeEdges (uuid changes from remaps/retractions
-    // propagate to NON-batch supporting episodes too). Here: only ensure
-    // batch episodes that produced no edges at all still get an explicit
-    // empty row (a re-ingest must overwrite any stale list).
-    timed("entity_edges backfill") {
-      val batchEpUuids = episodes.select(col("uuid"))
-      val present =
-        if (store.exists("episode_entity_edges"))
-          store.loadForKeys("episode_entity_edges", batchEpUuids, Seq("uuid")).select(col("uuid"))
-        else batchEpUuids.limit(0)
-      val cited = rebuilt.select(explode(col("episodes")).as("uuid")).distinct()
-      val missing = batchEpUuids
-        .join(present, Seq("uuid"), "left_anti")
-        .join(cited, Seq("uuid"), "left_anti")
-        .withColumn("entity_edges", array().cast("array<string>"))
-      store.mergeBucketed("episode_entity_edges", missing, Seq("uuid"), s"incremental batch=$batchId entity_edges empties")
-    }
   }
 
   /** Canonical-NOW rewrite of a uuid column: bucketed probe of the
@@ -576,6 +667,15 @@ object IncrementalIngest {
       remapDelta: DataFrame = null,
       retracted: DataFrame = null,
       groupId: String = "default",
+      // speculative probe results from ingestBatch (the batch's PRE-remap
+      // contention groups, probed concurrently with linking): remap /
+      // retraction extras are unioned in below. Both null on the
+      // standalone (add_triplet) path.
+      preKeys: DataFrame = null,
+      preStored: DataFrame = null,
+      // episode uuids that must end up with an entity_edges row even when
+      // the batch produced no edges for them (folded into the patch task)
+      ensureEpisodes: DataFrame = null,
   ): DataFrame = {
     val spark = newRaw.sparkSession
     import spark.implicits._
@@ -592,12 +692,15 @@ object IncrementalIngest {
     // survive group rebuilds (the window pass never overwrites it)
     val rebuildCols =
       Seq("group_id", "source_uuid", "name", "target_uuid", "fact", "valid_at", "created_at", "episodes", "manual_invalid_at")
-    def withManual(df: DataFrame): DataFrame =
-      if (df.columns.contains("manual_invalid_at")) df
-      else df.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
+    def withManual(df: DataFrame): DataFrame = withManualCol(df)
     val newRawM = withManual(newRaw)
 
-    val batchKeys = newRaw.select(GroupKey.map(col): _*).distinct()
+    // preKeys are the PRE-remap batch keys; a moved endpoint's receiving
+    // group (g, canonical, name) is covered by remapKeys whenever stored
+    // rows exist for it (its endpoint rows are in edge_endpoints), and
+    // needs no probe/delete otherwise — so preKeys ∪ remapKeys ∪
+    // retractKeys covers exactly what the non-speculative form covered
+    val batchKeys = if (preKeys != null) preKeys else newRaw.select(GroupKey.map(col): _*).distinct()
     // groups whose rows the remap touches: probe the endpoint index with
     // the changed uuids AND their new canonicals (the receiving group's
     // own endpoints are unchanged, but its row set must be re-deduped
@@ -618,16 +721,32 @@ object IncrementalIngest {
     val retractKeys =
       if (retracted == null) batchKeys.limit(0)
       else retracted.select(GroupKey.map(col): _*).distinct()
-    val affectedKeys = batchKeys.unionByName(remapKeys).unionByName(retractKeys).distinct().localCheckpoint()
+    // extras beyond the speculative probe — empty for the common steady
+    // batch (no remaps, no retractions), in which case no further probe
+    // or key union runs at all
+    val extraKeys =
+      if (preKeys == null) null
+      else remapKeys.unionByName(retractKeys).distinct().join(batchKeys, GroupKey, "left_anti").localCheckpoint()
+    val affectedKeys = timed("  me:affected keys") {
+      if (extraKeys != null && extraKeys.isEmpty) batchKeys
+      else if (extraKeys != null) batchKeys.unionByName(extraKeys).localCheckpoint()
+      else batchKeys.unionByName(remapKeys).unionByName(retractKeys).distinct().localCheckpoint()
+    }
 
     // PRE-remap stored rows: this is what the search indexes were built
     // from, so delta removal must use these endpoints/keys verbatim.
     // Checkpointed because the frame feeds the rebuild AND four
     // concurrent index refreshes.
-    val existingStored =
-      if (store.exists("edges"))
-        withManual(store.loadForKeys("edges", affectedKeys, GroupKey)).localCheckpoint()
-      else null
+    val existingStored = timed("  me:stored probe") {
+      if (!store.exists("edges")) null
+      else if (preStored != null) {
+        if (extraKeys == null || extraKeys.isEmpty) preStored
+        else
+          preStored
+            .unionByName(withManual(store.loadForKeys("edges", extraKeys, GroupKey)), allowMissingColumns = true)
+            .localCheckpoint()
+      } else withManual(store.loadForKeys("edges", affectedKeys, GroupKey)).localCheckpoint()
+    }
     val affectedExisting =
       if (existingStored == null) null
       else if (deltaEmpty) existingStored
@@ -687,7 +806,7 @@ object IncrementalIngest {
           .unionByName(newRawM.select(rebuildCols.map(col): _*))
     val toRebuild =
       if (supportRows == null) toRebuildBase else toRebuildBase.unionByName(supportRows)
-    val rebuilt = Invalidation
+    val rebuilt = timed("  me:rebuild") { Invalidation
       .dedupeAndInvalidate(toRebuild)
       .withColumn("fact_embedding", embedUdf(col("fact")))
       .withColumn(
@@ -695,10 +814,10 @@ object IncrementalIngest {
         md5(concat_ws("|", lit("ed"), col("group_id"), col("source_uuid"), col("name"), col("target_uuid"), col("valid_at").cast("string"))),
       )
       .localCheckpoint()
-    store.mergeBucketed(
-      "edges", rebuilt, GroupKey, s"incremental batch=$batchId edges",
-      deleteKeys = Some(affectedKeys),
-    )
+    }
+    // the edges merge writes only `edges`; the index refreshes below read
+    // checkpointed frames and write disjoint index tables — one concurrent
+    // group instead of merge-then-refresh
     // search-index refresh (no-ops unless SearchIndexes were built):
     // replaced facts leave the postings/ANN buckets, rebuilt facts enter.
     // The four refreshes + the endpoint merge write DISJOINT tables over
@@ -711,7 +830,14 @@ object IncrementalIngest {
       if (existingStored == null) rebuilt.limit(0)
       else existingStored
     val tCols = Seq("uuid", "valid_at", "group_id", "source_uuid", "name").map(col)
-    graft.io.Concurrent.runAll(Seq(
+    timed("  me:merge+refreshes")(graft.io.Concurrent.runAll(Seq(
+      () => {
+        store.mergeBucketed(
+          "edges", rebuilt, GroupKey, s"incremental batch=$batchId edges",
+          deleteKeys = Some(affectedKeys),
+        )
+        ()
+      },
       () =>
         graft.search.SearchIndexes.refreshText(
           store, "edges",
@@ -753,7 +879,14 @@ object IncrementalIngest {
       () => {
         val oldByEp = oldRows.select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
         val newByEp = rebuilt.select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
-        val touched = oldByEp.select("uuid").unionByName(newByEp.select("uuid")).distinct()
+        val touched0 = oldByEp.select("uuid").unionByName(newByEp.select("uuid"))
+        // ensure rows exist for the batch's own episodes even when they
+        // produced no edges (re-ingests must overwrite stale lists; fresh
+        // no-edge episodes get explicit empty lists) — previously a
+        // separate post-stage probe + merge
+        val touched =
+          (if (ensureEpisodes != null) touched0.unionByName(ensureEpisodes.select(col("uuid"))) else touched0)
+            .distinct()
         val stored =
           if (store.exists("episode_entity_edges"))
             store
@@ -771,7 +904,7 @@ object IncrementalIngest {
         store.mergeBucketed("episode_entity_edges", rowsOut, Seq("uuid"), s"incremental batch=$batchId entity_edges")
         ()
       },
-    ))
+    )))
     rebuilt
   }
 
