@@ -154,6 +154,46 @@ object Kg {
       """),
     ),
 
+    // ---- entity-type exclusion (extract_nodes(excluded_entity_types),
+    // node_operations.py:74,163-164): the SAME node derivation with
+    // Place excluded — excluded-type entities and the triples referencing
+    // them never enter, so no Place node and no entity whose every fact
+    // referenced one ----
+    QueryDef(
+      "kg_nodes_excluded",
+      (s, dir) => {
+        val t = Extract.excludeTypes(extractAll(s, dir), Seq("Place"))
+        t.select(col("subj").as("name"))
+          .unionByName(t.select(col("obj").as("name")))
+          .distinct()
+          .withColumn(
+            "label",
+            when(col("name").startsWith("Customer#"), lit("Person"))
+              .when(col("name").startsWith("Supplier#"), lit("Organization"))
+              .when(col("name").startsWith("NATION_") || col("name").startsWith("REGION_"), lit("Place"))
+              .otherwise(lit("Entity")),
+          )
+          .orderBy(col("name"))
+      },
+      Some(s"""
+        WITH kept AS (
+          SELECT * FROM ($oracleTriples) t
+          WHERE NOT (subj LIKE 'NATION!_%' ESCAPE '!' OR subj LIKE 'REGION!_%' ESCAPE '!')
+            AND NOT (obj LIKE 'NATION!_%' ESCAPE '!' OR obj LIKE 'REGION!_%' ESCAPE '!')
+        )
+        SELECT name,
+               CASE WHEN name LIKE 'Customer#%' THEN 'Person'
+                    WHEN name LIKE 'Supplier#%' THEN 'Organization'
+                    WHEN name LIKE 'NATION!_%' ESCAPE '!'
+                      OR name LIKE 'REGION!_%' ESCAPE '!' THEN 'Place'
+                    ELSE 'Entity' END AS label
+        FROM (SELECT DISTINCT subj AS name FROM kept a
+              UNION
+              SELECT DISTINCT obj FROM kept b) n
+        ORDER BY name
+      """),
+    ),
+
     // ---- bitemporal edge materialization + contradiction invalidation
     // (resolve_edge_contradictions, edge_operations.py:381-411): per
     // (subj, pred), a newer fact with a different object closes the older
