@@ -49,11 +49,14 @@ object Ann {
     * identical values to the former DataFrame derivation (same md5 parity).
     */
   private def planeCoefs(nPlanes: Int): Array[Array[Double]] =
-    Array.tabulate(nPlanes, 64)((p, i) => if (hash60Odd(s"$p:$i")) 1.0 else -1.0)
+    graft.functions.HyperplaneSignature.planeCoefs(nPlanes)
 
-  /** Column form of the signature: bit p = 1 iff Σᵢ coef(p,i)·vᵢ > 0.
-    * Pure codegen expression (8 zip-aggregates against literal coefficient
-    * arrays) — no explode / join / shuffle per signature.
+  /** Column form of the signature: bit p = 1 iff Σᵢ coef(p,i)·vᵢ > 0 —
+    * the fused native expression ([[graft.functions.HyperplaneSignature]]):
+    * ONE pass over the vector advances every plane accumulator (the
+    * previous composition of nPlanes separate dots read the vector
+    * nPlanes times and cost plan/codegen size ∝ nPlanes), value-identical
+    * bit for bit (AnnSpec parity test vs the composed form).
     *
     * Defined for ANY vector dimension: planes live on the first
     * min(dim, 64) coordinates — 64-dim vectors (`Embedder.Dim`) use the
@@ -63,16 +66,8 @@ object Ann {
     * off-dimension vector into signature 0, turning the LSH index into a
     * single all-corpus bucket and sig-keyed dedup blocks quadratic.
     */
-  def signatureCol(vec: org.apache.spark.sql.Column, nPlanes: Int = 8): org.apache.spark.sql.Column = {
-    val n = least(size(vec), lit(64))
-    val v = slice(vec, lit(1), n)
-    planeCoefs(nPlanes).zipWithIndex.map { case (coefs, p) =>
-      val coefArr = slice(array(coefs.map(lit): _*), lit(1), n)
-      // native codegen'd dot (bit-identical to the HOF aggregate/zip_with
-      // form, same element order) — 8 of these run per vector
-      when(graft.search.Vectors.dot(v, coefArr) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _).cast("int")
-  }
+  def signatureCol(vec: org.apache.spark.sql.Column, nPlanes: Int = 8): org.apache.spark.sql.Column =
+    graft.functions.HyperplaneSignature.sig(vec, nPlanes)
 
   /** n-bit signature of a vector under deterministic hyperplanes. */
   def signature(vecs: DataFrame, idCol: String, vecCol: String, nPlanes: Int = 8): DataFrame =

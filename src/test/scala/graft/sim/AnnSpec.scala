@@ -79,6 +79,41 @@ class AnnSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("fused HyperplaneSignature == the composed per-plane dot form, bit for bit") {
+    import org.apache.spark.sql.functions._
+    // the composed form signatureCol replaced: nPlanes separate codegen
+    // dots against literal coefficient arrays, summed as bits
+    def composedSig(vec: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column = {
+      val n = least(size(vec), lit(64))
+      val v = slice(vec, lit(1), n)
+      graft.functions.HyperplaneSignature.planeCoefs(nPlanes).zipWithIndex.map { case (coefs, p) =>
+        val coefArr = slice(array(coefs.map(lit): _*), lit(1), n)
+        when(graft.search.Vectors.dot(v, coefArr) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int")
+    }
+    // 64-dim, short (17-dim) and long (80-dim) vectors; plus a null vector
+    // and a null element — both must give signature 0 like the composed
+    // null-propagation chain did
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Seq[java.lang.Float])] =
+      (0 until 60).map(i => (i.toLong, vec(i).map(java.lang.Float.valueOf))) ++
+        Seq(
+          (100L, (0 until 17).map(_ => java.lang.Float.valueOf(rnd.nextGaussian().toFloat))),
+          (101L, (0 until 80).map(_ => java.lang.Float.valueOf(rnd.nextGaussian().toFloat))),
+          (102L, null),
+          (103L, Seq(java.lang.Float.valueOf(1f), null, java.lang.Float.valueOf(2f))),
+        )
+    val df = rows.toDF("id", "v")
+    for (w <- Seq(8, 16, 24)) {
+      val got = df
+        .select(col("id"), Ann.signatureCol(col("v"), w).as("a"), composedSig(col("v"), w).as("b"))
+        .collect()
+      got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)} width $w: ${r.getInt(1)} vs ${r.getInt(2)}"))
+      val bad = got.filter(r => r.getLong(0) >= 102L)
+      bad.foreach(r => assert(r.getInt(1) == 0, "null vector / element → signature 0"))
+    }
+  }
+
   test("wider signatures shrink buckets; multi-probe buys recall back") {
     import org.apache.spark.sql.functions._
     val n = 400
