@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, EmbedText, L2Normalize, MinhashSignature, TokenCounts}
+import graft.functions.{DotProduct, EmbedText, HyperplaneSignature, L2Normalize, MinhashSignature, TokenCounts}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -25,6 +25,8 @@ import graft.functions.{DotProduct, EmbedText, L2Normalize, MinhashSignature, To
   *   - `minhash_signature(array<string>, n) → array<bigint>` (n literal)
   *   - `graft_embed(string) → array<float>`
   *   - `graft_token_counts(string) → struct<dl int, counts map<string,int>>`
+  *   - `hyperplane_sig(array<float|double>, n) → int` (n literal — the
+  *     edge_ann LSH signature, single-pass fused planes)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -78,6 +80,20 @@ object GraftExtensions {
               s"minhash_signature: n must be an integer literal, got $other")
         }
         MinhashSignature(a, n)
+      },
+    ),
+    description(
+      "hyperplane_sig",
+      "hyperplane_sig(vec, n) - n-bit hyperplane LSH signature (n a literal int)",
+      2,
+      { case Seq(a, nExpr) =>
+        val n = nExpr match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"hyperplane_sig: n must be an integer literal, got $other")
+        }
+        HyperplaneSignature(a, n)
       },
     ),
     description("graft_embed", "graft_embed(text) - deterministic 64-dim embedding", 1, {

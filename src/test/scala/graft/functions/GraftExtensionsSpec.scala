@@ -28,7 +28,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
                l2_normalize(a) AS l,
                minhash_signature(s, 16) AS m,
                graft_embed(txt) AS e,
-               graft_token_counts(txt) AS tc
+               graft_token_counts(txt) AS tc,
+               hyperplane_sig(a, 16) AS hs
         FROM ext_probe
       """)
       .first()
@@ -41,6 +42,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         MinhashSignature.minhash(col("s"), 16).as("m"),
         Functions.embedText(col("txt")).as("e"),
         Functions.tokenCounts(col("txt")).as("tc"),
+        HyperplaneSignature.sig(col("a"), 16).as("hs"),
       )
       .first()
 
@@ -49,6 +51,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql.getSeq[Long](2) == api.getSeq[Long](2))
     assert(sql.getSeq[Float](3) == api.getSeq[Float](3))
     assert(sql.getStruct(4) == api.getStruct(4))
+    assert(sql.getInt(5) == api.getInt(5))
   }
 
   test("arity and literal checks fail fast") {
