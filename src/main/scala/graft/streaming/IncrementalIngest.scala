@@ -233,73 +233,29 @@ object IncrementalIngest {
       else oldTriples
     val newBlocks = Linking.blockingKeys(surfaces)
 
-    // ---- speculative edges probe: the contention groups keyed by the
-    // batch's PRE-remap facts depend only on extraction, not on linking —
-    // probe them on a side thread while stage-A and linking run (the edges
-    // table is not written until stage-B). mergeEdges unions in the
-    // (usually empty) remap/retraction extras. ~1.5 s of the old critical
-    // path now rides in linking's shadow.
-    val newRawBase = triples.select(
-      md5(concat(lit(s"en|$gid|"), col("subj"))).as("source_uuid"),
-      col("pred").as("name"),
-      md5(concat(lit(s"en|$gid|"), col("obj"))).as("target_uuid"),
-      col("fact"),
-      lit(gid).as("group_id"),
-      col("warc_ts").as("valid_at"),
-      col("warc_ts").as("created_at"),
-      array(md5(concat(lit(s"ep|$gid|"), col("url")))).as("episodes"),
-    )
-    var earlyKeys: DataFrame = null
-    var earlyStored: DataFrame = null
-    val earlyPool = java.util.concurrent.Executors.newSingleThreadExecutor()
-    val earlyProbe = earlyPool.submit(new java.util.concurrent.Callable[Unit] {
-      def call(): Unit = {
-        earlyKeys = newRawBase.select(GroupKey.map(col): _*).distinct().localCheckpoint()
-        earlyStored =
-          if (store.exists("edges"))
-            withManualCol(store.loadForKeys("edges", earlyKeys, GroupKey)).localCheckpoint()
-          else null
+    // ---- incremental linking: candidates = stored nodes sharing a
+    // blocking key with the batch (node_blocks index probe) ∪ the batch's
+    // own surfaces (explicit union — so the probe does NOT need to wait
+    // for stage-A to merge the batch's blocks and can ride a side thread
+    // against the PRE-merge index; either snapshot side of the benign
+    // race yields the same candidate set). The probe READ is the
+    // documented residual ∝ bucket selectivity; overlapping it removes
+    // it from the critical path. ----
+    val candPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val candFut = candPool.submit(new java.util.concurrent.Callable[DataFrame] {
+      def call(): DataFrame = {
+        val touchedKeys = newBlocks.select(col("key")).distinct()
+        val stored =
+          if (store.exists("node_blocks") && store.exists("nodes_raw")) {
+            val candUuids = store
+              .loadForKeys("node_blocks", touchedKeys, Seq("key"))
+              .select(col("uuid"))
+              .distinct()
+            store.loadForKeys("nodes_raw", candUuids, Seq("uuid"))
+          } else surfaces.limit(0)
+        stored.unionByName(surfaces).dropDuplicates("uuid").localCheckpoint()
       }
     })
-
-    // ---- stage-A writes: five DISJOINT output tables whose inputs are
-    // all checkpointed (or, for oldEpisodeDocs, pinned to version dirs at
-    // plan construction) → one concurrent group instead of four serial
-    // commits. Linking below needs nodes_raw and node_blocks merged;
-    // nothing before the edge stage reads raw_triples or the episode
-    // postings, so every batch pays max(merge) here, not sum(merge).
-    // index compactions triggered by a refresh running CONCURRENTLY with
-    // its base table's merge are deferred past the group barrier: the fold
-    // re-reads the base table, which must be at its post-batch version
-    // (an inline rebuild could read the pre-merge snapshot and then clear
-    // the delta log holding the batch's rows — silently losing them)
-    val compactEpisodes = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val compactNodes = new java.util.concurrent.atomic.AtomicBoolean(false)
-    timed("stage-A merges") {
-      graft.io.Concurrent.runAll(Seq(
-        () => { store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes"); () },
-        () =>
-          compactEpisodes.set(graft.search.SearchIndexes.refreshText(
-            store, "episodes", oldEpisodeDocs,
-            episodes.select(col("uuid").as("id"), col("content").as("text")),
-            defer = true,
-          )),
-        // replace semantics per page: facts the new version no longer
-        // asserts are DELETED (the old rows are the delete keys),
-        // re-asserted facts are replaced by the update rows
-        () => {
-          store.mergeBucketed(
-            "raw_triples", triples, Seq("group_id", "url", "subj", "pred", "obj"),
-            s"incremental batch=$batchId triples",
-            deleteKeys = if (reIngest) Some(oldTriples.select("group_id", "url", "subj", "pred", "obj")) else None,
-          )
-          ()
-        },
-        () => { store.mergeBucketed("nodes_raw", surfaces, Seq("uuid"), s"incremental batch=$batchId nodes_raw"); () },
-        () => { store.mergeBucketed("node_blocks", newBlocks, Seq("key", "uuid"), s"incremental batch=$batchId blocks", bucketBy = Seq("key")); () },
-      ))
-    }
-    if (compactEpisodes.get()) timed("compact episodes idx")(graft.search.SearchIndexes.compactText(store, "episodes"))
 
     def canonicalNow(df: DataFrame, uuidCol: String): DataFrame =
       IncrementalIngest.canonicalNow(store, df, uuidCol)
@@ -318,6 +274,14 @@ object IncrementalIngest {
         affCanonF: DataFrame,
         ccF: DataFrame,
         withNeg: Boolean,
+        // where to read the affected canonicals' node rows: the store
+        // probe in general; the in-memory batch `surfaces` frame in the
+        // speculative no-duplicate case (every affected canonical is then
+        // a batch surface, and nodes_raw rows are the deterministic
+        // entityNodes output — identical either way), which removes the
+        // chain's only pre-stage-A table dependency so it can ride a
+        // side thread from the moment extraction lands
+        nodesRawOf: DataFrame => DataFrame,
     ): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
       val partial = triples
         .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
@@ -388,8 +352,7 @@ object IncrementalIngest {
       val goneStats = combinedAll.filter(col("mention_count") <= 0).select(col("cuuid"))
       // rebuild node rows ONLY for canonicals whose stats or membership
       // changed; members that stopped being canonical are deleted
-      val rebuiltNodes = store
-        .loadForKeys("nodes_raw", combined.select(col("cuuid").as("uuid")), Seq("uuid"))
+      val rebuiltNodes = nodesRawOf(combined.select(col("cuuid").as("uuid")))
         .join(combined, col("uuid") === col("cuuid"), "inner")
         .select(
           col("uuid"),
@@ -428,20 +391,83 @@ object IncrementalIngest {
         specPool.submit(new java.util.concurrent.Callable[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] {
           def call(): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
             val e = Seq.empty[(String, String)].toDF("uuid", "canonical")
-            statsChain(e, e, e, e, withNeg = false)
+            statsChain(e, e, e, e, withNeg = false, keys => surfaces.join(keys, Seq("uuid"), "left_semi"))
           }
         })
 
-    // ---- incremental linking: candidates = nodes sharing a blocking key
-    // with the batch (node_blocks index probe); components = CC over
-    // (new pairs ∪ the existing components they touch) ----
-    val touchedKeys = newBlocks.select(col("key")).distinct()
-    val candUuids = store
-      .loadForKeys("node_blocks", touchedKeys, Seq("key"))
-      .select(col("uuid"))
-      .distinct()
-    val candNodes = store.loadForKeys("nodes_raw", candUuids, Seq("uuid"))
+    // ---- speculative edges probe: the contention groups keyed by the
+    // batch's PRE-remap facts depend only on extraction, not on linking —
+    // probe them on a side thread while stage-A and linking run (the edges
+    // table is not written until stage-B). mergeEdges unions in the
+    // (usually empty) remap/retraction extras. ~1.5 s of the old critical
+    // path now rides in linking's shadow.
+    val newRawBase = triples.select(
+      md5(concat(lit(s"en|$gid|"), col("subj"))).as("source_uuid"),
+      col("pred").as("name"),
+      md5(concat(lit(s"en|$gid|"), col("obj"))).as("target_uuid"),
+      col("fact"),
+      lit(gid).as("group_id"),
+      col("warc_ts").as("valid_at"),
+      col("warc_ts").as("created_at"),
+      array(md5(concat(lit(s"ep|$gid|"), col("url")))).as("episodes"),
+    )
+    var earlyKeys: DataFrame = null
+    var earlyStored: DataFrame = null
+    val earlyPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val earlyProbe = earlyPool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        earlyKeys = newRawBase.select(GroupKey.map(col): _*).distinct().localCheckpoint()
+        earlyStored =
+          if (store.exists("edges"))
+            withManualCol(store.loadForKeys("edges", earlyKeys, GroupKey)).localCheckpoint()
+          else null
+      }
+    })
+
+    // ---- stage-A writes: five DISJOINT output tables whose inputs are
+    // all checkpointed (or, for oldEpisodeDocs, pinned to version dirs at
+    // plan construction) → one concurrent group instead of four serial
+    // commits. Linking below needs nodes_raw and node_blocks merged;
+    // nothing before the edge stage reads raw_triples or the episode
+    // postings, so every batch pays max(merge) here, not sum(merge).
+    // index compactions triggered by a refresh running CONCURRENTLY with
+    // its base table's merge are deferred past the group barrier: the fold
+    // re-reads the base table, which must be at its post-batch version
+    // (an inline rebuild could read the pre-merge snapshot and then clear
+    // the delta log holding the batch's rows — silently losing them)
+    val compactEpisodes = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactNodes = new java.util.concurrent.atomic.AtomicBoolean(false)
+    timed("stage-A merges") {
+      graft.io.Concurrent.runAll(Seq(
+        () => { store.mergeBucketed("episodes", episodes, Seq("uuid"), s"incremental batch=$batchId episodes"); () },
+        () =>
+          compactEpisodes.set(graft.search.SearchIndexes.refreshText(
+            store, "episodes", oldEpisodeDocs,
+            episodes.select(col("uuid").as("id"), col("content").as("text")),
+            defer = true,
+          )),
+        // replace semantics per page: facts the new version no longer
+        // asserts are DELETED (the old rows are the delete keys),
+        // re-asserted facts are replaced by the update rows
+        () => {
+          store.mergeBucketed(
+            "raw_triples", triples, Seq("group_id", "url", "subj", "pred", "obj"),
+            s"incremental batch=$batchId triples",
+            deleteKeys = if (reIngest) Some(oldTriples.select("group_id", "url", "subj", "pred", "obj")) else None,
+          )
+          ()
+        },
+        () => { store.mergeBucketed("nodes_raw", surfaces, Seq("uuid"), s"incremental batch=$batchId nodes_raw"); () },
+        () => { store.mergeBucketed("node_blocks", newBlocks, Seq("key", "uuid"), s"incremental batch=$batchId blocks", bucketBy = Seq("key")); () },
+      ))
+    }
+    if (compactEpisodes.get()) timed("compact episodes idx")(graft.search.SearchIndexes.compactText(store, "episodes"))
+
+
+    val candNodes = timed("cand join") { try candFut.get() finally candPool.shutdown() }
     val pairs = timed("linking pairs")(Linking.duplicatePairs(candNodes).localCheckpoint())
+
+
 
     val pairNodes = pairs
       .select(col("u1").as("uuid"))
@@ -508,7 +534,11 @@ object IncrementalIngest {
       val specRes = if (specStats != null) specStats.get() else null
       specPool.shutdown()
       if (specValid) specRes
-      else statsChain(remapMap, delta, affCanon, cc, reIngest)
+      else
+        statsChain(
+          remapMap, delta, affCanon, cc, reIngest,
+          keys => store.loadForKeys("nodes_raw", keys, Seq("uuid")),
+        )
     }
 
     val mentionRows = triples
