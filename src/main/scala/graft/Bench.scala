@@ -148,11 +148,12 @@ object Bench {
         .count()
       (c, (System.nanoTime() - t0) / 1e9)
     }
+    val perWidth = Seq(8, 16, 24).map(w => w -> candCount(w, 1)).toMap
     val widths = Seq(8, 16, 24).map { w =>
-      val (c, sec) = candCount(w, 1)
+      val (c, sec) = perWidth(w)
       s""""$w":{"cand_per_query":${c / math.max(1L, nq)},"sec":$sec}"""
     }
-    val (c1, _) = candCount(16, 1)
+    val c1 = perWidth(16)._1
     val (c4, _) = candCount(16, 4)
     s"""{"corpus":$n,"queries":$nq,"widths":{${widths.mkString(",")}},""" +
       s""""multiprobe_w16":{"nprobe1_cand":$c1,"nprobe4_cand":$c4}}"""

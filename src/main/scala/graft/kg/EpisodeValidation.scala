@@ -64,7 +64,10 @@ object EpisodeValidation {
 
     // content coverage (:796-823): fraction of DISTINCT lowercased
     // whitespace words of the content that appear among the extracted
-    // entity-name/fact words; below the floor → one report row
+    // entity-name/fact words; below the floor → one report row. An
+    // episode with NO content words yields no coverage row and is not
+    // flagged — the reference guards the whole check with
+    // `if content_words:` (:817) and skips empty content the same way.
     val contentWords = pages
       .select(col("url"), explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")

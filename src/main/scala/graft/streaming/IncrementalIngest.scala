@@ -48,6 +48,18 @@ object IncrementalIngest {
   /** manual_invalid_at rides along so explicit invalidate_edges() calls
     * survive group rebuilds (the window pass never overwrites it).
     */
+  /** Single daemon worker for speculative side computations: daemon so a
+    * failure path that never reaches the join cannot pin the JVM open.
+    */
+  private def daemonWorker(name: String): java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, name)
+        t.setDaemon(true)
+        t
+      }
+    })
+
   private def withManualCol(df: DataFrame): DataFrame =
     if (df.columns.contains("manual_invalid_at")) df
     else df.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
@@ -241,7 +253,7 @@ object IncrementalIngest {
     // race yields the same candidate set). The probe READ is the
     // documented residual ∝ bucket selectivity; overlapping it removes
     // it from the critical path. ----
-    val candPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val candPool = daemonWorker("inc-cand-probe")
     val candFut = candPool.submit(new java.util.concurrent.Callable[DataFrame] {
       def call(): DataFrame = {
         val touchedKeys = newBlocks.select(col("key")).distinct()
@@ -384,7 +396,7 @@ object IncrementalIngest {
     // stage-A already merged (nodes_raw) or stage-B will write later
     // (node_stats / nodes — snapshot-isolated reads). Skipped on
     // re-ingests (their negative partials make the chains differ).
-    val specPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val specPool = daemonWorker("inc-spec-stats")
     val specStats: java.util.concurrent.Future[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] =
       if (reIngest) null
       else
@@ -413,7 +425,7 @@ object IncrementalIngest {
     )
     var earlyKeys: DataFrame = null
     var earlyStored: DataFrame = null
-    val earlyPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val earlyPool = daemonWorker("inc-edges-probe")
     val earlyProbe = earlyPool.submit(new java.util.concurrent.Callable[Unit] {
       def call(): Unit = {
         earlyKeys = newRawBase.select(GroupKey.map(col): _*).distinct().localCheckpoint()
@@ -531,14 +543,18 @@ object IncrementalIngest {
     // the speculative run used)
     val specValid = specStats != null && pairs.isEmpty && affCanon.isEmpty
     val (combined, statKeys, rebuiltNodes, nodeDelKeys, oldNodeDocs) = timed("stats chain") {
-      val specRes = if (specStats != null) specStats.get() else null
-      specPool.shutdown()
-      if (specValid) specRes
-      else
-        statsChain(
-          remapMap, delta, affCanon, cc, reIngest,
-          keys => store.loadForKeys("nodes_raw", keys, Seq("uuid")),
-        )
+      try {
+        if (specValid) specStats.get()
+        else {
+          // discard (don't block on, don't fail from) an invalidated
+          // speculative run — it's a throwaway read-only computation
+          if (specStats != null) specStats.cancel(true)
+          statsChain(
+            remapMap, delta, affCanon, cc, reIngest,
+            keys => store.loadForKeys("nodes_raw", keys, Seq("uuid")),
+          )
+        }
+      } finally specPool.shutdownNow()
     }
 
     val mentionRows = triples
@@ -650,9 +666,17 @@ object IncrementalIngest {
           ()
         },
         () => {
+          // the speculative probe keyed the batch's PRE-remap groups — valid
+          // only when no remap applied (newRaw == newRawBase). A non-identity
+          // remapMap with an EMPTY delta (a re-mentioned historical
+          // duplicate: its canonical is unchanged, so no remapKeys probe
+          // fires) would otherwise leave the receiving canonical groups out
+          // of affectedKeys and replace-by-key would DROP their stored rows.
+          val specEdgesOk = remapMap.isEmpty
           rebuilt = mergeEdges(
             store, newRaw, batchId, delta, retractedKeyed, gid,
-            preKeys = earlyKeys, preStored = earlyStored,
+            preKeys = if (specEdgesOk) earlyKeys else null,
+            preStored = if (specEdgesOk) earlyStored else null,
             // entity_edges rows for every episode cited by replaced/
             // rebuilt edges are patched inside mergeEdges; batch episodes
             // that produced no edges still need an explicit (empty) row —
@@ -725,11 +749,12 @@ object IncrementalIngest {
     def withManual(df: DataFrame): DataFrame = withManualCol(df)
     val newRawM = withManual(newRaw)
 
-    // preKeys are the PRE-remap batch keys; a moved endpoint's receiving
-    // group (g, canonical, name) is covered by remapKeys whenever stored
-    // rows exist for it (its endpoint rows are in edge_endpoints), and
-    // needs no probe/delete otherwise — so preKeys ∪ remapKeys ∪
-    // retractKeys covers exactly what the non-speculative form covered
+    // CONTRACT: preKeys/preStored are only passed when they equal
+    // newRaw's OWN group keys (ingestBatch guarantees this by passing
+    // them only under an identity remap) — otherwise the batch keys are
+    // derived from the (possibly remapped) newRaw here, so receiving
+    // canonical groups are always probed and replace-by-key never drops
+    // stored rows
     val batchKeys = if (preKeys != null) preKeys else newRaw.select(GroupKey.map(col): _*).distinct()
     // groups whose rows the remap touches: probe the endpoint index with
     // the changed uuids AND their new canonicals (the receiving group's

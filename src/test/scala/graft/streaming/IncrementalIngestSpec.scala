@@ -51,6 +51,30 @@ class IncrementalIngestSpec extends AnyFunSuite {
     assert(edgesKey(inc) == edgesKey(full))
   }
 
+  test("re-mentioning a previously-deduped alias in a later batch == batch rebuild") {
+    // regression: a batch whose surface is a HISTORICAL duplicate has a
+    // non-identity remap map with an EMPTY delta (the alias's canonical is
+    // unchanged) — the speculative pre-remap edges probe must NOT be used
+    // then, or replace-by-key drops the receiving canonical group's stored
+    // rows (batch-1 facts would silently vanish)
+    val spark0 = spark
+    import spark0.implicits._
+    val extra = Seq {
+      val html =
+        "<html><head><title>t</title></head><body><p>Customer#1 lives in NATION_3.</p></body></html>"
+          .getBytes("UTF-8")
+      ("https://t.example/re/1", Fixtures.ts(500000L), html, null.asInstanceOf[String], "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+
+    val inc = new SnapshotStore(spark, Files.createTempDirectory("g7a").toString)
+    IncrementalIngest.ingestBatch(inc, Fixtures.pagesDf(), 0L) // establishes Customer#1 → canonical
+    IncrementalIngest.ingestBatch(inc, extra, 1L) // re-mentions the deduped alias
+
+    val full = new SnapshotStore(spark, Files.createTempDirectory("g7b").toString)
+    new KgPipeline(full).run(Fixtures.pagesDf().unionByName(extra), "all+re")
+    assert(edgesKey(inc) == edgesKey(full))
+  }
+
   test("alias remap keeps the graph/temporal indexes consistent with the live edges") {
     // regression: refreshGraph/refreshTemporal must see the PRE-remap
     // stored rows as the "old" side — the remapped frame cancels against
