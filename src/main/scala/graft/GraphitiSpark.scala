@@ -34,14 +34,45 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     * triples referencing them) at extraction — the reference's
     * `extract_nodes(excluded_entity_types)` option
     * (node_operations.py:74,163-164).
+    *
+    * `validate = true` runs the pre-ingest episode validation gate the
+    * reference's `process_episode` applies (`episode_processor.py:526-577`
+    * validates before ingest): pages with ANY validation issue are
+    * quarantined to the `rejected_episodes` table — (url, issue, detail)
+    * rows, replacing earlier rejects of the same url — and only the clean
+    * subset ingests. One distributed report over the whole batch, never a
+    * per-episode loop (EpisodeValidation).
     */
   def addEpisodeBulk(
       pages: DataFrame,
       corpusFingerprint: String,
       excludedEntityTypes: Seq[String] = Nil,
-  ): Unit =
+      validate: Boolean = false,
+      coverageFloor: Double = 0.1,
+  ): Unit = {
+    val toIngest =
+      if (!validate) pages
+      else {
+        val withText = pages.withColumn("text", coalesce(col("text"), kg.HtmlText.textOf(col("html"))))
+        val report = EpisodeValidation
+          .validatePages(withText.select(col("url"), col("text"), col("warc_ts")), coverageFloor)
+          .localCheckpoint()
+        if (report.isEmpty) pages
+        else {
+          // replace-by-url: re-validating a url replaces its earlier rows
+          val rejectedUrls = report.select(col("url")).distinct().localCheckpoint()
+          store.mergeBucketed(
+            "rejected_episodes",
+            report.withColumn("group_id", lit(groupId)),
+            Seq("url"),
+            s"pre-ingest validation rejects",
+          )
+          pages.join(rejectedUrls, Seq("url"), "left_anti")
+        }
+      }
     new KgPipeline(store, groupId, excludedEntityTypes = excludedEntityTypes)
-      .run(pages, corpusFingerprint)
+      .run(toIngest, corpusFingerprint)
+  }
 
   /** Single-episode ingest = incremental batch of one page. */
   def addEpisode(
@@ -132,7 +163,21 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
       s"remove episode $url", deleteKeys = Some(Seq(epUuid).toDF("uuid")),
     )
     SearchIndexes.refreshText(store, "episodes", removedEp, removedEp.limit(0))
-    if (store.exists("episode_entity_edges")) {
+    // citing edge uuids from the episode→entity_edges side table, read
+    // BEFORE its row is deleted — the locate step below probes only the
+    // buckets those uuids name instead of array_contains-scanning the
+    // corpus (the table is maintained surgically by mergeEdges and the
+    // bulk pipeline, so its list for a live episode is authoritative)
+    val citing: Option[DataFrame] =
+      if (store.exists("episode_entity_edges"))
+        Some(
+          store
+            .loadForKeys("episode_entity_edges", Seq(epUuid).toDF("uuid"), Seq("uuid"))
+            .select(explode(col("entity_edges")).as("uuid"))
+            .localCheckpoint(),
+        )
+      else None
+    if (citing.isDefined) {
       store.mergeBucketed(
         "episode_entity_edges",
         store.load("episode_entity_edges").limit(0),
@@ -144,10 +189,16 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     // edge rows whose ONLY supporter was this episode vanish — their index
     // entries leave with them; rows merely losing one episode keep their
     // uuid/fact/endpoints/valid_at, so no other index entry changes.
-    // Finding the citing rows is one corpus READ (no by-episode edge
-    // index); the WRITE is scoped to the hit contention groups — the rest
-    // of the corpus is carried by manifest reference, never rewritten.
-    val hitRows = store.load("edges").filter(array_contains(col("episodes"), epUuid)).localCheckpoint()
+    // The locate is a keyed probe (entity_edges list → edge_uuids groups →
+    // edge buckets); the WRITE is scoped to the hit contention groups —
+    // the rest of the corpus is carried by manifest reference. Stores
+    // without the side table fall back to the corpus scan.
+    val hitRows = (citing match {
+      case Some(c) =>
+        val (stored, _) = locateEdges(c)
+        stored.filter(array_contains(col("episodes"), epUuid))
+      case None => store.load("edges").filter(array_contains(col("episodes"), epUuid))
+    }).localCheckpoint()
     if (!hitRows.isEmpty) {
       val removedEdges = hitRows.filter(size(col("episodes")) === 1).localCheckpoint()
       val affected = hitRows.select(groupKey.map(col): _*).distinct().localCheckpoint()
@@ -231,15 +282,16 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     * valid_at from the surviving facts and apply least(derived, manual).
     */
   def setValidityPeriod(edgeUuid: String, validFrom: Timestamp, validTo: Option[Timestamp] = None): Unit = {
+    import spark.implicits._
     val groupKey = Seq("group_id", "source_uuid", "name")
     val hit = col("uuid") === lit(edgeUuid)
-    // locate the row (one corpus READ — edges carry no by-uuid index),
-    // then patch ONLY its contention group: the write is a keyed bucketed
+    // locate the row via the edge_uuids by-uuid index (bucket probe), then
+    // patch ONLY its contention group: the write is a keyed bucketed
     // merge (delta-appended when small), never a full-table rewrite
-    val hitRow = store.load("edges").filter(hit).localCheckpoint()
+    val (stored0, affected) = locateEdges(Seq(edgeUuid).toDF("uuid"))
+    val stored = stored0.localCheckpoint()
+    val hitRow = stored.filter(hit)
     if (hitRow.isEmpty) return
-    val affected = hitRow.select(groupKey.map(col): _*).distinct().localCheckpoint()
-    val stored = store.loadForKeys("edges", affected, groupKey)
     val withManual =
       if (stored.columns.contains("manual_invalid_at")) stored
       else stored.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
@@ -277,29 +329,27 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     * temporal_manager.py:288-318): point lookup + the point-in-time
     * validity predicate.
     */
-  def getValidAt(edgeUuid: String, t: Timestamp): Option[org.apache.spark.sql.Row] =
+  def getValidAt(edgeUuid: String, t: Timestamp): Option[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val (stored, _) = locateEdges(Seq(edgeUuid).toDF("uuid"))
     Invalidation
-      .validAt(store.load("edges").filter(col("uuid") === lit(edgeUuid)), t)
+      .validAt(stored.filter(col("uuid") === lit(edgeUuid)), t)
       .collect()
       .headOption
+  }
 
   def invalidateEdges(uuids: Seq[String], at: Timestamp, reason: String): Unit = {
     if (uuids.isEmpty) return
+    import spark.implicits._
     val hit = col("uuid").isin(uuids: _*)
     val groupKey = Seq("group_id", "source_uuid", "name")
-    // locate the targeted rows' contention groups (one corpus READ — edges
-    // carry no by-uuid index, same as deleteEdgesByUuids), then patch ONLY
-    // those groups: the write is a keyed bucketed merge (delta-appended
-    // when the batch is small relative to the corpus — invalidate_edges,
+    // locate the targeted rows' contention groups via the edge_uuids
+    // by-uuid index (bucket probe, work ∝ targets), then patch ONLY those
+    // groups: the write is a keyed bucketed merge (delta-appended when the
+    // batch is small relative to the corpus — invalidate_edges,
     // temporal_manager.py:212-286, touches only the targeted rows)
-    val affected = store
-      .load("edges")
-      .filter(hit)
-      .select(groupKey.map(col): _*)
-      .distinct()
-      .localCheckpoint()
+    val (stored, affected) = locateEdges(uuids.toDF("uuid"))
     if (affected.isEmpty) return
-    val stored = store.loadForKeys("edges", affected, groupKey)
     val withManual =
       if (stored.columns.contains("manual_invalid_at")) stored
       else stored.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
@@ -485,8 +535,49 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
           none.select(col("source_uuid"), col("target_uuid")),
         ))
     if (store.exists("edge_months"))
-      tasks += (() => SearchIndexes.refreshTemporal(store, removed.select(tCols: _*), none.select(tCols: _*)))
+      tasks += (() => { SearchIndexes.refreshTemporal(store, removed.select(tCols: _*), none.select(tCols: _*)); () })
+    // by-uuid locate index: the removed rows' entries leave (stale entries
+    // are only benign extra probes, but deletes have the rows in hand —
+    // one keyed bucket delete keeps the index tight)
+    if (store.exists("edge_uuids"))
+      tasks += (() => {
+        store.mergeBucketed(
+          "edge_uuids",
+          removed.select(col("uuid"), col("group_id"), col("source_uuid"), col("name")).limit(0),
+          Seq("uuid"), "drop removed edge uuids",
+          deleteKeys = Some(removed.select(col("uuid"))),
+        )
+        ()
+      })
     graft.io.Concurrent.runAll(tasks.result())
+  }
+
+  /** Locate stored edge rows by uuid: probe the `edge_uuids` by-uuid index
+    * for the target rows' contention groups, then bucket-probe the edges
+    * table — work ∝ probed buckets, never a corpus scan (invalidate_edges,
+    * temporal_manager.py:212-286, touches only targeted rows). Falls back
+    * to a scan + semi-join on index-less stores (ad-hoc fixtures). Returns
+    * (stored rows of the hit groups, hit group keys); `stored` is NOT
+    * checkpointed — single-consumer callers keep it lazy.
+    */
+  private def locateEdges(uuidDf: DataFrame): (DataFrame, DataFrame) = {
+    val groupKey = Seq("group_id", "source_uuid", "name")
+    if (store.exists("edge_uuids")) {
+      val groups = store
+        .loadForKeys("edge_uuids", uuidDf, Seq("uuid"))
+        .select(groupKey.map(col): _*)
+        .distinct()
+        .localCheckpoint()
+      (store.loadForKeys("edges", groups, groupKey), groups)
+    } else {
+      val groups = store
+        .load("edges")
+        .join(broadcast(uuidDf), Seq("uuid"), "left_semi")
+        .select(groupKey.map(col): _*)
+        .distinct()
+        .localCheckpoint()
+      (store.loadForKeys("edges", groups, groupKey), groups)
+    }
   }
 
   /** Drop `removed` edge rows' uuids from the episode_entity_edges lists
@@ -671,11 +762,14 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     */
   def deleteEdgesByUuids(uuids: Seq[String]): Long = {
     if (uuids.isEmpty) return 0L
+    import spark.implicits._
     val groupKey = Seq("group_id", "source_uuid", "name")
     val hit = col("uuid").isin(uuids: _*)
-    val removed = store.load("edges").filter(hit).localCheckpoint()
-    val affected = removed.select(groupKey.map(col): _*).distinct().localCheckpoint()
-    val stored = store.loadForKeys("edges", affected, groupKey)
+    // keyed locate (edge_uuids probe) — work ∝ targeted buckets
+    val (stored0, affected) = locateEdges(uuids.toDF("uuid"))
+    if (affected.isEmpty) return 0L
+    val stored = stored0.localCheckpoint()
+    val removed = stored.filter(hit).localCheckpoint()
     store.mergeBucketed(
       "edges", stored.filter(!hit), groupKey, s"delete ${uuids.size} edges",
       deleteKeys = Some(affected),
@@ -1074,8 +1168,17 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
     * derived index tracks the stamped rows, AND nodes per (group, name)
     * cluster, stamped `invalidated_at` in place (the reference's node
     * half, :672-695 — "nodes don't have direct invalidation", so only
-    * the flag column is written, via the keyed bucketed merge). Returns
-    * the total number invalidated. The uuid lists are collected — they
+    * the flag column is written, via the keyed bucketed merge).
+    *
+    * The node half is RECORD-ONLY parity, deliberately: the reference
+    * writes the column and never filters on it anywhere (no search lane,
+    * lookup, or lifecycle path reads it back — :672-695 is the only
+    * writer), so flagged nodes stay fully visible here too. Consumers
+    * that want them hidden filter explicitly
+    * (`store.load("nodes").filter(col("invalidated_at").isNull)`);
+    * auto-hiding them would diverge from reference behavior.
+    *
+    * Returns the total number invalidated. The uuid lists are collected — they
     * are ∝ duplicates found, not corpus; callers on a corpus suspected
     * of massive duplication should bound the sweep by group via
     * deleteGroup-style partitioning first.

@@ -191,15 +191,28 @@ object Deduplicator {
 
   /** Drop block keys shared by more than `cap` rows (the quadratic-hot-key
     * guard, [[DeduplicationConfig.hotBlockCap]]); exact-name and endpoint
-    * keys are exempt — see the config field's doc.
+    * keys are exempt — see the config field's doc. The drop is NEVER
+    * silent ("no silent caps"): when keys are excluded, the count of
+    * dropped keys/rows is reported on stderr so the recall bound is
+    * observable — callers for whom mid-hot keys carry real duplicates
+    * raise `maxPairsPerBlock`/`hotBlockCap` deliberately.
     */
   private def dropHotKeys(keyed: DataFrame, cap: Int): DataFrame = {
     val hot = keyed
       .groupBy(col("key"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > cap && !col("key").startsWith("nm:") && !col("key").startsWith("st:"))
-      .select(col("key"))
-    keyed.join(hot, Seq("key"), "left_anti")
+      .select(col("key"), col("__df"))
+      .localCheckpoint()
+    val s = hot.agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L))).collect()(0)
+    if (s.getLong(0) > 0)
+      System.err.println(
+        s"[graft.dedup] hot-block guard dropped ${s.getLong(0)} block keys " +
+          s"(${s.getLong(1)} row-memberships) past cap=$cap rows/key — " +
+          "candidate recall is bounded for pairs whose every shared key is hot; " +
+          "raise maxPairsPerBlock/hotBlockCap to trade cost for recall",
+      )
+    keyed.join(hot.select(col("key")), Seq("key"), "left_anti")
   }
 
   /** Distinct (u1, u2), u1 < u2, sharing at least one block key. */

@@ -200,10 +200,15 @@ object GraphOps {
     * performance_optimizer.py:384-389), intended for subgraphs that fit a
     * broadcast; extract the subgraph first for larger graphs. The gate is
     * ENFORCED (`maxNodes`): a larger graph fails fast with a clear message
-    * instead of silently attempting an unbounded driver collect.
+    * instead of silently attempting an unbounded driver collect. The
+    * default gate is 1,000 nodes — ALIGNED with the reference's centrality
+    * gate (performance_optimizer.py:384-389) and with
+    * [[betweennessCentrality]]; callers with more driver headroom opt up
+    * explicitly (the broadcast is ~16 B/edge, so 100k nodes ≈ tens of MB —
+    * survivable, but not a default a 1000-executor job should stumble into).
     * Returns (start, node, visit_order, depth).
     */
-  def dfs(edges: DataFrame, sources: Seq[Long], maxDepth: Int, maxNodes: Int = 100000): DataFrame = {
+  def dfs(edges: DataFrame, sources: Seq[Long], maxDepth: Int, maxNodes: Int = 1000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     requireSmallGraph(edges, maxNodes, "GraphOps.dfs")

@@ -26,8 +26,11 @@ object DeltaLog {
 
   private val ClearMessage = "compacted into base"
 
-  /** Versions of the log that are LIVE (after the last clear marker). */
-  private def liveVersions(store: SnapshotStore, dt: String): Seq[Int] = {
+  /** Versions of the log that are LIVE (after the last clear marker).
+    * Package-visible for IndexLifecycle's retention sweep (live log
+    * versions must never be deleted regardless of age).
+    */
+  private[graft] def liveVersions(store: SnapshotStore, dt: String): Seq[Int] = {
     val cur = store.currentVersion(dt).getOrElse(return Nil)
     val vs = store.versions(dt).filter(_ <= cur)
     val lastClear = vs.reverse.find(v => store.commitInfo(dt, v).contains(s""""message":"$ClearMessage""""))

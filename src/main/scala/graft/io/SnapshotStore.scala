@@ -263,6 +263,42 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     publish(table, version)
   }
 
+  /** Versions whose FILES the given snapshot references: itself, the
+    * manifest's bucket owners (buckets carried by reference live in older
+    * `v=` dirs), and the merge-on-read delta chain. The reachability set a
+    * retention sweep must never delete (IndexLifecycle.cleanupIndexVersions).
+    */
+  def referencedVersions(table: String, version: Int): Set[Int] =
+    readManifest(table, version) match {
+      case Some(m) => m.buckets.valuesIterator.map(_._1).toSet ++ m.deltas.map(_._1).toSet + version
+      case None => Set(version)
+    }
+
+  /** Commit wall-clock millis of a version (from its _commit.json). */
+  def commitTime(table: String, version: Int): Option[Long] =
+    """"committed_at":(\d+)""".r.findFirstMatchIn(commitInfo(table, version)).map(_.group(1).toLong)
+
+  /** Delete ONE version directory. Retention sweeps only — the caller
+    * must have proven the version unreachable (no live manifest references
+    * its files, no branch pins it). Refuses the current version. Returns
+    * bytes freed.
+    */
+  def deleteVersion(table: String, version: Int): Long = {
+    require(!currentVersion(table).contains(version), s"refusing to delete the CURRENT version $version of $table")
+    val dir = tableDir(table).resolve(s"v=$version")
+    if (!Files.isDirectory(dir)) return 0L
+    var freed = 0L
+    val walk = Files.walk(dir)
+    try
+      walk.sorted(java.util.Comparator.reverseOrder()).forEach { p =>
+        if (Files.isRegularFile(p)) freed += Files.size(p)
+        Files.deleteIfExists(p)
+        ()
+      }
+    finally walk.close()
+    freed
+  }
+
   def commitInfo(table: String, version: Int): String = {
     val p = tableDir(table).resolve(s"v=$version").resolve("_commit.json")
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)

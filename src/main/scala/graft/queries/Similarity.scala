@@ -79,6 +79,65 @@ object Similarity {
       """),
     ),
 
+    // ---- production-setting LSH ANN: width 16 + multi-probe 4 (the
+    // documented corpus-scale configuration — each probe reads ~2⁻¹⁶ of
+    // the corpus and the 3 lowest-margin bit flips buy the straddle
+    // recall back). The oracle re-derives the md5-parity planes, the
+    // 16-bit signatures AND the margin-ordered probe set in SQL, so the
+    // scale configuration itself sits under the correctness gate. ----
+    QueryDef(
+      "q_ann_lsh16",
+      (s, dir) => {
+        val e = T.load(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = e.filter(col("vec_id") >= 10).select(col("vec_id").as("id"), col("embedding").as("v"))
+        Ann.lshBucketTopK(queries, corpus, 5, nPlanes = 16, nProbe = 4).orderBy(col("qid"), col("rk"))
+      },
+      Some("""
+        WITH planes AS (
+          SELECT p, i,
+                 CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
+                      THEN 1.0 ELSE -1.0 END AS coef
+          FROM (SELECT unnest(range(0, 16)) AS p), (SELECT unnest(range(0, 64)) AS i)),
+        vecs AS (
+          SELECT vec_id, embedding[u.i]::DOUBLE AS x, u.i - 1 AS i
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u),
+        dots AS (
+          SELECT v.vec_id, pl.p, sum(pl.coef * v.x) AS dot
+          FROM vecs v JOIN planes pl ON v.i = pl.i
+          GROUP BY v.vec_id, pl.p),
+        sigs AS (
+          SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END)::INT AS sig
+          FROM dots GROUP BY vec_id),
+        flips AS (
+          SELECT vec_id, mask FROM (
+            SELECT vec_id, (1 << p) AS mask,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), (1 << p)) AS rk
+            FROM dots WHERE vec_id < 10)
+          WHERE rk <= 3),
+        qsigs AS (SELECT vec_id, sig FROM sigs WHERE vec_id < 10),
+        probes AS (
+          SELECT vec_id, sig FROM qsigs
+          UNION ALL
+          SELECT q.vec_id, xor(q.sig, f.mask) AS sig FROM qsigs q JOIN flips f ON q.vec_id = f.vec_id),
+        q AS (SELECT e.vec_id AS qid, e.embedding AS qv, pr.sig
+              FROM embeddings e JOIN probes pr ON e.vec_id = pr.vec_id WHERE e.vec_id < 10),
+        c AS (SELECT e.vec_id AS id, e.embedding AS v, s.sig
+              FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id WHERE e.vec_id >= 10),
+        pairs AS (
+          SELECT qid, id, unnest(c.v)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+          FROM c JOIN q ON c.sig = q.sig),
+        scored AS (
+          SELECT qid, id, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS score
+          FROM pairs GROUP BY qid, id),
+        ranked AS (
+          SELECT qid, id, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+          FROM scored)
+        SELECT qid, rk, id, score FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+      """),
+    ),
+
     // ---- IVF ANN: corpus inverted into 8 centroid cells (seeds vec_id
     // 10..17, quantizer evaluated as a codegen expression — no shuffle to
     // assign), queries probe the 2 nearest cells only ----

@@ -104,9 +104,37 @@ object SearchIndexes {
     */
   def annProbes: Int = Integer.getInteger("graft.ann.nprobe", 1)
 
+  /** Width the committed `edge_ann` buckets were built at — the newest
+    * `planes=N` stamp in the table's commit log ([[buildAnn]] writes it;
+    * unrelated merges like group deletes don't, so the scan walks back to
+    * the last build/compaction). None on stores from before the stamp.
+    */
+  def storedAnnPlanes(store: SnapshotStore): Option[Int] =
+    store.currentVersion("edge_ann").flatMap { cur =>
+      store.versions("edge_ann").filter(_ <= cur).reverseIterator
+        .map(v => """planes=(\d+)""".r.findFirstMatchIn(store.commitInfo("edge_ann", v)))
+        .collectFirst { case Some(m) => m.group(1).toInt }
+    }
+
+  /** Fail fast when the configured width disagrees with the stored one:
+    * probing or delta-appending at a different width than the buckets
+    * were built at silently returns wrong candidates / appends under
+    * incompatible keys. A width change REQUIRES a rebuild ([[buildAnn]]).
+    */
+  private def requireAnnWidth(store: SnapshotStore): Unit =
+    storedAnnPlanes(store).foreach { w =>
+      require(
+        w == annPlanes,
+        s"edge_ann was built at signature width $w but -Dgraft.ann.planes=$annPlanes — " +
+          "rebuild the index (SearchIndexes.buildAnn) or probe at the stored width",
+      )
+    }
+
   /** Reconciled ANN bucket rows for the probe signatures. */
-  def annForSigs(store: SnapshotStore, sigs: DataFrame): DataFrame =
+  def annForSigs(store: SnapshotStore, sigs: DataFrame): DataFrame = {
+    requireAnnWidth(store)
     graft.io.DeltaLog.probe(store, "edge_ann", sigs, Seq("sig"), Seq("sig", "uuid"), Seq("v"))
+  }
 
   def buildAnn(store: SnapshotStore): Unit = {
     val edges = store.load("edges")
@@ -124,7 +152,7 @@ object SearchIndexes {
         store.load("edge_ann").select(col("sig"), col("uuid")).join(ann, Seq("sig", "uuid"), "left_anti"),
       )
     store.mergeBucketed(
-      "edge_ann", ann, Seq("sig", "uuid"), "ANN signature buckets",
+      "edge_ann", ann, Seq("sig", "uuid"), s"ANN signature buckets planes=$annPlanes",
       deleteKeys = gone, bucketBy = Seq("sig"),
     )
     graft.io.DeltaLog.clear(store, "edge_ann")
@@ -193,10 +221,14 @@ object SearchIndexes {
 
   /** Incremental ANN refresh — APPEND-ONLY delta log like [[refreshText]]:
     * removed vectors sign −1, new vectors +1 under their signatures.
-    * No-op if never built.
+    * No-op if never built. `defer = true` skips the inline compaction
+    * (which re-reads the edges table — unsafe while a sibling thread is
+    * still merging it) and returns true when the caller must run
+    * [[buildAnn]] after its merge barrier.
     */
-  def refreshAnn(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame): Unit = {
-    if (!store.exists("edge_ann")) return
+  def refreshAnn(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame, defer: Boolean = false): Boolean = {
+    if (!store.exists("edge_ann")) return false
+    requireAnnWidth(store)
     def rows(df: DataFrame): DataFrame = df.select(
       graft.sim.Ann.signatureCol(col("fact_embedding"), annPlanes).as("sig"),
       col("uuid"),
@@ -204,7 +236,9 @@ object SearchIndexes {
     )
     val delta = rows(newEdges).withColumn("sign", lit(1))
       .unionByName(rows(oldEdges).withColumn("sign", lit(-1)))
-    graft.io.DeltaLog.append(store, "edge_ann", delta, rebuild = () => buildAnn(store))
+    val needs = graft.io.DeltaLog.appendOnly(store, "edge_ann", delta)
+    if (needs && !defer) { buildAnn(store); false }
+    else needs && defer
   }
 
   // ------------------------------------------------------------------
@@ -287,14 +321,16 @@ object SearchIndexes {
     * bucket would be work ∝ corpus). Compaction folds via [[buildGraph]]
     * when the log outgrows the base.
     */
-  def refreshGraph(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame): Unit = {
-    if (!store.exists("graph_adj")) return
+  def refreshGraph(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame, defer: Boolean = false): Boolean = {
+    if (!store.exists("graph_adj")) return false
     val delta = pairCounts(newEdges)
       .unionByName(pairCounts(oldEdges).withColumn("cnt", -col("cnt")))
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
-    graft.io.DeltaLog.append(store, "graph_adj", delta, rebuild = () => compactGraph(store))
+    val needs = graft.io.DeltaLog.appendOnly(store, "graph_adj", delta)
+    if (needs && !defer) { compactGraph(store); false }
+    else needs && defer
   }
 
   /** Fold the delta log into the bucketed base (full rebuild from the
@@ -369,15 +405,17 @@ object SearchIndexes {
     * rows that keep their month cancel out) land in `edge_months_delta`;
     * the fold into month buckets runs only when the log outgrows the base.
     */
-  def refreshTemporal(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame): Unit = {
-    if (!store.exists("edge_months")) return
+  def refreshTemporal(store: SnapshotStore, oldEdges: DataFrame, newEdges: DataFrame, defer: Boolean = false): Boolean = {
+    if (!store.exists("edge_months")) return false
     val cols = Seq("month", "uuid") ++ EdgeKey
     val delta = monthRows(newEdges).withColumn("cnt", lit(1L))
       .unionByName(monthRows(oldEdges).withColumn("cnt", lit(-1L)))
       .groupBy(cols.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
-    graft.io.DeltaLog.append(store, "edge_months", delta, rebuild = () => buildTemporal(store))
+    val needs = graft.io.DeltaLog.appendOnly(store, "edge_months", delta)
+    if (needs && !defer) { buildTemporal(store); false }
+    else needs && defer
   }
 
   /** Edges whose valid_at falls in [from, to): probes ONLY the month

@@ -120,6 +120,20 @@ object IncrementalIngest {
           bucketBy = Seq("endpoint_uuid"),
         )
       }
+    // by-uuid locate index: uuid → contention group, so point mutations
+    // (invalidateEdges / setValidityPeriod / getValidAt / the
+    // removeEpisode cascade) probe only the buckets holding their target
+    // uuids instead of scanning the corpus to FIND the rows (the write
+    // side was already keyed; this keys the read side too)
+    if (store.exists("edges") && !store.exists("edge_uuids"))
+      tasks += { () =>
+        store.mergeBucketed(
+          "edge_uuids",
+          store.load("edges").select(col("uuid"), col("group_id"), col("source_uuid"), col("name")),
+          Seq("uuid"),
+          "bootstrap edge_uuids",
+        )
+      }
     graft.io.Concurrent.runAll(tasks.result())
   }
 
@@ -872,7 +886,7 @@ object IncrementalIngest {
     }
     // the edges merge writes only `edges`; the index refreshes below read
     // checkpointed frames and write disjoint index tables — one concurrent
-    // group instead of merge-then-refresh
+    // group instead of merge-then-refresh (compactions deferred, below)
     // search-index refresh (no-ops unless SearchIndexes were built):
     // replaced facts leave the postings/ANN buckets, rebuilt facts enter.
     // The four refreshes + the endpoint merge write DISJOINT tables over
@@ -885,6 +899,21 @@ object IncrementalIngest {
       if (existingStored == null) rebuilt.limit(0)
       else existingStored
     val tCols = Seq("uuid", "valid_at", "group_id", "source_uuid", "name").map(col)
+    // every refresh here runs CONCURRENTLY with the sibling edges merge,
+    // and every compaction path re-reads store.load("edges") — an inline
+    // rebuild could fold the PRE-merge snapshot and then clear the delta
+    // log holding this batch's rows (silent fact loss). All four refreshes
+    // therefore append-only (defer=true) and the flagged compactions run
+    // AFTER the barrier, once the edges merge has published (the same
+    // stage-A discipline used for the episodes/nodes text indexes above).
+    val compactEdgesText = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactAnn = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactAdj = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactMonths = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // checked BEFORE the group (the sibling edges merge may create the
+    // table): maintain the by-uuid index only when it is already complete
+    // or this batch IS the whole corpus (first merge)
+    val edgeUuidsLive = store.exists("edge_uuids") || !store.exists("edges")
     timed("  me:merge+refreshes")(graft.io.Concurrent.runAll(Seq(
       () => {
         store.mergeBucketed(
@@ -894,24 +923,30 @@ object IncrementalIngest {
         ()
       },
       () =>
-        graft.search.SearchIndexes.refreshText(
+        compactEdgesText.set(graft.search.SearchIndexes.refreshText(
           store, "edges",
           oldRows.select(col("uuid").as("id"), col("fact").as("text")),
           rebuilt.select(col("uuid").as("id"), col("fact").as("text")),
-        ),
+          defer = true,
+        )),
       () =>
-        graft.search.SearchIndexes.refreshAnn(
+        compactAnn.set(graft.search.SearchIndexes.refreshAnn(
           store,
           oldRows.select(col("uuid"), col("fact_embedding")),
           rebuilt.select(col("uuid"), col("fact_embedding")),
-        ),
+          defer = true,
+        )),
       () =>
-        graft.search.SearchIndexes.refreshGraph(
+        compactAdj.set(graft.search.SearchIndexes.refreshGraph(
           store,
           oldRows.select(col("source_uuid"), col("target_uuid")),
           rebuilt.select(col("source_uuid"), col("target_uuid")),
-        ),
-      () => graft.search.SearchIndexes.refreshTemporal(store, oldRows.select(tCols: _*), rebuilt.select(tCols: _*)),
+          defer = true,
+        )),
+      () =>
+        compactMonths.set(graft.search.SearchIndexes.refreshTemporal(
+          store, oldRows.select(tCols: _*), rebuilt.select(tCols: _*), defer = true,
+        )),
       // endpoint index upkeep: append rebuilt groups' endpoint rows (stale
       // rows of moved endpoints only cause benign extra-probe hits)
       () => {
@@ -923,6 +958,22 @@ object IncrementalIngest {
           s"incremental batch=$batchId endpoints",
           bucketBy = Seq("endpoint_uuid"),
         )
+        ()
+      },
+      // by-uuid locate index upkeep (same stale-row tolerance: a replaced
+      // uuid's old entry probes a group that no longer holds it — benign).
+      // Guarded by edgeUuidsLive: appending the batch alone into a store
+      // whose pre-existing corpus was never bootstrapped would create a
+      // PARTIAL index and locate probes would silently miss old rows.
+      () => {
+        if (edgeUuidsLive) {
+          store.mergeBucketed(
+            "edge_uuids",
+            rebuilt.select(col("uuid"), col("group_id"), col("source_uuid"), col("name")).distinct(),
+            Seq("uuid"),
+            s"incremental batch=$batchId edge_uuids",
+          )
+        }
         ()
       },
       // episodes.entity_edges upkeep (normalized side table): SURGICAL
@@ -960,6 +1011,17 @@ object IncrementalIngest {
         ()
       },
     )))
+    // deferred compactions: the edges table is now at its post-batch
+    // version, so the folds read the merged corpus. They write disjoint
+    // index tables → one concurrent group (usually empty — a fold fires
+    // only when a log outgrows its base, amortized over many batches).
+    val folds = Seq.newBuilder[() => Unit]
+    if (compactEdgesText.get()) folds += (() => graft.search.SearchIndexes.compactText(store, "edges"))
+    if (compactAnn.get()) folds += (() => graft.search.SearchIndexes.buildAnn(store))
+    if (compactAdj.get()) folds += (() => graft.search.SearchIndexes.compactGraph(store))
+    if (compactMonths.get()) folds += (() => graft.search.SearchIndexes.buildTemporal(store))
+    val foldTasks = folds.result()
+    if (foldTasks.nonEmpty) timed("  me:deferred compactions")(graft.io.Concurrent.runAll(foldTasks))
     rebuilt
   }
 

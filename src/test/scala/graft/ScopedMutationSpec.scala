@@ -143,4 +143,125 @@ class ScopedMutationSpec extends AnyFunSuite {
     assert(bucketOwners(g.store.root, "edges").nonEmpty, "hard cleanup must keep the bucketed layout")
     assert(g.store.load("edges").filter(col("invalid_at") < ts(205)).count() == 0L)
   }
+
+  /** Overwrite every edges data file NOT among `keepUris` with garbage:
+    * any read of a non-probed bucket afterwards throws, so an op that
+    * survives proves its LOCATE step touched only the probed buckets.
+    */
+  private def corruptEdgesExcept(root: String, keepUris: Set[String]): Int = {
+    import scala.jdk.CollectionConverters._
+    val keep = keepUris.map(u => java.net.URI.create(u).getPath)
+    val walk = Files.walk(Paths.get(root, "edges"))
+    try {
+      val victims = walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .filterNot(p => keep.contains(p.toAbsolutePath.toString))
+        .toList
+      victims.foreach(p => Files.write(p, "corrupted-not-parquet".getBytes(StandardCharsets.UTF_8)))
+      victims.size
+    } finally walk.close()
+  }
+
+  test("point-mutation LOCATE reads only probed buckets (corrupted-corpus proof)") {
+    import spark.implicits._
+    val g = freshBucketed()
+    // the by-uuid locate index the probes ride on (one-time bootstrap)
+    graft.streaming.IncrementalIngest.bootstrapIndexes(g.store, spark)
+    assert(g.store.exists("edge_uuids"))
+    // keep only the two target groups' bucket files readable
+    val keep = g.store
+      .load("edges")
+      .filter(col("source_uuid").isin("s05", "s10"))
+      .select(input_file_name().as("f"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val corrupted = corruptEdgesExcept(g.store.root, keep)
+    assert(corrupted >= 30, s"expected most bucket files corrupted, got $corrupted")
+    // sanity: a corpus scan now fails — so surviving ops cannot have run one
+    intercept[Exception] { g.store.load("edges").count() }
+
+    assert(g.getValidAt("e05-07", ts(150)).isDefined, "keyed point read")
+    g.setValidityPeriod("e05-07", ts(50))
+    g.invalidateEdges(Seq("e10-03"), ts(1000), "corrupt-proof")
+    assert(g.deleteEdgesByUuids(Seq("e05-01")) == 1L)
+
+    def group(src: String) =
+      g.store
+        .loadForKeys("edges", Seq(("default", src, "rel")).toDF("group_id", "source_uuid", "name"), GroupKey)
+        .collect()
+        .map(r => r.getAs[String]("uuid") -> r)
+        .toMap
+    val s05 = group("s05")
+    assert(s05("e05-07").getAs[Timestamp]("valid_at") == ts(50))
+    assert(!s05.contains("e05-01"), "deleted row gone")
+    assert(s05.size == 39)
+    val s10 = group("s10")
+    assert(Option(s10("e10-03").getAs[Timestamp]("expired_at")).contains(ts(1000)))
+  }
+
+  test("removeEpisode cascade locates citing edges via episode_entity_edges, not a corpus scan") {
+    import spark.implicits._
+    val epUrl = "http://pages/ep05"
+    val epUuid = graft.kg.Ids.episode("default", epUrl)
+    // ONE bucketed build (no delta chain — the kept bucket must be a base
+    // file): group s05's rows cite the episode; rows i<5 cite ONLY it
+    val g = new GraphitiSpark(spark, Files.createTempDirectory("scoped-rm-ep").toString)
+    val rows = for (grp <- 0 until 64; i <- 0 until 40) yield (
+      f"e$grp%02d-$i%02d",
+      "default",
+      f"s$grp%02d",
+      "rel",
+      f"t$i%02d",
+      ts(100L + i),
+      Option.empty[Timestamp],
+      Option.empty[Timestamp],
+      if (grp != 5) Seq(f"ep$grp%02d")
+      else if (i < 5) Seq(epUuid)
+      else Seq(epUuid, "other-ep"),
+    )
+    g.store.mergeBucketed(
+      "edges",
+      rows.toDF("uuid", "group_id", "source_uuid", "name", "target_uuid", "valid_at", "invalid_at", "expired_at", "episodes"),
+      GroupKey, "recited fixture",
+    )
+    g.store.mergeBucketed(
+      "episodes",
+      Seq((epUuid, "", "ep content", "test", "", "default", ts(1), ts(1)))
+        .toDF("uuid", "name", "content", "source", "source_description", "group_id", "created_at", "valid_at"),
+      Seq("uuid"), "episode fixture",
+    )
+    val citingUuids = (0 until 40).map(i => f"e05-$i%02d")
+    g.store.mergeBucketed(
+      "episode_entity_edges",
+      Seq((epUuid, citingUuids)).toDF("uuid", "entity_edges"),
+      Seq("uuid"), "entity_edges fixture",
+    )
+    graft.streaming.IncrementalIngest.bootstrapIndexes(g.store, spark)
+    // only s05's bucket stays readable — the cascade must find its citing
+    // rows through episode_entity_edges → edge_uuids, never array_contains
+    // over the corpus
+    val keep = g.store
+      .load("edges")
+      .filter(col("source_uuid") === "s05")
+      .select(input_file_name().as("f"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(corruptEdgesExcept(g.store.root, keep) >= 30)
+
+    g.removeEpisode(epUrl)
+
+    val s05 = g.store
+      .loadForKeys("edges", Seq(("default", "s05", "rel")).toDF("group_id", "source_uuid", "name"), GroupKey)
+      .collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[scala.collection.Seq[String]]("episodes").toList)
+      .toMap
+    assert(s05.size == 35, "rows whose only supporter was the episode are gone")
+    assert(s05.keys.forall(_ >= "e05-05"))
+    assert(s05.values.forall(e => e == Seq("other-ep")), "survivors lost the removed episode")
+    assert(g.store.load("episodes").filter(col("uuid") === epUuid).isEmpty)
+  }
 }

@@ -111,5 +111,10 @@ class CentralitySpec extends AnyFunSuite {
     // and the DFS differential elsewhere in the suite)
     assert(GraphOps.betweennessCentrality(path, maxNodes = 12).count() == 12L)
     assert(GraphOps.dfs(path, Seq(1L), 3, maxNodes = 12).count() == 4L)
+    // the DEFAULT dfs gate equals the reference's 1000-node centrality
+    // gate (performance_optimizer.py:384-389): a 1001-node path trips it
+    val big = (1L until 1001L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edd = intercept[IllegalArgumentException](GraphOps.dfs(big, Seq(1L), 1))
+    assert(edd.getMessage.contains("<= 1000 nodes"))
   }
 }

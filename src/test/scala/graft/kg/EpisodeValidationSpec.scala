@@ -70,6 +70,32 @@ class EpisodeValidationSpec extends AnyFunSuite {
     assert(g.validateEpisodes(Some("https://v.example/1")).isEmpty)
   }
 
+  test("addEpisodeBulk(validate=true) quarantines planted violations, ingests only the clean subset") {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    def page(url: String, body: String) =
+      (url, ts(100), s"<html><body><p>$body</p></body></html>".getBytes, null.asInstanceOf[String], "en")
+    val pages = Seq(
+      page("https://v.example/ok", "Customer#7 lives in NATION_2."),
+      page("https://v.example/bad", s"Customer#8 lives in NATION_3. $filler"),
+    ).toDF("url", "warc_ts", "html", "text", "lang")
+    val g = new GraphitiSpark(spark, Files.createTempDirectory("epgate").toString)
+    g.addEpisodeBulk(pages, "gate-v1", validate = true)
+    // the planted low-coverage page is quarantined, not ingested
+    val rej = g.store.load("rejected_episodes").collect()
+    assert(rej.map(_.getAs[String]("url")).toSet == Set("https://v.example/bad"))
+    assert(rej.map(_.getAs[String]("issue")).toSet == Set("low content coverage"))
+    val ingested = g.store.load("raw_triples").select("url").distinct().collect().map(_.getString(0)).toSet
+    assert(ingested == Set("https://v.example/ok"))
+    // a clean corpus with validate=true ingests everything, rejects nothing new
+    g.addEpisodeBulk(
+      Seq(page("https://v.example/ok2", "Supplier#4 supplies Customer#7.")).toDF("url", "warc_ts", "html", "text", "lang"),
+      "gate-v2", validate = true,
+    )
+    assert(g.store.load("rejected_episodes").count() == rej.length.toLong)
+    assert(g.store.load("raw_triples").filter(col("url") === "https://v.example/ok2").count() > 0)
+  }
+
   test("coverage floor flags an episode whose text is mostly unextracted prose") {
     import spark.implicits._
     val filler = (1 to 40).map(i => s"filler$i").mkString(" ")

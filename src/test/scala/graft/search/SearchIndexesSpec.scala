@@ -262,6 +262,30 @@ class SearchIndexesSpec extends AnyFunSuite {
     assert(got == Seq("e1", "e2", "e3"))
   }
 
+  test("ann width gate: probe/refresh at a width other than the stored one fails fast; rebuild re-stamps") {
+    val s = new SnapshotStore(spark, Files.createTempDirectory("gannw").toString)
+    def edgesDf(rows: Seq[(String, String)]) = rows.toDF("uuid", "fact")
+      .withColumn("fact_embedding", org.apache.spark.sql.functions.udf((f: String) => graft.kg.Embedder.embed(f).toSeq).apply(col("fact")))
+    s.commit(edgesDf(Seq(("e1", "alice knows bob"), ("e2", "carol met dave"))), "edges", "seed")
+    SearchIndexes.buildAnn(s)
+    assert(SearchIndexes.storedAnnPlanes(s).contains(8))
+    System.setProperty("graft.ann.planes", "16")
+    try {
+      val ex = intercept[IllegalArgumentException](SearchIndexes.annForSigs(s, (0 until 4).toDF("sig")).collect())
+      assert(ex.getMessage.contains("width 8") && ex.getMessage.contains("planes=16"))
+      intercept[IllegalArgumentException](
+        SearchIndexes.refreshAnn(s, edgesDf(Seq.empty), edgesDf(Seq(("e3", "eve joined acme")))),
+      )
+      // the mandated rebuild re-signs every bucket and re-stamps the width
+      SearchIndexes.buildAnn(s)
+      assert(SearchIndexes.storedAnnPlanes(s).contains(16))
+      val got = SearchIndexes
+        .annForSigs(s, (0 until 65536).toDF("sig"))
+        .collect().map(_.getAs[String]("uuid")).toSeq.sorted
+      assert(got == Seq("e1", "e2"))
+    } finally System.clearProperty("graft.ann.planes")
+  }
+
   test("statistics lists every committed index with rows and version") {
     val stats = SearchIndexes.statistics(store).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq("edges_postings", "edges_bm25stats", "edge_ann", "graph_adj", "graph_degrees", "edge_months")
