@@ -278,6 +278,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   def commitTime(table: String, version: Int): Option[Long] =
     """"committed_at":(\d+)""".r.findFirstMatchIn(commitInfo(table, version)).map(_.group(1).toLong)
 
+  /** Column names of the current snapshot's newest bucket write, from the
+    * MANIFEST alone (one driver-side file read — no parquet footer job).
+    * None for plain tables or pre-upgrade manifests; callers needing
+    * certainty then fall back to `load(table).columns`.
+    */
+  def manifestColumns(table: String): Option[Seq[String]] =
+    currentVersion(table).flatMap(v => readManifest(table, v)).map(_.cols).filter(_.nonEmpty)
+
   /** Delete ONE version directory. Retention sweeps only — the caller
     * must have proven the version unreachable (no live manifest references
     * its files, no branch pins it). Refuses the current version. Returns

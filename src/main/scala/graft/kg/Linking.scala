@@ -67,13 +67,18 @@ object Linking {
     * ("Customer#000000001" vs "...002") are char-trigram-similar but NOT
     * duplicates; whole-token overlap keeps them apart.
     */
-  /** Blocking keys of a node set: (key, uuid), where key is the
-    * group-scoped exact normalized-name key or one of the 8 MinHash band
-    * keys. Two nodes can be duplicate candidates ONLY if they share a key
-    * (this is precisely [[duplicatePairs]]' candidate space). Persisted as
-    * the `node_blocks` index so incremental linking probes only the keys a
-    * batch touches instead of re-blocking the corpus
-    * (IncrementalIngest; reference: incremental_updater.py:94-388).
+  /** Blocking keys of a node set: (key, uuid, name, group_id), where key
+    * is the group-scoped exact normalized-name key or one of the 8 MinHash
+    * band keys. Two nodes can be duplicate candidates ONLY if they share a
+    * key (this is precisely [[duplicatePairs]]' candidate space).
+    * Persisted as the `node_blocks` index so incremental linking probes
+    * only the keys a batch touches instead of re-blocking the corpus
+    * (IncrementalIngest; reference: incremental_updater.py:94-388). The
+    * (name, group_id) payload rides along — exactly what
+    * [[duplicatePairs]] consumes — so the candidate probe reads THIS index
+    * alone instead of chasing candidate uuids into a second scattered
+    * nodes_raw bucket read (uuids hash uniformly: that read touched every
+    * bucket on every micro-batch).
     */
   def blockingKeys(nodes: DataFrame): DataFrame = {
     val grouped =
@@ -83,6 +88,8 @@ object Linking {
     val exact = base.select(
       concat(col("g"), lit("|k|"), normName(col("name"))).as("key"),
       col("uuid"),
+      col("name"),
+      col("g").as("group_id"),
     )
     val bands = base
       .withColumn("sh", nameTokens(col("name")))
@@ -91,9 +98,10 @@ object Linking {
       .select(
         col("g"),
         col("uuid"),
+        col("name"),
         explode(array((0 until 8).map(k => concat(lit(s"$k:"), element_at(col("mh"), k + 1))): _*)).as("band"),
       )
-      .select(concat(col("g"), lit("|b|"), col("band")).as("key"), col("uuid"))
+      .select(concat(col("g"), lit("|b|"), col("band")).as("key"), col("uuid"), col("name"), col("g").as("group_id"))
     exact.unionByName(bands).distinct()
   }
 

@@ -81,6 +81,26 @@ object IncrementalIngest {
           "bootstrap node_blocks",
           bucketBy = Seq("key"),
         ))
+    else if (
+      store.exists("nodes_raw") && store.exists("node_blocks") &&
+      // manifest-only schema check (a load() here paid a footer-inference
+      // job on EVERY batch); pre-upgrade manifests without recorded cols
+      // fall back to one real schema read
+      !store.manifestColumns("node_blocks")
+        .map(_.contains("name"))
+        .getOrElse(store.load("node_blocks").columns.contains("name"))
+    )
+      // one-time payload upgrade of a legacy (key, uuid)-only index: the
+      // candidate probe then reads node_blocks alone (blockingKeys doc)
+      tasks += (() =>
+        store.mergeBucketed(
+          "node_blocks",
+          Linking.blockingKeys(store.load("nodes_raw")),
+          Seq("key", "uuid"),
+          "upgrade node_blocks with (name, group_id) payload",
+          deleteKeys = Some(store.load("node_blocks").select(col("key"), col("uuid"))),
+          bucketBy = Seq("key"),
+        ))
     if (store.exists("uuid_map") && !store.exists("uuid_map_by_uuid"))
       tasks += (() =>
         store.mergeBucketed("uuid_map_by_uuid", store.load("uuid_map"), Seq("uuid"), "bootstrap uuid_map_by_uuid"))
@@ -271,15 +291,25 @@ object IncrementalIngest {
     val candFut = candPool.submit(new java.util.concurrent.Callable[DataFrame] {
       def call(): DataFrame = {
         val touchedKeys = newBlocks.select(col("key")).distinct()
+        // duplicatePairs consumes exactly (uuid, name, group_id) — the
+        // node_blocks payload carries it (blockingKeys), so the probe is
+        // ONE key-bucketed index read; the pre-payload fallback chased
+        // candidate uuids into nodes_raw, whose uniform uuid hashing
+        // touched every bucket on every batch
+        val slim = Seq("uuid", "name", "group_id")
         val stored =
-          if (store.exists("node_blocks") && store.exists("nodes_raw")) {
-            val candUuids = store
-              .loadForKeys("node_blocks", touchedKeys, Seq("key"))
-              .select(col("uuid"))
-              .distinct()
-            store.loadForKeys("nodes_raw", candUuids, Seq("uuid"))
-          } else surfaces.limit(0)
-        stored.unionByName(surfaces).dropDuplicates("uuid").localCheckpoint()
+          if (store.exists("node_blocks")) {
+            val blocks = store.loadForKeys("node_blocks", touchedKeys, Seq("key"))
+            if (blocks.columns.contains("name"))
+              blocks.select(slim.map(col): _*).dropDuplicates("uuid")
+            else if (store.exists("nodes_raw")) {
+              // legacy (key, uuid)-only index not yet upgraded by
+              // bootstrapIndexes: the old two-read path
+              val candUuids = blocks.select(col("uuid")).distinct().localCheckpoint()
+              store.loadForKeys("nodes_raw", candUuids, Seq("uuid")).select(slim.map(col): _*)
+            } else surfaces.select(slim.map(col): _*).limit(0)
+          } else surfaces.select(slim.map(col): _*).limit(0)
+        stored.unionByName(surfaces.select(slim.map(col): _*)).dropDuplicates("uuid").localCheckpoint()
       }
     })
 
@@ -308,6 +338,13 @@ object IncrementalIngest {
         // chain's only pre-stage-A table dependency so it can ride a
         // side thread from the moment extraction lands
         nodesRawOf: DataFrame => DataFrame,
+        // true ONLY on the speculative no-remap chain: delta/affCanon/cc
+        // empty and withNeg=false make statKeys EXACTLY the cuuid set of
+        // combinedAll (= combined ∪ goneStats), so the replaced-node-docs
+        // probe can fire on statKeys CONCURRENTLY with the stats combine
+        // instead of waiting for `combined` — removes the chain's last
+        // serial store read from its tail
+        docsKeysAreStatKeys: Boolean = false,
     ): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
       val partial = triples
         .select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
@@ -360,7 +397,12 @@ object IncrementalIngest {
             .withColumn("cuuid", coalesce(col("new_c"), col("cuuid")))
             .drop("new_c")
         else partial.limit(0)
-      val combinedAll = timed("stats combine") { existingStats
+      val haveNodesIdx = store.exists("nodes") && store.exists("nodes_postings")
+      def probeDocs(keys: DataFrame): DataFrame = store
+        .loadForKeys("nodes", keys, Seq("uuid"))
+        .select(col("uuid").as("id"), col("name").as("text"))
+        .localCheckpoint()
+      def combineAll(): DataFrame = timed("stats combine") { existingStats
         .unionByName(partial)
         .unionByName(negPartial)
         .groupBy(col("cuuid"))
@@ -371,6 +413,16 @@ object IncrementalIngest {
         )
         .localCheckpoint()
       }
+      var earlyDocs: DataFrame = null
+      val combinedAll =
+        if (docsKeysAreStatKeys && haveNodesIdx) {
+          var ca: DataFrame = null
+          graft.io.Concurrent.runAll(Seq(
+            () => ca = combineAll(),
+            () => earlyDocs = timed("node docs probe")(probeDocs(statKeys.select(col("cuuid").as("uuid")))),
+          ))
+          ca
+        } else combineAll()
       // an entity whose every mention was retracted leaves the stats AND
       // the nodes table (a bulk rebuild over the final corpus would never
       // have created it); deletion rides deleteKeys = statKeys/nodeDelKeys
@@ -394,14 +446,12 @@ object IncrementalIngest {
           ).as("attributes"),
         )
       val nodeDelKeys = ccF.select(col("uuid")).unionByName(goneStats.select(col("cuuid").as("uuid")))
-      val oldNodeDocs = timed("node docs probe") {
-        if (store.exists("nodes") && store.exists("nodes_postings"))
-          store
-            .loadForKeys("nodes", nodeDelKeys.unionByName(combined.select(col("cuuid").as("uuid"))).distinct(), Seq("uuid"))
-            .select(col("uuid").as("id"), col("name").as("text"))
-            .localCheckpoint()
-        else rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")).limit(0)
-      }
+      val oldNodeDocs =
+        if (!haveNodesIdx) rebuiltNodes.select(col("uuid").as("id"), col("name").as("text")).limit(0)
+        else if (earlyDocs != null) earlyDocs
+        else timed("node docs probe")(
+          probeDocs(nodeDelKeys.unionByName(combined.select(col("cuuid").as("uuid"))).distinct()),
+        )
       (combined, statKeys, rebuiltNodes, nodeDelKeys, oldNodeDocs)
     }
 
@@ -417,7 +467,11 @@ object IncrementalIngest {
         specPool.submit(new java.util.concurrent.Callable[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] {
           def call(): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
             val e = Seq.empty[(String, String)].toDF("uuid", "canonical")
-            statsChain(e, e, e, e, withNeg = false, keys => surfaces.join(keys, Seq("uuid"), "left_semi"))
+            statsChain(
+              e, e, e, e, withNeg = false,
+              keys => surfaces.join(keys, Seq("uuid"), "left_semi"),
+              docsKeysAreStatKeys = true,
+            )
           }
         })
 
@@ -495,6 +549,13 @@ object IncrementalIngest {
 
 
 
+    // the common steady batch finds NO duplicate pairs: every derived
+    // frame below (affCanon / oldMapAff / cc / delta / remapMap) is then
+    // provably empty WITHOUT running its store probe / join / merge jobs —
+    // each skipped step was a distributed-job latency quantum on the
+    // critical path of every steady micro-batch
+    val noPairs = pairs.isEmpty
+    val emptyMap = Seq.empty[(String, String)].toDF("uuid", "canonical").localCheckpoint()
     val pairNodes = pairs
       .select(col("u1").as("uuid"))
       .unionByName(pairs.select(col("u2").as("uuid")))
@@ -504,23 +565,27 @@ object IncrementalIngest {
     // then fetch whole components by canonical); the by_uuid probe copy may
     // not exist yet if the bulk map was empty — fall back to the plain map
     val affCanon = timed("affCanon probe") {
-      (if (store.exists("uuid_map_by_uuid"))
-         store.loadForKeys("uuid_map_by_uuid", pairNodes, Seq("uuid"))
-       else if (hasMap)
-         store.load("uuid_map").join(broadcast(pairNodes), Seq("uuid"), "left_semi")
-       else Seq.empty[(String, String)].toDF("uuid", "canonical"))
-        .select(col("canonical"))
-        .distinct()
-        .localCheckpoint()
+      if (noPairs) emptyMap.select(col("canonical"))
+      else
+        (if (store.exists("uuid_map_by_uuid"))
+           store.loadForKeys("uuid_map_by_uuid", pairNodes, Seq("uuid"))
+         else if (hasMap)
+           store.load("uuid_map").join(broadcast(pairNodes), Seq("uuid"), "left_semi")
+         else emptyMap)
+          .select(col("canonical"))
+          .distinct()
+          .localCheckpoint()
     }
+    val affCanonEmpty = noPairs || affCanon.isEmpty
     val oldMapAff =
-      if (hasMap) store.loadForKeys("uuid_map", affCanon, Seq("canonical")).select(col("uuid"), col("canonical"))
-      else Seq.empty[(String, String)].toDF("uuid", "canonical")
+      if (hasMap && !affCanonEmpty)
+        store.loadForKeys("uuid_map", affCanon, Seq("canonical")).select(col("uuid"), col("canonical"))
+      else emptyMap
+    val linkIdle = noPairs && affCanonEmpty
     val cc = timed("cc") {
       // the common steady batch finds NO duplicate pairs and touches no
       // existing component — skip the superstep loop outright
-      if (pairs.isEmpty && affCanon.isEmpty)
-        Seq.empty[(String, String)].toDF("uuid", "canonical").localCheckpoint()
+      if (linkIdle) emptyMap
       else
         graft.graph.GraphOps
           .connectedComponents(
@@ -532,30 +597,39 @@ object IncrementalIngest {
           .localCheckpoint()
     }
     timed("uuid_map merges") {
-      // two bucketed copies of the same (checkpointed) map → concurrent
-      graft.io.Concurrent.runAll(Seq(
-        () => { store.mergeBucketed("uuid_map", cc, Seq("canonical"), s"incremental batch=$batchId uuid_map", deleteKeys = Some(affCanon)); () },
-        () => { store.mergeBucketed("uuid_map_by_uuid", cc, Seq("uuid"), s"incremental batch=$batchId uuid_map_by_uuid"); () },
-      ))
+      // two bucketed copies of the same (checkpointed) map → concurrent;
+      // an idle link pass merges nothing — skip both no-op merge jobs
+      if (!linkIdle)
+        graft.io.Concurrent.runAll(Seq(
+          () => { store.mergeBucketed("uuid_map", cc, Seq("canonical"), s"incremental batch=$batchId uuid_map", deleteKeys = Some(affCanon)); () },
+          () => { store.mergeBucketed("uuid_map_by_uuid", cc, Seq("uuid"), s"incremental batch=$batchId uuid_map_by_uuid"); () },
+        ))
     }
 
     // the remap DELTA: entries whose canonical changed this batch, plus the
     // batch's own surface entries — small and broadcastable (the full map
-    // is never loaded)
-    val delta = timed("remap delta") { cc
-      .join(oldMapAff.withColumnRenamed("canonical", "old_c"), Seq("uuid"), "left")
-      .withColumn("old_c", coalesce(col("old_c"), col("uuid")))
-      .filter(col("canonical") =!= col("old_c"))
-      .select(col("uuid"), col("canonical"))
-      .localCheckpoint()
+    // is never loaded). An empty cc proves both empty — no join jobs.
+    val delta = timed("remap delta") {
+      if (linkIdle) emptyMap
+      else cc
+        .join(oldMapAff.withColumnRenamed("canonical", "old_c"), Seq("uuid"), "left")
+        .withColumn("old_c", coalesce(col("old_c"), col("uuid")))
+        .filter(col("canonical") =!= col("old_c"))
+        .select(col("uuid"), col("canonical"))
+        .localCheckpoint()
     }
-    val batchEntries = cc.join(surfaces.select(col("uuid")), Seq("uuid"), "left_semi")
-    val remapMap = timed("remap map")(delta.unionByName(batchEntries).distinct().localCheckpoint())
+    val remapMap = timed("remap map") {
+      if (linkIdle) emptyMap
+      else {
+        val batchEntries = cc.join(surfaces.select(col("uuid")), Seq("uuid"), "left_semi")
+        delta.unionByName(batchEntries).distinct().localCheckpoint()
+      }
+    }
 
     // adopt the speculative run iff linking found NOTHING (cc empty ⟺
     // pairs ∪ affCanon empty ⟹ delta/remapMap empty — exactly the frames
     // the speculative run used)
-    val specValid = specStats != null && pairs.isEmpty && affCanon.isEmpty
+    val specValid = specStats != null && linkIdle
     val (combined, statKeys, rebuiltNodes, nodeDelKeys, oldNodeDocs) = timed("stats chain") {
       try {
         if (specValid) specStats.get()
@@ -571,19 +645,22 @@ object IncrementalIngest {
       } finally specPool.shutdownNow()
     }
 
-    val mentionRows = triples
+    val mentionBase = triples
       .select(col("url"), explode(array(col("subj"), col("obj"))).as("name"))
       .distinct()
       .withColumn("entity_uuid", md5(concat(lit(s"en|$gid|"), col("name"))))
-      .join(broadcast(remapMap), col("entity_uuid") === col("uuid"), "left")
-      .withColumn("entity_uuid", coalesce(col("canonical"), col("entity_uuid")))
-      .select(
-        md5(concat(lit(s"ep|$gid|"), col("url"))).as("episode_uuid"),
-        col("entity_uuid"),
-      )
-      .distinct()
-      .withColumn("name", lit("MENTIONS"))
-      .withColumn("group_id", lit(gid))
+    val mentionRows =
+      (if (linkIdle) mentionBase // empty remap map — the left join is identity
+       else mentionBase
+         .join(broadcast(remapMap), col("entity_uuid") === col("uuid"), "left")
+         .withColumn("entity_uuid", coalesce(col("canonical"), col("entity_uuid"))))
+        .select(
+          md5(concat(lit(s"ep|$gid|"), col("url"))).as("episode_uuid"),
+          col("entity_uuid"),
+        )
+        .distinct()
+        .withColumn("name", lit("MENTIONS"))
+        .withColumn("group_id", lit(gid))
     // re-ingested pages: their OLD mention rows (keyed by canonical-now —
     // the per-batch remap block keeps stored rows re-keyed) are deleted;
     // current mentions re-insert below
@@ -606,7 +683,7 @@ object IncrementalIngest {
     // a batch of entirely-new unique surfaces has an empty remap map
     // (checkpointed above) — the two canonical joins are identity then
     val newRaw =
-      if (remapMap.isEmpty) newRawBase else Linking.remapPointers(newRawBase, remapMap)
+      if (linkIdle || remapMap.isEmpty) newRawBase else Linking.remapPointers(newRawBase, remapMap)
     // retracted fact assertions (canonical-NOW endpoints + the retracting
     // episode): mergeEdges excludes the stored rows of these facts from the
     // rebuild and re-derives them from their remaining supporters
@@ -686,7 +763,7 @@ object IncrementalIngest {
           // duplicate: its canonical is unchanged, so no remapKeys probe
           // fires) would otherwise leave the receiving canonical groups out
           // of affectedKeys and replace-by-key would DROP their stored rows.
-          val specEdgesOk = remapMap.isEmpty
+          val specEdgesOk = linkIdle || remapMap.isEmpty
           rebuilt = mergeEdges(
             store, newRaw, batchId, delta, retractedKeyed, gid,
             preKeys = if (specEdgesOk) earlyKeys else null,
