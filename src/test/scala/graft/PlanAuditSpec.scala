@@ -107,6 +107,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_lsh16 (production width + multi-probe): query side broadcast, corpus never shuffles pre-join") {
+    val p = run("q_ann_lsh16")
+    assert(!p.contains("CartesianProduct"), "multi-probe degenerated to a cartesian product:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "probe-signature join must broadcast the (tiny) query fan-out:\n" + p)
+    // the corpus side reaches the sig equi-join straight from its scan —
+    // at 100 TB an Exchange of the corpus before candidate pruning would
+    // shuffle everything to prune 2^-16 of it
+    assert(
+      !"Exchange hashpartitioning.*sig".r.findFirstIn(p).isDefined,
+      "corpus shuffled on sig before the broadcast probe join:\n" + p,
+    )
+  }
+
   test("q_dedup_exact: one shuffle on the fingerprint, partial combine, pruned scan") {
     val p = run("q_dedup_exact")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, "extra shuffle in exact dedup:\n" + p)
