@@ -64,6 +64,36 @@ object IncrementalIngest {
     if (df.columns.contains("manual_invalid_at")) df
     else df.withColumn("manual_invalid_at", lit(null).cast("timestamp"))
 
+  /** The raw-assertion columns a contention-group rebuild consumes. */
+  private val RebuildCols =
+    Seq("group_id", "source_uuid", "name", "target_uuid", "fact", "valid_at", "created_at", "episodes", "manual_invalid_at")
+
+  /** Deterministic edge-row finalization of a rebuild set: dedupe +
+    * contradiction-invalidate, stamp fact_embedding (codegen expression)
+    * and the content-derived uuid, checkpoint. Shared by [[mergeEdges]]
+    * and the speculative rebuild ingestBatch runs in linking's shadow —
+    * both paths MUST stay this exact function or speculation diverges.
+    */
+  private def finalizeRebuild(toRebuild: DataFrame): DataFrame =
+    Invalidation
+      .dedupeAndInvalidate(toRebuild)
+      .withColumn("fact_embedding", graft.functions.Functions.embedText(col("fact")))
+      .withColumn(
+        "uuid",
+        md5(concat_ws("|", lit("ed"), col("group_id"), col("source_uuid"), col("name"), col("target_uuid"), col("valid_at").cast("string"))),
+      )
+      .localCheckpoint()
+
+  /** The steady-batch rebuild set: affected stored rows ∪ the batch's raw
+    * assertions (no remap, no retraction — the speculative precondition).
+    */
+  private def steadyRebuildSet(existingStored: DataFrame, newRawM: DataFrame): DataFrame =
+    if (existingStored == null) newRawM.select(RebuildCols.map(col): _*)
+    else
+      existingStored
+        .select(RebuildCols.map(col): _*)
+        .unionByName(newRawM.select(RebuildCols.map(col): _*))
+
   /** One-time index bootstrap for stores created by the BULK pipeline
     * before these indexes existed (KgPipeline now commits them itself).
     * Must run BEFORE the batch's rows are merged, so batch contributions
@@ -493,6 +523,7 @@ object IncrementalIngest {
     )
     var earlyKeys: DataFrame = null
     var earlyStored: DataFrame = null
+    var earlyRebuilt: DataFrame = null
     val earlyPool = daemonWorker("inc-edges-probe")
     val earlyProbe = earlyPool.submit(new java.util.concurrent.Callable[Unit] {
       def call(): Unit = {
@@ -501,6 +532,13 @@ object IncrementalIngest {
           if (store.exists("edges"))
             withManualCol(store.loadForKeys("edges", earlyKeys, GroupKey)).localCheckpoint()
           else null
+        // speculative REBUILD of the affected groups (identity-remap, no
+        // retraction — exactly the steady-batch set): dedupe/invalidate +
+        // embedding + uuid ride in linking's shadow too; mergeEdges adopts
+        // it under the same gate as preKeys/preStored. A re-ingest's
+        // retraction side makes the sets differ — never speculated.
+        if (!reIngest)
+          earlyRebuilt = finalizeRebuild(steadyRebuildSet(earlyStored, withManualCol(newRawBase)))
       }
     })
 
@@ -768,6 +806,7 @@ object IncrementalIngest {
             store, newRaw, batchId, delta, retractedKeyed, gid,
             preKeys = if (specEdgesOk) earlyKeys else null,
             preStored = if (specEdgesOk) earlyStored else null,
+            preRebuilt = if (specEdgesOk) earlyRebuilt else null,
             // entity_edges rows for every episode cited by replaced/
             // rebuilt edges are patched inside mergeEdges; batch episodes
             // that produced no edges still need an explicit (empty) row —
@@ -814,10 +853,15 @@ object IncrementalIngest {
       groupId: String = "default",
       // speculative probe results from ingestBatch (the batch's PRE-remap
       // contention groups, probed concurrently with linking): remap /
-      // retraction extras are unioned in below. Both null on the
-      // standalone (add_triplet) path.
+      // retraction extras are unioned in below. All null on the
+      // standalone (add_triplet) path. preRebuilt additionally carries the
+      // speculatively FINALIZED rebuild of those groups (finalizeRebuild
+      // over preStored ∪ the batch rows) — adopted only when the steady
+      // preconditions verify below (identity remap, no retraction, no
+      // extra affected groups).
       preKeys: DataFrame = null,
       preStored: DataFrame = null,
+      preRebuilt: DataFrame = null,
       // episode uuids that must end up with an entity_edges row even when
       // the batch produced no edges for them (folded into the patch task)
       ensureEpisodes: DataFrame = null,
@@ -831,8 +875,6 @@ object IncrementalIngest {
     // probe and both remap joins are then identity work — skip them
     // (delta is checkpointed by the caller, so isEmpty is O(1))
     val deltaEmpty = delta.isEmpty
-    // native codegen expression, not a UDF (graft.functions.EmbedText)
-    val embedUdf = (c: org.apache.spark.sql.Column) => graft.functions.Functions.embedText(c)
     // manual_invalid_at rides along so explicit invalidate_edges() calls
     // survive group rebuilds (the window pass never overwrites it)
     val rebuildCols =
@@ -952,14 +994,16 @@ object IncrementalIngest {
           .unionByName(newRawM.select(rebuildCols.map(col): _*))
     val toRebuild =
       if (supportRows == null) toRebuildBase else toRebuildBase.unionByName(supportRows)
-    val rebuilt = timed("  me:rebuild") { Invalidation
-      .dedupeAndInvalidate(toRebuild)
-      .withColumn("fact_embedding", embedUdf(col("fact")))
-      .withColumn(
-        "uuid",
-        md5(concat_ws("|", lit("ed"), col("group_id"), col("source_uuid"), col("name"), col("target_uuid"), col("valid_at").cast("string"))),
-      )
-      .localCheckpoint()
+    // adopt the speculative finalization iff the steady preconditions
+    // verify: identity remap (deltaEmpty), no retraction, and no extra
+    // affected groups beyond the speculated probe — under exactly these,
+    // toRebuild == steadyRebuildSet(preStored, newRawM) and
+    // finalizeRebuild is deterministic, so the frames are value-identical
+    val specRebuiltOk =
+      preRebuilt != null && deltaEmpty && retracted == null && extraKeys != null && extraKeys.isEmpty
+    val rebuilt = timed("  me:rebuild") {
+      if (specRebuiltOk) preRebuilt
+      else finalizeRebuild(toRebuild)
     }
     // the edges merge writes only `edges`; the index refreshes below read
     // checkpointed frames and write disjoint index tables — one concurrent
@@ -992,7 +1036,7 @@ object IncrementalIngest {
     // or this batch IS the whole corpus (first merge)
     val edgeUuidsLive = store.exists("edge_uuids") || !store.exists("edges")
     timed("  me:merge+refreshes")(graft.io.Concurrent.runAll(Seq(
-      () => {
+      () => timed("    me:t:edges") {
         store.mergeBucketed(
           "edges", rebuilt, GroupKey, s"incremental batch=$batchId edges",
           deleteKeys = Some(affectedKeys),
@@ -1000,33 +1044,33 @@ object IncrementalIngest {
         ()
       },
       () =>
-        compactEdgesText.set(graft.search.SearchIndexes.refreshText(
+        compactEdgesText.set(timed("    me:t:text")(graft.search.SearchIndexes.refreshText(
           store, "edges",
           oldRows.select(col("uuid").as("id"), col("fact").as("text")),
           rebuilt.select(col("uuid").as("id"), col("fact").as("text")),
           defer = true,
-        )),
+        ))),
       () =>
-        compactAnn.set(graft.search.SearchIndexes.refreshAnn(
+        compactAnn.set(timed("    me:t:ann")(graft.search.SearchIndexes.refreshAnn(
           store,
           oldRows.select(col("uuid"), col("fact_embedding")),
           rebuilt.select(col("uuid"), col("fact_embedding")),
           defer = true,
-        )),
+        ))),
       () =>
-        compactAdj.set(graft.search.SearchIndexes.refreshGraph(
+        compactAdj.set(timed("    me:t:graph")(graft.search.SearchIndexes.refreshGraph(
           store,
           oldRows.select(col("source_uuid"), col("target_uuid")),
           rebuilt.select(col("source_uuid"), col("target_uuid")),
           defer = true,
-        )),
+        ))),
       () =>
-        compactMonths.set(graft.search.SearchIndexes.refreshTemporal(
+        compactMonths.set(timed("    me:t:months")(graft.search.SearchIndexes.refreshTemporal(
           store, oldRows.select(tCols: _*), rebuilt.select(tCols: _*), defer = true,
-        )),
+        ))),
       // endpoint index upkeep: append rebuilt groups' endpoint rows (stale
       // rows of moved endpoints only cause benign extra-probe hits)
-      () => {
+      () => timed("    me:t:endpoints") {
         val idx = rebuilt
           .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
           .distinct()
@@ -1042,7 +1086,7 @@ object IncrementalIngest {
       // Guarded by edgeUuidsLive: appending the batch alone into a store
       // whose pre-existing corpus was never bootstrapped would create a
       // PARTIAL index and locate probes would silently miss old rows.
-      () => {
+      () => timed("    me:t:edge_uuids") {
         if (edgeUuidsLive) {
           store.mergeBucketed(
             "edge_uuids",
