@@ -94,6 +94,45 @@ object IncrementalIngest {
         .select(RebuildCols.map(col): _*)
         .unionByName(newRawM.select(RebuildCols.map(col): _*))
 
+  /** episode_entity_edges surgical patch for a finalized rebuild: every
+    * cited episode's list drops exactly the replaced edge uuids and gains
+    * the rebuilt ones; `ensureEpisodes` (the batch's own episodes) get
+    * explicit — possibly empty — lists so re-ingests overwrite stale
+    * lists. Checkpointed: mergeBucketed traverses its updates twice
+    * (count pass + write pass). Shared by [[mergeEdges]] and the
+    * speculative run in linking's shadow (the table is only ever written
+    * by mergeEdges itself, so the pre-stage-B snapshot both read is the
+    * same).
+    */
+  private def entityEdgesPatch(
+      store: SnapshotStore,
+      oldRows: DataFrame,
+      rebuilt: DataFrame,
+      ensureEpisodes: DataFrame,
+  ): DataFrame = {
+    val oldByEp = oldRows.select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
+    val newByEp = rebuilt.select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
+    val touched0 = oldByEp.select("uuid").unionByName(newByEp.select("uuid"))
+    val touched =
+      (if (ensureEpisodes != null) touched0.unionByName(ensureEpisodes.select(col("uuid"))) else touched0)
+        .distinct()
+    val stored =
+      if (store.exists("episode_entity_edges"))
+        store
+          .loadForKeys("episode_entity_edges", touched, Seq("uuid"))
+          .select(col("uuid"), explode(col("entity_edges")).as("edge_uuid"))
+      else newByEp.limit(0)
+    val patched = stored
+      .join(oldByEp, Seq("uuid", "edge_uuid"), "left_anti")
+      .unionByName(newByEp)
+      .groupBy(col("uuid"))
+      .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
+    touched
+      .join(patched, Seq("uuid"), "left")
+      .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
+      .localCheckpoint()
+  }
+
   /** One-time index bootstrap for stores created by the BULK pipeline
     * before these indexes existed (KgPipeline now commits them itself).
     * Must run BEFORE the batch's rows are merged, so batch contributions
@@ -541,6 +580,26 @@ object IncrementalIngest {
           earlyRebuilt = finalizeRebuild(steadyRebuildSet(earlyStored, withManualCol(newRawBase)))
       }
     })
+    // second queued task on the SAME single worker (strict ordering, same
+    // thread → earlyStored/earlyRebuilt visible): the entity_edges patch
+    // — mergeEdges' profiled wall task — computed whenever the worker gets
+    // to it. The main thread joins ONLY earlyProbe before stage-B; the
+    // entity_edges merge task inside mergeEdges consumes this future
+    // directly, so a long patch delays just that one task, not the whole
+    // stage.
+    val earlyEntityEdges: java.util.concurrent.Future[DataFrame] =
+      if (reIngest) null
+      else
+        earlyPool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame =
+            if (earlyRebuilt == null) null
+            else entityEdgesPatch(
+              store,
+              if (earlyStored == null) earlyRebuilt.limit(0) else earlyStored,
+              earlyRebuilt,
+              episodes.select(col("uuid")),
+            )
+        })
 
     // ---- stage-A writes: five DISJOINT output tables whose inputs are
     // all checkpointed (or, for oldEpisodeDocs, pinned to version dirs at
@@ -807,6 +866,7 @@ object IncrementalIngest {
             preKeys = if (specEdgesOk) earlyKeys else null,
             preStored = if (specEdgesOk) earlyStored else null,
             preRebuilt = if (specEdgesOk) earlyRebuilt else null,
+            preEntityEdges = if (specEdgesOk) earlyEntityEdges else null,
             // entity_edges rows for every episode cited by replaced/
             // rebuilt edges are patched inside mergeEdges; batch episodes
             // that produced no edges still need an explicit (empty) row —
@@ -862,6 +922,7 @@ object IncrementalIngest {
       preKeys: DataFrame = null,
       preStored: DataFrame = null,
       preRebuilt: DataFrame = null,
+      preEntityEdges: java.util.concurrent.Future[DataFrame] = null,
       // episode uuids that must end up with an entity_edges row even when
       // the batch produced no edges for them (folded into the patch task)
       ensureEpisodes: DataFrame = null,
@@ -1074,6 +1135,7 @@ object IncrementalIngest {
         val idx = rebuilt
           .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
           .distinct()
+          .localCheckpoint() // count pass + write pass share the shuffle
         store.mergeBucketed(
           "edge_endpoints", idx, Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
           s"incremental batch=$batchId endpoints",
@@ -1090,7 +1152,7 @@ object IncrementalIngest {
         if (edgeUuidsLive) {
           store.mergeBucketed(
             "edge_uuids",
-            rebuilt.select(col("uuid"), col("group_id"), col("source_uuid"), col("name")).distinct(),
+            rebuilt.select(col("uuid"), col("group_id"), col("source_uuid"), col("name")).distinct().localCheckpoint(),
             Seq("uuid"),
             s"incremental batch=$batchId edge_uuids",
           )
@@ -1103,31 +1165,16 @@ object IncrementalIngest {
       // propagate to NON-batch supporting episodes, whose lists also span
       // untouched groups and therefore can't be recomputed from this
       // partial view: drop exactly the replaced uuids, add the rebuilt ones
-      () => {
-        val oldByEp = oldRows.select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
-        val newByEp = rebuilt.select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
-        val touched0 = oldByEp.select("uuid").unionByName(newByEp.select("uuid"))
-        // ensure rows exist for the batch's own episodes even when they
-        // produced no edges (re-ingests must overwrite stale lists; fresh
-        // no-edge episodes get explicit empty lists) — previously a
-        // separate post-stage probe + merge
-        val touched =
-          (if (ensureEpisodes != null) touched0.unionByName(ensureEpisodes.select(col("uuid"))) else touched0)
-            .distinct()
-        val stored =
-          if (store.exists("episode_entity_edges"))
-            store
-              .loadForKeys("episode_entity_edges", touched, Seq("uuid"))
-              .select(col("uuid"), explode(col("entity_edges")).as("edge_uuid"))
-          else newByEp.limit(0)
-        val patched = stored
-          .join(oldByEp, Seq("uuid", "edge_uuid"), "left_anti")
-          .unionByName(newByEp)
-          .groupBy(col("uuid"))
-          .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
-        val rowsOut = touched
-          .join(patched, Seq("uuid"), "left")
-          .withColumn("entity_edges", coalesce(col("entity_edges"), array().cast("array<string>")))
+      () => timed("    me:t:entity_edges") {
+        // adopt the speculatively computed patch under the SAME gate as
+        // the rebuilt frame (its inputs are exactly oldRows/rebuilt/
+        // ensureEpisodes, all proven equal there); otherwise compute here
+        val spec =
+          if (specRebuiltOk && preEntityEdges != null) preEntityEdges.get()
+          else null
+        val rowsOut =
+          if (spec != null) spec
+          else entityEdgesPatch(store, oldRows, rebuilt, ensureEpisodes)
         store.mergeBucketed("episode_entity_edges", rowsOut, Seq("uuid"), s"incremental batch=$batchId entity_edges")
         ()
       },
