@@ -147,12 +147,21 @@ object IndexLifecycle {
   /** Retention sweep over index version directories
     * (`cleanup_unused_indices(retention_days)`): deletes a version only
     * when ALL hold —
-    *  - it is not the current version and is strictly older than it;
-    *  - no live manifest references its files (current version's bucket
-    *    owners + merge-on-read chain, and the same for every
-    *    branch-pinned version);
+    *  - it is not the current version (older OR newer — post-rollback
+    *    orphans above the current version sweep under the same rules);
+    *  - no SURVIVING version's manifest references its files. Survivors
+    *    are the current version, branch-pinned versions, versions still
+    *    within retention, and anything a survivor references — computed
+    *    as a FIXPOINT, so a restore target that survives the sweep always
+    *    finds the bucket files its manifest carries by reference (a
+    *    current-and-pins-only reachable set could delete a directory an
+    *    older-but-surviving version still points into);
     *  - it is not a live delta-log segment (appends since the last
     *    compaction marker — those reconcile into every probe);
+    *  - for `edge_ann`, it is not the newest `planes=N`-stamped version —
+    *    the width gate ([[SearchIndexes.storedAnnPlanes]]) resolves from
+    *    that commit's message; sweeping it would silently disable the
+    *    fail-fast on width mismatch;
     *  - its commit is older than the retention cutoff.
     * Primaries (nodes/edges/…) are untouched — indexes only.
     */
@@ -171,12 +180,24 @@ object IndexLifecycle {
     var freed = 0L
     val removed = for (t <- sweepTables) yield {
       val cur = store.currentVersion(t).get
-      val reachable =
+      val vs = store.versions(t)
+      val base: Set[Int] =
         store.referencedVersions(t, cur) ++
           pins.flatMap(_.get(t)).flatMap(v => store.referencedVersions(t, v)) ++
-          (if (t.endsWith("_delta")) DeltaLog.liveVersions(store, t) else Nil)
-      val victims = store.versions(t).filter { v =>
-        v < cur && !reachable.contains(v) && store.commitTime(t, v).exists(_ < cutoff)
+          (if (t.endsWith("_delta")) DeltaLog.liveVersions(store, t) else Nil) ++
+          (if (t == "edge_ann") SearchIndexes.annStampVersion(store).toSet else Set.empty[Int])
+      // fixpoint: every version that SURVIVES (current, reachable so far,
+      // or not provably past retention) protects the versions its own
+      // manifest references — iterate until the reachable set is stable
+      @annotation.tailrec
+      def expand(reach: Set[Int]): Set[Int] = {
+        val survivors = vs.filter(v => v == cur || reach.contains(v) || store.commitTime(t, v).forall(_ >= cutoff))
+        val next = base ++ survivors.flatMap(v => store.referencedVersions(t, v))
+        if (next == reach) next else expand(next)
+      }
+      val reachable = expand(base)
+      val victims = vs.filter { v =>
+        v != cur && !reachable.contains(v) && store.commitTime(t, v).exists(_ < cutoff)
       }
       victims.foreach(v => freed += store.deleteVersion(t, v))
       t -> victims

@@ -104,16 +104,44 @@ object SearchIndexes {
     */
   def annProbes: Int = Integer.getInteger("graft.ann.nprobe", 1)
 
+  /** Newest `planes=N`-stamped `edge_ann` version at or below the current
+    * one — the commit the width gate resolves from. The retention sweep
+    * must never delete it (IndexLifecycle.cleanupIndexVersions), or a
+    * cold resolution would silently lose the fail-fast on width mismatch.
+    */
+  def annStampVersion(store: SnapshotStore): Option[Int] =
+    store.currentVersion("edge_ann").flatMap { cur =>
+      store.versions("edge_ann").filter(_ <= cur).reverseIterator
+        .find(v => """planes=(\d+)""".r.findFirstIn(store.commitInfo("edge_ann", v)).isDefined)
+    }
+
+  // width per (store root, current edge_ann version): the stamp walk
+  // reads one _commit.json PER VERSION newest-first — O(versions)
+  // driver-side file reads on EVERY annForSigs probe / refreshAnn of a
+  // long-lived store with many unstamped merge commits. Committed
+  // versions are immutable, so the resolution is a pure function of
+  // (root, current version) and caches for the JVM's lifetime.
+  private val annWidthCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[Int]]()
+
   /** Width the committed `edge_ann` buckets were built at — the newest
     * `planes=N` stamp in the table's commit log ([[buildAnn]] writes it;
     * unrelated merges like group deletes don't, so the scan walks back to
     * the last build/compaction). None on stores from before the stamp.
+    * Cached per (store, current version) — one stamp walk per committed
+    * version, not per probe.
     */
   def storedAnnPlanes(store: SnapshotStore): Option[Int] =
-    store.currentVersion("edge_ann").flatMap { cur =>
-      store.versions("edge_ann").filter(_ <= cur).reverseIterator
-        .map(v => """planes=(\d+)""".r.findFirstMatchIn(store.commitInfo("edge_ann", v)))
-        .collectFirst { case Some(m) => m.group(1).toInt }
+    store.currentVersion("edge_ann") match {
+      case None => None
+      case Some(cur) =>
+        annWidthCache.computeIfAbsent(
+          (store.root, cur),
+          _ =>
+            store.versions("edge_ann").filter(_ <= cur).reverseIterator
+              .map(v => """planes=(\d+)""".r.findFirstMatchIn(store.commitInfo("edge_ann", v)))
+              .collectFirst { case Some(m) => m.group(1).toInt },
+        )
     }
 
   /** Fail fast when the configured width disagrees with the stored one:

@@ -83,6 +83,72 @@ class IndexLifecycleSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { IndexLifecycle.restoreIndexVersion(s, "edges", 0) }
   }
 
+  /** Test-only: rewrite a version's committed_at so it is past any
+    * retention cutoff (all fixture commits land within one second, so
+    * age-based scenarios need a planted timestamp).
+    */
+  private def ageVersion(s: SnapshotStore, table: String, v: Int): Unit = {
+    val p = java.nio.file.Paths.get(s.root, table, s"v=$v", "_commit.json")
+    val json = new String(Files.readAllBytes(p), "UTF-8")
+    val aged = """"committed_at":\d+""".r.replaceAllIn(json, """"committed_at":1000""")
+    Files.write(p, aged.getBytes("UTF-8"))
+  }
+
+  test("sweep reachability is a fixpoint: a surviving rollback target keeps the versions it references") {
+    val s = freshStore("glc-fix")
+    val vBuild = s.currentVersion("graph_adj").get
+    // v2: small drift — carries vBuild's untouched buckets BY REFERENCE
+    s.mergeBucketed(
+      "graph_adj", Seq(("zz-fp-src", "zz-fp-dst", 1L)).toDF("src", "dst", "cnt"),
+      Seq("src", "dst"), "fixpoint drift", bucketBy = Seq("src"),
+    )
+    val vMid = s.currentVersion("graph_adj").get
+    assert(s.referencedVersions("graph_adj", vMid).contains(vBuild))
+    // v3: rewrite EVERY bucket (all existing keys re-enter) — the current
+    // manifest no longer references vBuild or vMid
+    val allRows = s.load("graph_adj").withColumn("cnt", col("cnt") + 1L).localCheckpoint()
+    s.mergeBucketed("graph_adj", allRows, Seq("src", "dst"), "full rewrite", bucketBy = Seq("src"))
+    val vCur = s.currentVersion("graph_adj").get
+    assert(!s.referencedVersions("graph_adj", vCur).contains(vBuild))
+    assert(!s.referencedVersions("graph_adj", vCur).contains(vMid))
+    // vBuild ages out; vMid stays within retention (a valid restore target)
+    ageVersion(s, "graph_adj", vBuild)
+    IndexLifecycle.cleanupIndexVersions(s, retentionDays = 30)
+    // vMid survives (within retention) → the files it references must too
+    assert(s.versions("graph_adj").contains(vBuild), "fixpoint must keep a survivor's referenced version")
+    IndexLifecycle.restoreIndexVersion(s, "graph_adj", vMid)
+    assert(s.load("graph_adj").count() > 0, "restored version must still find its bucket files")
+  }
+
+  test("post-rollback orphans newer than current sweep under the same rules") {
+    val s = freshStore("glc-orph")
+    val v0 = s.currentVersion("graph_adj").get
+    s.mergeBucketed(
+      "graph_adj", Seq(("zz-orph-src", "zz-orph-dst", 1L)).toDF("src", "dst", "cnt"),
+      Seq("src", "dst"), "abandoned newer version", bucketBy = Seq("src"),
+    )
+    val vNew = s.currentVersion("graph_adj").get
+    IndexLifecycle.restoreIndexVersion(s, "graph_adj", v0)
+    ageVersion(s, "graph_adj", vNew)
+    val res = IndexLifecycle.cleanupIndexVersions(s, retentionDays = 30)
+    assert(!s.versions("graph_adj").contains(vNew), "aged-out unreachable version above current must sweep")
+    assert(res.removedVersions.getOrElse("graph_adj", Nil).contains(vNew))
+    assert(s.load("graph_adj").count() > 0)
+  }
+
+  test("the newest planes-stamped edge_ann version never sweeps (width gate survives)") {
+    val s = freshStore("glc-stamp")
+    val vStamp = SearchIndexes.annStampVersion(s).get
+    // unstamped full rewrite: current manifest stops referencing vStamp
+    val allRows = s.load("edge_ann").localCheckpoint()
+    s.mergeBucketed("edge_ann", allRows, Seq("sig", "uuid"), "unstamped rewrite", bucketBy = Seq("sig"))
+    assert(!s.referencedVersions("edge_ann", s.currentVersion("edge_ann").get).contains(vStamp))
+    ageVersion(s, "edge_ann", vStamp)
+    IndexLifecycle.cleanupIndexVersions(s, retentionDays = 30)
+    assert(s.versions("edge_ann").contains(vStamp), "stamp version must survive the sweep")
+    assert(SearchIndexes.annStampVersion(s).contains(vStamp))
+  }
+
   test("retention sweep deletes only unreachable old versions") {
     val s = freshStore("glc-gc")
     // two stats refreshes → two superseded PLAIN versions (no manifest:
