@@ -84,13 +84,33 @@ object Similarity {
     // the corpus and the 3 lowest-margin bit flips buy the straddle
     // recall back). The oracle re-derives the md5-parity planes, the
     // 16-bit signatures AND the margin-ordered probe set in SQL, so the
-    // scale configuration itself sits under the correctness gate. ----
+    // scale configuration itself sits under the correctness gate.
+    //
+    // NON-VACUOUS by construction: at width 16 over the ~500-vector
+    // fixture, disjoint random query/corpus vectors share no bucket (the
+    // round-4 gate compared ∅ == ∅ — green wired to nothing). Queries are
+    // therefore PLANTED NEAR-DUPLICATES of corpus vectors 20..39: each
+    // coordinate perturbed by (i%7−3)/1024 — double-exact on both engines
+    // (float→double is exact, k/1024 is exact, one IEEE double add each)
+    // — so every query provably collides with its unperturbed original
+    // (directly or via the margin-ordered probe fan-out) and the
+    // cross-engine gate compares a populated candidate set: wrong
+    // signatures, a broken probe fan-out, or a margin-ordering bug now
+    // produce a VALUE mismatch, not an empty-set pass. ----
     QueryDef(
       "q_ann_lsh16",
       (s, dir) => {
         val e = T.load(s, dir, "embeddings")
-        val queries = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val corpus = e.filter(col("vec_id") >= 10).select(col("vec_id").as("id"), col("embedding").as("v"))
+        val queries = e
+          .filter(col("vec_id").between(20, 39))
+          .select(
+            col("vec_id").as("qid"),
+            transform(
+              col("embedding"),
+              (x, i) => x.cast("double") + ((i % 7) - lit(3)).cast("double") / lit(1024.0),
+            ).as("qv"),
+          )
         Ann.lshBucketTopK(queries, corpus, 5, nPlanes = 16, nProbe = 4).orderBy(col("qid"), col("rk"))
       },
       Some("""
@@ -99,34 +119,46 @@ object Similarity {
                  CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
                       THEN 1.0 ELSE -1.0 END AS coef
           FROM (SELECT unnest(range(0, 16)) AS p), (SELECT unnest(range(0, 64)) AS i)),
-        vecs AS (
+        cvecs AS (
           SELECT vec_id, embedding[u.i]::DOUBLE AS x, u.i - 1 AS i
-          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u),
-        dots AS (
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+          WHERE vec_id >= 10),
+        qvecs AS (
+          SELECT vec_id, embedding[u.i]::DOUBLE + ((u.i - 1) % 7 - 3) / 1024.0 AS x, u.i - 1 AS i
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+          WHERE vec_id BETWEEN 20 AND 39),
+        cdots AS (
           SELECT v.vec_id, pl.p, sum(pl.coef * v.x) AS dot
-          FROM vecs v JOIN planes pl ON v.i = pl.i
+          FROM cvecs v JOIN planes pl ON v.i = pl.i
           GROUP BY v.vec_id, pl.p),
-        sigs AS (
+        qdots AS (
+          SELECT v.vec_id, pl.p, sum(pl.coef * v.x) AS dot
+          FROM qvecs v JOIN planes pl ON v.i = pl.i
+          GROUP BY v.vec_id, pl.p),
+        csigs AS (
           SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END)::INT AS sig
-          FROM dots GROUP BY vec_id),
+          FROM cdots GROUP BY vec_id),
+        qsigs AS (
+          SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END)::INT AS sig
+          FROM qdots GROUP BY vec_id),
         flips AS (
           SELECT vec_id, mask FROM (
             SELECT vec_id, (1 << p) AS mask,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), (1 << p)) AS rk
-            FROM dots WHERE vec_id < 10)
+                   row_number() OVER (PARTITION BY vec_id ORDER BY round(abs(dot), 6), (1 << p)) AS rk
+            FROM qdots)
           WHERE rk <= 3),
-        qsigs AS (SELECT vec_id, sig FROM sigs WHERE vec_id < 10),
         probes AS (
           SELECT vec_id, sig FROM qsigs
           UNION ALL
           SELECT q.vec_id, xor(q.sig, f.mask) AS sig FROM qsigs q JOIN flips f ON q.vec_id = f.vec_id),
-        q AS (SELECT e.vec_id AS qid, e.embedding AS qv, pr.sig
-              FROM embeddings e JOIN probes pr ON e.vec_id = pr.vec_id WHERE e.vec_id < 10),
-        c AS (SELECT e.vec_id AS id, e.embedding AS v, s.sig
-              FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id WHERE e.vec_id >= 10),
+        cand AS (
+          SELECT pr.vec_id AS qid, cs.vec_id AS id
+          FROM probes pr JOIN csigs cs ON pr.sig = cs.sig),
         pairs AS (
-          SELECT qid, id, unnest(c.v)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
-          FROM c JOIN q ON c.sig = q.sig),
+          SELECT cand.qid, cand.id, c.x AS x, q.x AS y
+          FROM cand
+          JOIN cvecs c ON c.vec_id = cand.id
+          JOIN qvecs q ON q.vec_id = cand.qid AND q.i = c.i),
         scored AS (
           SELECT qid, id, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS score
           FROM pairs GROUP BY qid, id),

@@ -96,10 +96,14 @@ object Ann {
       val n = least(size(vec), lit(64))
       val v = slice(vec, lit(1), n)
       // (|margin|, bit mask) per plane; sort ascending → flip the closest
-      // planes first (deterministic: mask breaks margin ties)
+      // planes first. The margin ROUNDS to 6 decimals before ordering
+      // (same discipline as the cosine scores): the SQL oracle sums the
+      // plane dot in a different order, so near-equal raw margins could
+      // order differently across engines and diverge the probe sets —
+      // after rounding, ties break deterministically on the bit mask.
       val margins = array(planeCoefs(nPlanes).zipWithIndex.map { case (coefs, p) =>
         val coefArr = slice(array(coefs.map(lit): _*), lit(1), n)
-        struct(abs(graft.search.Vectors.dot(v, coefArr)).as("m"), lit(1 << p).as("mask"))
+        struct(round(abs(graft.search.Vectors.dot(v, coefArr)), 6).as("m"), lit(1 << p).as("mask"))
       }: _*)
       val flips = slice(sort_array(margins), 1, math.min(nProbe - 1, nPlanes))
       concat(array(base), transform(flips, f => base.bitwiseXOR(f.getField("mask"))))
