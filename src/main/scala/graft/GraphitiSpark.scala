@@ -1260,11 +1260,16 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
   ): DataFrame = temporalRangeQuery(start, end, entityType, groupIds, limit)
 
   // ------------------------------------------------------------------
-  // Driver point lookups (huggingface_driver.py:512-643). uuid equality
-  // is a pushed-down parquet predicate; the group lookups order
-  // deterministically before the limit (the reference's head(limit) over
-  // an unordered pandas frame is nondeterministic — here equal calls
-  // return equal rows).
+  // Driver point lookups (huggingface_driver.py:512-643). By-uuid reads
+  // are KEYED probes, never corpus scans: uuids are md5 hashes, so
+  // parquet row-group min/max stats prune nothing for a pushed-down
+  // uuid predicate and a 100 TB store would read everything. Node-kind
+  // tables are uuid-bucketed (loadForKeys reads only the key's hash
+  // bucket); edges route through the same edge_uuids locate probe the
+  // point mutations use. The group lookups order deterministically
+  // before the limit (the reference's head(limit) over an unordered
+  // pandas frame is nondeterministic — here equal calls return equal
+  // rows).
   // ------------------------------------------------------------------
 
   private def tableOf(kind: String): String = kind.toLowerCase match {
@@ -1276,14 +1281,29 @@ final class GraphitiSpark(val spark: SparkSession, storeRoot: String, val groupI
   }
 
   /** get_node_by_uuid (huggingface_driver.py:512-534); None = the
-    * reference's NodeNotFoundError.
+    * reference's NodeNotFoundError. Bucket probe on the uuid-bucketed
+    * node tables — work ∝ one bucket, not the corpus (falls back to a
+    * scan + semi-join only on ad-hoc plain-committed fixtures).
     */
-  def getNodeByUuid(uuid: String, nodeType: String = "Entity"): Option[org.apache.spark.sql.Row] =
-    store.load(tableOf(nodeType)).filter(col("uuid") === lit(uuid)).limit(1).collect().headOption
+  def getNodeByUuid(uuid: String, nodeType: String = "Entity"): Option[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val t = tableOf(nodeType)
+    // edges are bucketed by contention group, not uuid — a uuid-keyed
+    // bucket probe there would hash into the wrong buckets and miss
+    if (t == "edges") getEdgeByUuid(uuid)
+    else store.loadForKeys(t, Seq(uuid).toDF("uuid"), Seq("uuid")).limit(1).collect().headOption
+  }
 
-  /** get_edge_by_uuid (huggingface_driver.py:600-622). */
-  def getEdgeByUuid(uuid: String): Option[org.apache.spark.sql.Row] =
-    store.load("edges").filter(col("uuid") === lit(uuid)).limit(1).collect().headOption
+  /** get_edge_by_uuid (huggingface_driver.py:600-622) — the edge_uuids
+    * by-uuid index locates the row's contention group, then only that
+    * group's bucket is probed (the exact locate the write-side mutations
+    * ride; a scan here read the corpus to return one row).
+    */
+  def getEdgeByUuid(uuid: String): Option[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val (stored, _) = locateEdges(Seq(uuid).toDF("uuid"))
+    stored.filter(col("uuid") === lit(uuid)).limit(1).collect().headOption
+  }
 
   /** get_nodes_by_group_ids (huggingface_driver.py:535-556). */
   def getNodesByGroupIds(groupIds: Seq[String], nodeType: String = "Entity", limit: Option[Int] = None): DataFrame = {

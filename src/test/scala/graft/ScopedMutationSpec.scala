@@ -148,10 +148,10 @@ class ScopedMutationSpec extends AnyFunSuite {
     * any read of a non-probed bucket afterwards throws, so an op that
     * survives proves its LOCATE step touched only the probed buckets.
     */
-  private def corruptEdgesExcept(root: String, keepUris: Set[String]): Int = {
+  private def corruptTableExcept(root: String, table: String, keepUris: Set[String]): Int = {
     import scala.jdk.CollectionConverters._
     val keep = keepUris.map(u => java.net.URI.create(u).getPath)
-    val walk = Files.walk(Paths.get(root, "edges"))
+    val walk = Files.walk(Paths.get(root, table))
     try {
       val victims = walk.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet"))
@@ -161,6 +161,9 @@ class ScopedMutationSpec extends AnyFunSuite {
       victims.size
     } finally walk.close()
   }
+
+  private def corruptEdgesExcept(root: String, keepUris: Set[String]): Int =
+    corruptTableExcept(root, "edges", keepUris)
 
   test("point-mutation LOCATE reads only probed buckets (corrupted-corpus proof)") {
     import spark.implicits._
@@ -199,6 +202,50 @@ class ScopedMutationSpec extends AnyFunSuite {
     assert(s05.size == 39)
     val s10 = group("s10")
     assert(Option(s10("e10-03").getAs[Timestamp]("expired_at")).contains(ts(1000)))
+  }
+
+  test("read-side point lookups probe, never scan (corrupted-corpus proof for the getters)") {
+    import spark.implicits._
+    val g = freshBucketed()
+    graft.streaming.IncrementalIngest.bootstrapIndexes(g.store, spark)
+    assert(g.store.exists("edge_uuids"))
+    // a uuid-bucketed nodes table alongside the edges fixture
+    val nodes = (for (grp <- 0 until 64; i <- 0 until 10)
+      yield (f"n$grp%02d-$i%02d", f"name $grp $i", "Entity", "default"))
+      .toDF("uuid", "name", "label", "group_id")
+    g.store.mergeBucketed("nodes", nodes, Seq("uuid"), "node fixture")
+    // miss-path sanity while the corpus is still healthy
+    assert(g.getNodeByUuid("no-such-node").isEmpty)
+    assert(g.getEdgeByUuid("no-such-edge").isEmpty)
+    // keep only the target edge group's bucket files and the target
+    // node's own bucket file; everything else becomes garbage
+    val keepEdges = g.store
+      .load("edges")
+      .filter(col("source_uuid") === "s05")
+      .select(input_file_name().as("f"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val keepNodes = g.store
+      .loadForKeys("nodes", Seq("n07-03").toDF("uuid"), Seq("uuid"))
+      .select(input_file_name().as("f"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(corruptEdgesExcept(g.store.root, keepEdges) >= 30)
+    assert(corruptTableExcept(g.store.root, "nodes", keepNodes) >= 30)
+    // a corpus scan now fails — surviving getters cannot have run one
+    intercept[Exception] { g.store.load("edges").count() }
+    intercept[Exception] { g.store.load("nodes").count() }
+
+    val edge = g.getEdgeByUuid("e05-07")
+    assert(edge.isDefined, "keyed edge getter must survive the corrupted corpus")
+    assert(edge.get.getAs[String]("target_uuid") == "t07")
+    val node = g.getNodeByUuid("n07-03")
+    assert(node.isDefined, "keyed node getter must survive the corrupted corpus")
+    assert(node.get.getAs[String]("name") == "name 7 3")
   }
 
   test("removeEpisode cascade locates citing edges via episode_entity_edges, not a corpus scan") {
