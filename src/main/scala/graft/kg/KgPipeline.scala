@@ -199,27 +199,61 @@ final class KgPipeline(
         // have ZERO duplicate surface pairs — checkpoint the pair set and
         // skip the CC superstep machinery entirely when it is empty.
         graft.io.Concurrent.runAll(Seq(
-          () => timed("nodes_raw") { if (needNodesRaw) {
-            store.commit(
-              nodesFull.select("uuid", "name", "label", "name_embedding", "group_id"),
-              "nodes_raw", "raw entity nodes", nodesRawFp,
-            )
-          } },
-          () => timed("uuid_map") { if (!store.hasFingerprint("uuid_map", mapFp)) {
-            // linking needs only (uuid, name, group_id) — from the cache
-            // when this run built it, else a pruned scan of nodes_raw
-            val linkInput =
-              if (nodesFull != null) nodesFull.select(col("uuid"), col("name"), col("group_id"))
-              else store.load("nodes_raw").select(col("uuid"), col("name"), col("group_id"))
-            val pairs = Linking
-              .duplicatePairs(linkInput)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            val uuidMap =
-              if (pairs.isEmpty) pairs.select(col("u1").as("uuid"), col("u2").as("canonical")).limit(0)
-              else Linking.canonicalMap(pairs)
-            store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
-            pairs.unpersist(blocking = false)
-          } },
+          () => timed("nodes_raw") {
+            if (needNodesRaw) {
+              store.commit(
+                nodesFull.select("uuid", "name", "label", "name_embedding", "group_id"),
+                "nodes_raw", "raw entity nodes", nodesRawFp,
+              )
+            }
+            // derived-index reconcile: node_blocks is the incremental
+            // candidate-probe index over nodes_raw, trusted whenever it
+            // exists (IncrementalIngest linking). This commit REPLACED
+            // nodes_raw, so a pre-existing index misses every new node —
+            // the next micro-batch would silently skip true duplicates.
+            // Rebuild with stale-key deletion; fingerprint-stamped so a
+            // crash between the commit and this merge converges on resume.
+            if (store.exists("node_blocks") && !store.hasFingerprint("node_blocks", nodesRawFp)) {
+              val src = if (nodesFull != null) nodesFull else store.load("nodes_raw")
+              val fresh = Linking.blockingKeys(src).localCheckpoint()
+              val stale = store.load("node_blocks").select(col("key"), col("uuid"))
+                .join(fresh, Seq("key", "uuid"), "left_anti")
+              store.mergeBucketed(
+                "node_blocks", fresh, Seq("key", "uuid"), "bulk reconcile node_blocks",
+                deleteKeys = Some(stale), bucketBy = Seq("key"), fingerprint = nodesRawFp,
+              )
+            }
+          },
+          () => timed("uuid_map") {
+            if (!store.hasFingerprint("uuid_map", mapFp)) {
+              // linking needs only (uuid, name, group_id) — from the cache
+              // when this run built it, else a pruned scan of nodes_raw
+              val linkInput =
+                if (nodesFull != null) nodesFull.select(col("uuid"), col("name"), col("group_id"))
+                else store.load("nodes_raw").select(col("uuid"), col("name"), col("group_id"))
+              val pairs = Linking
+                .duplicatePairs(linkInput)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val uuidMap =
+                if (pairs.isEmpty) pairs.select(col("u1").as("uuid"), col("u2").as("canonical")).limit(0)
+                else Linking.canonicalMap(pairs)
+              store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
+              pairs.unpersist(blocking = false)
+            }
+            // same hazard as node_blocks: addTriplet and incremental
+            // linking probe uuid_map_by_uuid whenever it exists — after
+            // this run replaced uuid_map, a stale by-uuid copy would
+            // remap endpoints through a dead canonical map
+            if (store.exists("uuid_map_by_uuid") && !store.hasFingerprint("uuid_map_by_uuid", mapFp)) {
+              val fresh = store.load("uuid_map")
+              val stale = store.load("uuid_map_by_uuid").select(col("uuid"))
+                .join(fresh, Seq("uuid"), "left_anti")
+              store.mergeBucketed(
+                "uuid_map_by_uuid", fresh, Seq("uuid"), "bulk reconcile uuid_map_by_uuid",
+                deleteKeys = Some(stale), fingerprint = mapFp,
+              )
+            }
+          },
         ))
       },
       () =>
@@ -408,7 +442,7 @@ final class KgPipeline(
             .unionByName(rebuilt.select(edgesPre.columns.map(col): _*))
         }
       }
-      graft.io.Concurrent.runAll(Seq(
+      graft.io.Concurrent.runAll(Seq[() => Unit](
         // fact embeddings attach in the commit projection (the only
         // consumer that needs them — see the edges_pre note)
         () => timed("edges_commit")(store.commit(
@@ -416,8 +450,60 @@ final class KgPipeline(
           "edges", "bitemporal entity edges", edgesFp,
         )),
         () => stageEpisodesEe(Some(edgesFinal)),
-      ))
-    } else stageEpisodesEe(None) }
+      ) ++ reconcileEdgeLocateIndexes(() => edgesFinal))
+    } else graft.io.Concurrent.runAll(
+      // resume: the edges snapshot already matches this corpus, but a
+      // crash (or a pre-reconcile build) may have left the locate
+      // indexes stale — converge them from the committed snapshot
+      Seq(() => stageEpisodesEe(None)) ++
+        reconcileEdgeLocateIndexes(() => store.load("edges")),
+    ) }
+
+    /** Locate-index reconcile (`edge_uuids` / `edge_endpoints`): the point
+      * mutations and delete cascades TRUST these whenever they exist
+      * (GraphitiSpark.locateEdges / deleteNodesByUuids), but they are
+      * incremental-path products — a bulk edges recommit that left them
+      * stale would silently no-op invalidations/deletes on bulk-created
+      * rows (and keep locating rows that no longer exist). Rebuild from
+      * the final edges with stale-key deletion — work ∝ edges, the same
+      * cost class as the commit it rides beside — fingerprint-stamped so
+      * a resumed run converges even after a crash between the edges
+      * commit and these merges. Absent indexes are skipped: stage 10 /
+      * bootstrap builds them fresh (and therefore consistent) later.
+      */
+    def reconcileEdgeLocateIndexes(edgesSrc: () => DataFrame): Seq[() => Unit] = {
+      val out = Seq.newBuilder[() => Unit]
+      if (store.exists("edge_uuids") && !store.hasFingerprint("edge_uuids", edgesFp))
+        out += { () =>
+          val idx = edgesSrc()
+            .select(col("uuid"), col("group_id"), col("source_uuid"), col("name"))
+            .localCheckpoint()
+          val stale = store.load("edge_uuids").select(col("uuid")).join(idx, Seq("uuid"), "left_anti")
+          store.mergeBucketed(
+            "edge_uuids", idx, Seq("uuid"), "bulk reconcile edge_uuids",
+            deleteKeys = Some(stale), fingerprint = edgesFp,
+          )
+          ()
+        }
+      if (store.exists("edge_endpoints") && !store.hasFingerprint("edge_endpoints", edgesFp))
+        out += { () =>
+          val key = Seq("endpoint_uuid", "group_id", "source_uuid", "name")
+          val idx = edgesSrc()
+            .select(
+              explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"),
+              col("group_id"), col("source_uuid"), col("name"),
+            )
+            .distinct()
+            .localCheckpoint()
+          val stale = store.load("edge_endpoints").select(key.map(col): _*).join(idx, key, "left_anti")
+          store.mergeBucketed(
+            "edge_endpoints", idx, key, "bulk reconcile edge_endpoints",
+            deleteKeys = Some(stale), bucketBy = Seq("endpoint_uuid"), fingerprint = edgesFp,
+          )
+          ()
+        }
+      out.result()
+    }
 
     // ---- stage 7: episodic MENTIONS edges (build_episodic_edges,
     // edge_operations.py:48-65) ----
