@@ -96,22 +96,28 @@ object Dedup {
   ): DataFrame = {
     val numHashes = 16
     val bandWidth = 2
+    // checkpointed (id, shingles): the band self-join below shuffles SLIM
+    // (band, key, id) rows only — a hot bucket of k docs must not shuffle
+    // k² shingle-array copies — and surviving candidate pairs (few by
+    // construction) fetch the token sets back from this frame for the
+    // exact-Jaccard verification. Same re-plan Linking.duplicatePairs got.
     val sig = docs
       .select(col(idCol).as("id"), shingles3(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val banded = sig
       .withColumn("mh", minhashSignature(col("sh"), numHashes))
-    val banded = sig.select(
-      col("id"),
-      col("sh"),
-      posexplode(
-        array((0 until numHashes / bandWidth).map { bnd =>
-          concat_ws(
-            ":",
-            (0 until bandWidth).map(o => element_at(col("mh"), bnd * bandWidth + o + 1)): _*
-          )
-        }: _*),
-      ).as(Seq("band", "key")),
-    )
+      .select(
+        col("id"),
+        posexplode(
+          array((0 until numHashes / bandWidth).map { bnd =>
+            concat_ws(
+              ":",
+              (0 until bandWidth).map(o => element_at(col("mh"), bnd * bandWidth + o + 1)): _*
+            )
+          }: _*),
+        ).as(Seq("band", "key")),
+      )
     // hot-bucket guard (web boilerplate: a shingle band shared by k docs
     // yields k² candidate rows): buckets above maxBucketSize are DROPPED —
     // at default ∞ this is a no-op; the 100 TB path sets a cap and accepts
@@ -124,12 +130,14 @@ object Dedup {
         val w = Window.partitionBy(col("band"), col("key"))
         banded.withColumn("__n", count(lit(1)).over(w)).filter(col("__n") <= maxBucketSize).drop("__n")
       }
-    val a = guarded.select(col("band"), col("key"), col("id").as("i"), col("sh").as("sha"))
-    val b = guarded.select(col("band"), col("key"), col("id").as("j"), col("sh").as("shb"))
+    val a = guarded.select(col("band"), col("key"), col("id").as("i"))
+    val b = guarded.select(col("band"), col("key"), col("id").as("j"))
     a.join(b, Seq("band", "key"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), col("sha"), col("shb"))
+      .select(col("i"), col("j"))
       .dropDuplicates("i", "j")
+      .join(sig.select(col("id").as("i"), col("sh").as("sha")), Seq("i"))
+      .join(sig.select(col("id").as("j"), col("sh").as("shb")), Seq("j"))
       .withColumn("jac", jaccard(col("sha"), col("shb")))
       .filter(col("jac") >= lit(threshold))
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))

@@ -89,6 +89,25 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = run("q_dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), "LSH path degenerated to a cartesian product:\n" + p)
     assert(!p.contains("BroadcastNestedLoopJoin"), "LSH path degenerated to a nested-loop join:\n" + p)
+    // the band self-join moves SLIM (band, key, id) rows only — a hot
+    // bucket of k docs must never shuffle/broadcast k² shingle-array
+    // copies; the arrays join back for the few surviving candidate pairs
+    // (the Linking.duplicatePairs re-plan applied here). Anchored on the
+    // (band, key) producer: the posexplode Generate must not carry the
+    // shingle column, and any band-keyed exchange must be slim too (at
+    // tiny SF the join side broadcasts instead of shuffling — both paths
+    // inherit the Generate's slim output).
+    val blocks = p.split("\\n\\(\\d+\\) ")
+    val bandGenerates = blocks.filter(b => b.startsWith("Generate") && b.contains("band"))
+    assert(bandGenerates.nonEmpty, "no band-key Generate found:\n" + p)
+    bandGenerates.foreach(b =>
+      assert(!b.contains("sh#"), "band generator carries shingle arrays into the join:\n" + b))
+    blocks
+      .filter(b => b.startsWith("Exchange") && b.contains("hashpartitioning(band"))
+      .foreach(b => assert(!b.contains("sh#"), "band exchange carries shingle arrays:\n" + b))
+    // shingles computed once: every consumer reads the checkpointed frame
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      "expected the shingle frame checkpointed and re-read, not recomputed:\n" + p)
   }
 
   test("q_dedup_weighted: block-key candidate generation stays an equi-join") {
