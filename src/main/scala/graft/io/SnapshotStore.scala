@@ -242,6 +242,56 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Measured read footprint of a [[loadForKeys]] probe — the flat-cost
+    * evidence for the scale story: `probed*` is what the probe READS
+    * (manifest-addressed bucket dirs for the keys' hash buckets, plus the
+    * live delta chain every probe reconciles), `total*` the whole table.
+    * Probe cost is bounded by keys × (corpus / numBuckets): ∝ touched
+    * keys once the bucket count scales with the corpus, never ∝ corpus.
+    */
+  def probeFootprint(table: String, keys: DataFrame, keyCols: Seq[String]): SnapshotStore.ProbeFootprint = {
+    val v = currentVersion(table).getOrElse(sys.error(s"no committed snapshot for $table"))
+    val m = readManifest(table, v).getOrElse(sys.error(s"$table is not bucketed — footprint = full scan"))
+    val probed = keys
+      .select(keyCols.map(col): _*)
+      .distinct()
+      .select(bucketExpr(keyCols, m.numBuckets).as("__bucket"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+    def stats(dirs: Seq[Path]): (Long, Long) = {
+      var files = 0L
+      var bytes = 0L
+      dirs.foreach { d =>
+        if (Files.isDirectory(d)) {
+          val walk = Files.walk(d)
+          try walk.forEach { p =>
+            if (p.toString.endsWith(".parquet")) { files += 1; bytes += Files.size(p) }
+          } finally walk.close()
+        }
+      }
+      (files, bytes)
+    }
+    val bucketDirs = m.buckets.toSeq.map { case (b, (ver, _)) =>
+      b -> tableDir(table).resolve(s"v=$ver").resolve(s"__bucket=$b")
+    }
+    val deltaDirs = m.deltas.flatMap { case (dv, _) =>
+      Seq(deltaUpdatesDir(table, dv), deltaDeletesDir(table, dv))
+    }
+    val (df, db) = stats(deltaDirs)
+    val (tf, tb) = stats(bucketDirs.map(_._2))
+    val (pf, pb) = stats(bucketDirs.collect { case (b, d) if probed.contains(b) => d })
+    SnapshotStore.ProbeFootprint(
+      probedBuckets = bucketDirs.count(bd => probed.contains(bd._1)),
+      totalBuckets = m.buckets.size,
+      probedFiles = pf + df,
+      totalFiles = tf + df,
+      probedBytes = pb + db,
+      totalBytes = tb + db,
+    )
+  }
+
   /** Row count of the current snapshot from COMMIT METADATA only (manifest
     * bucket counts + delta-chain rows, or the plain commit's recorded
     * rows) — no Spark job. Update-delta rows overcount replacements and
@@ -670,6 +720,19 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
 }
 
 object SnapshotStore {
+
+  /** What a [[SnapshotStore.probeFootprint]] probe reads vs the table
+    * total — parquet data files of the probed hash buckets plus the live
+    * delta chain (which reconciles into every probe).
+    */
+  final case class ProbeFootprint(
+      probedBuckets: Int,
+      totalBuckets: Int,
+      probedFiles: Long,
+      totalFiles: Long,
+      probedBytes: Long,
+      totalBytes: Long,
+  )
 
   /** Directory listing that CLOSES the NIO stream. `Files.list` holds the
     * directory fd until the stream is closed; call sites that drop the
