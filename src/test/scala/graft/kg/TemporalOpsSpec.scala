@@ -146,6 +146,39 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(stamped("n2").isEmpty && stamped("n3").isEmpty)
   }
 
+  test("temporal node dedup is record-only parity: flagged nodes stay visible (disclosed contract)") {
+    // the reference's node half (temporal_manager.py:672-695) WRITES
+    // invalidated_at on duplicate nodes and no search lane, lookup or
+    // lifecycle path ever reads it back — "nodes don't have direct
+    // invalidation". The engine keeps that contract: the stamp is
+    // recorded (test above) and the flagged node remains fully visible
+    // to the driver lookups; consumers that want duplicates hidden
+    // filter invalidated_at explicitly. Auto-hiding here would diverge
+    // from reference behavior.
+    import spark.implicits._
+    val g = new graft.GraphitiSpark(spark, Files.createTempDirectory("temporal-dedup-vis").toString)
+    g.store.commit(
+      Seq(
+        ("n1", "g", "Alice", t(39)),
+        ("n2", "g", "Alice", t(40)),
+      ).toDF("uuid", "group_id", "name", "created_at"),
+      "nodes",
+      "fixture",
+    )
+    g.store.commit(Seq(edge("e1", "A", "rel", "B", 0, Some(0))).toDS().toDF(), "edges", "fixture")
+    assert(g.temporalDeduplication(t(100), windowHours = 24) == 1L)
+    // flagged n1 still resolves by uuid, stamp intact
+    val n1 = g.getNodeByUuid("n1")
+    assert(n1.isDefined, "record-only contract: flagged node must stay visible to point lookups")
+    assert(Option(n1.get.getAs[Timestamp]("invalidated_at")).contains(t(100)))
+    // and in the group lookup surface
+    val grp = g.getNodesByGroupIds(Seq("g")).collect().map(_.getAs[String]("uuid")).toSet
+    assert(grp == Set("n1", "n2"), "record-only contract: group lookups must not auto-hide")
+    // the documented opt-in filter recipe hides it
+    val live = g.store.load("nodes").filter(org.apache.spark.sql.functions.col("invalidated_at").isNull)
+    assert(live.collect().map(_.getAs[String]("uuid")).toSet == Set("n2"))
+  }
+
   test("temporalStats: one-row aggregate over counts, span, per-relation map") {
     val row = TemporalOps.temporalStats(store).collect()(0)
     assert(row.getAs[Long]("total_records") == 19L)
