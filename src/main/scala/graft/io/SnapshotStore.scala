@@ -397,7 +397,16 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     * bucket ≈ one executor task's comfortable input (e.g. 2^15–2^17
     * buckets — selectivity scales the same way).
     */
-  val DefaultBuckets = 64
+  /** Hash-bucket count for NEWLY bucketed tables (`-Dgraft.buckets`,
+    * default 64 — the small-SF test granularity). At corpus scale set
+    * 2^15+ so a keyed probe's cost, keys × (corpus / buckets), stays ∝
+    * touched keys (measured: [[probeFootprint]] / Bench probe_flat_cost).
+    * An EXISTING table keeps the count its manifest records — probes
+    * always hash at the stored count — and a merge under a different
+    * knob value triggers the one-time full re-bucketing fold
+    * (mergeBucketed's layout-change path), never a silent mixed layout.
+    */
+  def DefaultBuckets: Int = Integer.getInteger("graft.buckets", 64)
 
   private def bucketExpr(key: Seq[String], numBuckets: Int) =
     pmod(xxhash64(key.map(col): _*), lit(numBuckets)).cast("int")

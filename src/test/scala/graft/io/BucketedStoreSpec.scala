@@ -22,6 +22,20 @@ class BucketedStoreSpec extends AnyFunSuite {
   private def rowsOf(store: SnapshotStore, t: String): Map[Long, String] =
     store.load(t).collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
 
+  test("bucket-count change (the -Dgraft.buckets knob) folds the table once, loses nothing") {
+    val (bs, _) = freshStore()
+    bs.mergeBucketed("t", (0L until 300L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), "base", numBuckets = 16)
+    // merge under a DIFFERENT count: layout change → one-time full fold
+    // at the new count (never a silent mixed layout / stale-row leak)
+    bs.mergeBucketed("t", Seq((5L, "x5"), (999L, "new")).toDF("k", "v"), Seq("k"), "rebucket", numBuckets = 64)
+    val got = rowsOf(bs, "t")
+    assert(got.size == 301 && got(5L) == "x5" && got(999L) == "new" && got(7L) == "v7")
+    // probes hash at the NEW stored count
+    assert(bs.loadForKeys("t", Seq(5L, 999L, 7L).toDF("k"), Seq("k")).count() == 3L)
+    val fp = bs.probeFootprint("t", Seq(5L).toDF("k"), Seq("k"))
+    assert(fp.totalBuckets > 16, s"manifest must carry the new bucket count: $fp")
+  }
+
   test("bucketed merge ≡ naive merge (upsert semantics), across several batches") {
     val (bs, _) = freshStore()
     val (ns, _) = freshStore()
