@@ -356,7 +356,9 @@ object Deduplicator {
     */
   private def componentRanked(items: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = GraphOps
-      .connectedComponents(pairs.select(col("u1").as("src"), col("u2").as("dst")))
+      // candidate pairs are budget-bounded — bounded driver union-find
+      // labels them in one job (superstep loop only past the bound)
+      .connectedComponentsAuto(pairs.select(col("u1").as("src"), col("u2").as("dst")))
       .select(col("node").as("uuid"), col("component"))
     val w = Window.partitionBy(col("component")).orderBy(col("created_at").asc_nulls_last, col("uuid").asc)
     items

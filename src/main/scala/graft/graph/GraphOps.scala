@@ -153,6 +153,69 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsIter(edges, maxIter)._1
 
+  /** [[connectedComponents]] with a bounded DRIVER fast path for small
+    * edge lists over STRING node ids. Duplicate-pair graphs are ∝
+    * near-duplicate surfaces, not corpus — a steady micro-batch or a
+    * lightly-duplicated bulk corpus yields a few thousand pairs, and the
+    * superstep loop then spends ~6-10 job-latency quanta labeling a set
+    * that fits in one driver array. Up to `-Dgraft.graph.localccmax`
+    * edges (default 100,000 — ~10 MB of uuid strings, the same bounded-
+    * collect class as the ivfTopK centroid table) are fetched with ONE
+    * bounded job (`limit(max+1)` — never a full count of a big set) and
+    * union-found locally with min-id roots + path compression; anything
+    * larger takes the distributed pointer-doubling path unchanged.
+    * Value-identical to [[connectedComponents]] for string ids: min is
+    * lexicographic on both paths (GraphOpsSpec parity), so callers keep
+    * the exact `compress_uuid_map` canonical-min contract.
+    */
+  def connectedComponentsAuto(edges: DataFrame): DataFrame = {
+    val localMax = Integer.getInteger("graft.graph.localccmax", 100000).intValue()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val cols = edges.columns
+    val slim = edges.select(col(cols(0)).cast("string").as("src"), col(cols(1)).cast("string").as("dst"))
+    val head = slim.limit(localMax + 1).collect()
+    if (head.length > localMax) connectedComponents(edges)
+    else {
+      // union by MIN root: the smaller id always stays the root, so after
+      // all unions find(x) IS the component's min member — the same
+      // canonical the distributed hash-min converges to
+      val parent = new java.util.HashMap[String, String]()
+      def find(x0: String): String = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = p
+          p = gp
+        }
+        x
+      }
+      def union(a: String, b: String): Unit = {
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      head.foreach { r =>
+        val a = r.getString(0)
+        val b = r.getString(1)
+        if (a != null && b != null) union(a, b)
+      }
+      val seen = new java.util.HashSet[String]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      head.foreach { r =>
+        var i = 0
+        while (i < 2) {
+          val n = r.getString(i)
+          if (n != null && seen.add(n)) out += ((n, find(n)))
+          i += 1
+        }
+      }
+      out.toSeq.toDF("node", "component")
+    }
+  }
+
   /** [[connectedComponents]] + the number of supersteps it took (frozen by
     * GraphOpsSpec: a 1000-node path converges in ≤ O(log n) supersteps).
     */

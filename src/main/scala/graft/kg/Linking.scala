@@ -162,7 +162,10 @@ object Linking {
     */
   def canonicalMap(pairs: DataFrame): DataFrame =
     GraphOps
-      .connectedComponents(pairs.select(col("u1").as("src"), col("u2").as("dst")))
+      // duplicate-pair graphs are ∝ near-duplicate surfaces — the bounded
+      // driver union-find path labels the common (small) case in one job
+      // instead of the superstep loop's 6-10 quanta; value-identical
+      .connectedComponentsAuto(pairs.select(col("u1").as("src"), col("u2").as("dst")))
       .select(col("node").as("uuid"), col("component").as("canonical"))
 
   /** Remap edge endpoint uuids through the canonical map

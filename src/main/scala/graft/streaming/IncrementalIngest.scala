@@ -685,7 +685,10 @@ object IncrementalIngest {
       if (linkIdle) emptyMap
       else
         graft.graph.GraphOps
-          .connectedComponents(
+          // batch pairs + touched components are ∝ batch — the bounded
+          // driver union-find path (one job) replaces the superstep
+          // loop's 6-10 job-latency quanta on every linking batch
+          .connectedComponentsAuto(
             pairs
               .select(col("u1").as("src"), col("u2").as("dst"))
               .unionByName(oldMapAff.select(col("uuid").as("src"), col("canonical").as("dst"))),

@@ -37,6 +37,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connectedComponentsAuto ≡ connectedComponents on random string-id graphs (both paths)") {
+    val rnd = new scala.util.Random(7)
+    // md5-like string ids so min is lexicographic on both paths
+    def id(i: Int) = f"u${rnd.nextInt(40)}%03d"
+    val es = (1 to 80).map(_ => (id(rnd.nextInt(40)), id(rnd.nextInt(40))))
+    val df = es.toDF("src", "dst")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = canon(GraphOps.connectedComponents(df).collect())
+    val auto = canon(GraphOps.connectedComponentsAuto(df).collect())
+    assert(auto == dist, "driver union-find fast path must be value-identical")
+    // force the DISTRIBUTED fallback through the auto entry point
+    val prev = System.getProperty("graft.graph.localccmax")
+    System.setProperty("graft.graph.localccmax", "3")
+    try {
+      val fb = canon(GraphOps.connectedComponentsAuto(df).collect())
+      assert(fb == dist, "over-bound input must take the superstep path, same values")
+    } finally {
+      if (prev == null) System.clearProperty("graft.graph.localccmax")
+      else System.setProperty("graft.graph.localccmax", prev)
+    }
+  }
+
   test("connectedComponents: 1000-node path (worst-case diameter) converges in O(log n) supersteps") {
     val path = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
     val (labels, iters) = GraphOps.connectedComponentsIter(path, maxIter = 50)
