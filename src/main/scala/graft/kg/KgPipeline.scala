@@ -331,8 +331,17 @@ final class KgPipeline(
       // UNCONDITIONALLY: nodeFacts is checkpointed (or folds a persisted
       // frame), so the commit is one small bucketed write, and it spares
       // bootstrapIndexes a full re-aggregation of every raw mention later
-      // (index build or first incremental batch)
-      store.mergeBucketed("node_stats", nodeFacts, Seq("cuuid"), "node mention stats index")
+      // (index build or first incremental batch). Stale cuuids from a
+      // REPLACED corpus leave: consumers probe by live node cuuid so
+      // dead rows are invisible, but without the delete they accumulate
+      // one corpus-worth of garbage per bulk.
+      val deadStats =
+        if (!store.exists("node_stats")) None
+        else Some(store.load("node_stats").select(col("cuuid")).join(nodeFacts, Seq("cuuid"), "left_anti"))
+      store.mergeBucketed(
+        "node_stats", nodeFacts, Seq("cuuid"), "node mention stats index",
+        deleteKeys = deadStats,
+      )
       def finalCols(src: DataFrame): DataFrame = src.select(
         col("uuid"),
         col("name"),
@@ -384,9 +393,19 @@ final class KgPipeline(
         .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
         .groupBy(col("uuid"))
         .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
+        .localCheckpoint()
+      // stale keys from a REPLACED corpus leave (absence == empty list —
+      // the read-time join coalesces — so dead-episode rows are invisible
+      // garbage that would otherwise accumulate one corpus per bulk)
+      val deadEps =
+        if (!store.exists("episode_entity_edges")) None
+        else Some(
+          store.load("episode_entity_edges").select(col("uuid")).join(byEpisode, Seq("uuid"), "left_anti"),
+        )
       store.mergeBucketed(
         "episode_entity_edges", byEpisode, Seq("uuid"),
         "episode → created-edge uuids (normalized entity_edges)",
+        deleteKeys = deadEps,
         fingerprint = episodesEeFp,
       )
     } }

@@ -73,6 +73,17 @@ class BulkIndexReconcileSpec extends AnyFunSuite {
       "uuid_map_by_uuid must mirror the committed uuid_map",
     )
 
+    // side-table GC: dead corpus-A keys leave the keyed side tables too
+    // (absence == empty list for entity_edges; stats probe by live cuuid)
+    val liveEps = edges
+      .select(explode(col("episodes")).as("uuid")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val eeKeys = g.store.load("episode_entity_edges").select("uuid").collect().map(_.getString(0)).toSet
+    assert(eeKeys.subsetOf(liveEps), s"dead episode keys left behind: ${eeKeys -- liveEps}")
+    val nodeUuids = g.store.load("nodes").select("uuid").collect().map(_.getString(0)).toSet
+    val statKeys = g.store.load("node_stats").select("cuuid").collect().map(_.getString(0)).toSet
+    assert(statKeys.subsetOf(nodeUuids), s"dead stats cuuids left behind: ${(statKeys -- nodeUuids).take(5)}")
+
     // functional: a point mutation LOCATES a bulk-B edge (the stale index
     // would silently no-op here), and a corpus-A uuid no longer resolves
     val bEdgeUuid = g.store.load("edges").select("uuid").orderBy("uuid").first().getString(0)
