@@ -346,6 +346,20 @@ object Bench {
     ))
     results("kg_index_build") = (System.nanoTime() - tIdx) / 1e9
 
+    // corpus-scale primary layout: ONE pipeline rep with
+    // -Dgraft.bulk.bucketed=true (bucketed episodes/nodes/edges commits —
+    // the setting that makes micro-batch #1 ∝ batch instead of a
+    // full-table fold). Detail-only: records the measured cost of the
+    // scale layout vs the plain-commit headline reps above.
+    val pipeBucketedSec = {
+      System.setProperty("graft.bulk.bucketed", "true")
+      try {
+        val (sec, _, _, storeB) = runPipelineStore(spark, sfDir, scale, buildIndexes = false)
+        storeB.deleteRoot()
+        sec
+      } finally System.clearProperty("graft.bulk.bucketed")
+    }
+
     // incremental flat-cost: same 200-page micro-batch against the 1× and
     // the scale× corpus — steady-state seconds should be ~equal (work ∝
     // batch, not corpus)
@@ -414,6 +428,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir",""" +
         s""""pipeline":{"pages":$nPages,"triples":$nTriples,"seconds":$pipeSec,""" +
         s""""pages_per_sec":$pagesPerSec,"triples_per_sec":$triplesPerSec,"scale":$scale},""" +
+        s""""pipeline_bucketed_primaries":{"seconds":$pipeBucketedSec},""" +
         s""""incremental":{"batch_pages":100,"batch_reps":2,"small_corpus_sec":$incSmall,"big_corpus_sec":$incBig,""" +
         s""""big_over_small":${incBig / incSmall},"corpus_ratio":$scale},""" +
         s""""ann_width_sweep":$annSweep,""" +

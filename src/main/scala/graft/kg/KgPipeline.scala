@@ -39,6 +39,43 @@ final class KgPipeline(
 
   private val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
 
+  // Corpus-scale primary layout (`-Dgraft.bulk.bucketed=true`): commit the
+  // incrementally-merged primaries (episodes / nodes_raw / uuid_map /
+  // nodes / edges / episodic_edges) BUCKETED at bulk time, so the FIRST
+  // micro-batch after a bulk load merges ∝ batch. With plain commits
+  // (default — the committed small-SF bench path, which skips one
+  // full-width repartition shuffle per primary) that first merge pays the
+  // one-time plain→bucketed fold of the WHOLE table: acceptable at test
+  // SF, a corpus rewrite at 10^12 documents. The two modes are
+  // value-identical (BucketedPrimariesSpec differential); keyed reads
+  // (getNodeByUuid, locateEdges fallback) additionally probe instead of
+  // scan from the moment the bulk commits.
+  private val bucketedPrimaries = sys.props.get("graft.bulk.bucketed").contains("true")
+
+  /** Primary-table commit honoring [[bucketedPrimaries]]: plain snapshot
+    * commit, or a keyed bucketed merge with replace semantics (stale keys
+    * of a replaced corpus deleted — same content as the plain commit).
+    */
+  private def commitPrimary(
+      df: org.apache.spark.sql.DataFrame,
+      table: String,
+      key: Seq[String],
+      bucketBy: Seq[String],
+      msg: String,
+      fingerprint: String,
+  ): Unit =
+    if (!bucketedPrimaries) { store.commit(df, table, msg, fingerprint); () }
+    else {
+      val stale =
+        if (!store.exists(table)) None
+        else Some(
+          store.load(table).select(key.map(org.apache.spark.sql.functions.col): _*).distinct()
+            .join(df, key, "left_anti"),
+        )
+      store.mergeBucketed(table, df, key, msg, deleteKeys = stale, bucketBy = bucketBy, fingerprint = fingerprint)
+      ()
+    }
+
   private def timed[T](stage: String)(body: => T): T = {
     val t0 = System.nanoTime()
     val r = body
@@ -100,7 +137,7 @@ final class KgPipeline(
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       graft.io.Concurrent.runAll(Seq(
-        () => if (needEpisodes) store.commit(episodesMem, "episodes", s"ingest episodes group=$groupId", episodesFp),
+        () => if (needEpisodes) commitPrimary(episodesMem, "episodes", Seq("uuid"), Seq("uuid"), s"ingest episodes group=$groupId", episodesFp),
         () => if (triplesMem != null) triplesMem.count(), // extraction rides the episodes write
       ))
       if (episodesMem != null) episodesMem.unpersist(blocking = false)
@@ -201,9 +238,9 @@ final class KgPipeline(
         graft.io.Concurrent.runAll(Seq(
           () => timed("nodes_raw") {
             if (needNodesRaw) {
-              store.commit(
+              commitPrimary(
                 nodesFull.select("uuid", "name", "label", "name_embedding", "group_id"),
-                "nodes_raw", "raw entity nodes", nodesRawFp,
+                "nodes_raw", Seq("uuid"), Seq("uuid"), "raw entity nodes", nodesRawFp,
               )
             }
             // derived-index reconcile: node_blocks is the incremental
@@ -237,7 +274,7 @@ final class KgPipeline(
               val uuidMap =
                 if (pairs.isEmpty) pairs.select(col("u1").as("uuid"), col("u2").as("canonical")).limit(0)
                 else Linking.canonicalMap(pairs)
-              store.commit(uuidMap, "uuid_map", "canonical uuid map", mapFp)
+              commitPrimary(uuidMap, "uuid_map", Seq("canonical"), Seq("canonical"), "canonical uuid map", mapFp)
               pairs.unpersist(blocking = false)
             }
             // same hazard as node_blocks: addTriplet and incremental
@@ -372,7 +409,7 @@ final class KgPipeline(
                 .filter(col("uuid") === col("canonical"))
           finalCols(canonBase.join(nodeFacts, col("uuid") === col("cuuid"), "left"))
         }
-      store.commit(canon, "nodes", "canonical entity nodes", nodesFp)
+      commitPrimary(canon, "nodes", Seq("uuid"), Seq("uuid"), "canonical entity nodes", nodesFp)
     } }
 
     // ---- stage 9: episodes.entity_edges — the reference keeps the edge
@@ -464,9 +501,9 @@ final class KgPipeline(
       graft.io.Concurrent.runAll(Seq[() => Unit](
         // fact embeddings attach in the commit projection (the only
         // consumer that needs them — see the edges_pre note)
-        () => timed("edges_commit")(store.commit(
+        () => timed("edges_commit")(commitPrimary(
           edgesFinal.withColumn("fact_embedding", embedUdf(col("fact"))),
-          "edges", "bitemporal entity edges", edgesFp,
+          "edges", GroupKey, GroupKey, "bitemporal entity edges", edgesFp,
         )),
         () => stageEpisodesEe(Some(edgesFinal)),
       ) ++ reconcileEdgeLocateIndexes(() => edgesFinal))
@@ -558,7 +595,7 @@ final class KgPipeline(
         .distinct()
         .withColumn("name", lit("MENTIONS"))
         .withColumn("group_id", lit(groupId))
-      store.commit(remapped, "episodic_edges", "episode MENTIONS entity", epeFp)
+      commitPrimary(remapped, "episodic_edges", Seq("episode_uuid", "entity_uuid"), Seq("entity_uuid"), "episode MENTIONS entity", epeFp)
     } }
 
     // ---- stage 8: IS_DUPLICATE_OF edges (build_duplicate_of_edges,
