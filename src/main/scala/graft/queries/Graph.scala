@@ -265,11 +265,20 @@ object Graph {
     // ---- betweenness centrality (the other ≤1000-node nx centrality the
     // reference computes, performance_optimizer.py:384-389): Brandes on a
     // bounded deterministic subgraph (suppliers ≤ 6, ~150 nodes, diameter
-    // ≤ 6), re-derived relationally by the oracle — every shortest path
-    // enumerated as a cycle-free minimal walk, σ_st as the count per
-    // (s,t), pair dependencies as interior-node credit Σ σ_st(v)/σ_st,
-    // nx-normalized. Matches nx.betweenness_centrality(normalized=True)
-    // exactly (6 dp on both sides absorbs summation-order ulps). ----
+    // ≤ 6), re-derived relationally by the oracle in POLYNOMIAL form —
+    // dedup'd BFS distances (no path column), σ_st counted by a
+    // level-unrolled DAG DP over tight edges (mind(s,u)+1 = mind(s,v)),
+    // pair dependencies via the Brandes identity σ_sv·σ_vt/σ_st on
+    // distance-tight triples, nx-normalized. Value-identical to the
+    // previous enumerate-every-shortest-path oracle (verified exactly at
+    // sf0.01) but safe on DENSE subgraphs: at sf0.001 the src≤6 slice is
+    // denser (352 edges / 124 nodes) and simple-walk enumeration to depth
+    // 10 explodes exponentially (observed >64 GB in DuckDB) while this
+    // form stays ∝ pairs × edges. CTEs are MATERIALIZED — DuckDB
+    // re-inlines chained CTEs per reference, turning the 10-level chain
+    // quadratic otherwise. Matches nx.betweenness_centrality(
+    // normalized=True) exactly (6 dp on both sides absorbs
+    // summation-order ulps). ----
     QueryDef(
       "q_graph_betweenness",
       (s, dir) => {
@@ -279,7 +288,17 @@ object Graph {
           .select(col("node"), round(col("betweenness"), 6).as("betweenness"))
           .orderBy(col("node"))
       },
-      Some(s"""
+      Some {
+        // σ DP unrolled over BFS levels 1..10 (levels are disjoint by
+        // mind, so the union is exact): σ_d(v) = Σ tight-pred σ_{d-1}(u)
+        val sigmaLevels = (1 to 10)
+          .map(d => s"""s$d AS MATERIALIZED (
+            SELECT te.start, te.v AS node, $d AS d, sum(p.sig) AS sig
+            FROM te JOIN s${d - 1} p ON p.start = te.start AND p.node = te.u
+            WHERE te.du = ${d - 1} GROUP BY te.start, te.v)""")
+          .mkString(",\n")
+        val sigmaUnion = (1 to 10).map(d => s"SELECT * FROM s$d").mkString(" UNION ALL ")
+        s"""
         WITH RECURSIVE
         bedges AS (SELECT src, dst FROM ($edgesSql) b WHERE src <= 6),
         uedges AS (SELECT DISTINCT src, dst FROM (
@@ -287,28 +306,31 @@ object Graph {
           UNION ALL
           SELECT dst AS src, src AS dst FROM bedges) u),
         allnodes AS (SELECT DISTINCT src AS node FROM uedges),
-        walk(start, node, d, path) AS (
-          SELECT node, node, 0, [node] FROM allnodes
-          UNION ALL
-          SELECT w.start, e.dst, w.d + 1, list_append(w.path, e.dst)
+        walk(start, node, d) AS (
+          SELECT node, node, 0 FROM allnodes
+          UNION
+          SELECT w.start, e.dst, w.d + 1
           FROM walk w JOIN uedges e ON e.src = w.node
-          WHERE w.d < 10 AND NOT list_contains(w.path, e.dst)
+          WHERE w.d < 10
         ),
-        mind AS (SELECT start, node, min(d) AS d FROM walk GROUP BY start, node),
-        sp AS (SELECT w.start, w.node, w.path
-               FROM walk w JOIN mind m ON w.start = m.start AND w.node = m.node AND w.d = m.d
-               WHERE w.d > 0),
-        sigma AS (SELECT start, node, count(*) AS s FROM sp GROUP BY start, node),
-        through AS (
-          SELECT sp.start, sp.node AS tgt, u.v AS v, count(*) AS cnt
-          FROM sp, UNNEST(sp.path) AS u(v)
-          WHERE u.v != sp.start AND u.v != sp.node
-          GROUP BY sp.start, sp.node, u.v
+        mind AS MATERIALIZED (SELECT start, node, min(d) AS d FROM walk GROUP BY start, node),
+        te AS MATERIALIZED (
+          SELECT m1.start, e.src AS u, e.dst AS v, m1.d AS du
+          FROM uedges e
+          JOIN mind m1 ON m1.node = e.src
+          JOIN mind m2 ON m2.start = m1.start AND m2.node = e.dst
+          WHERE m2.d = m1.d + 1
         ),
+        s0 AS (SELECT node AS start, node, 0 AS d, CAST(1 AS DOUBLE) AS sig FROM allnodes),
+        $sigmaLevels,
+        sigma AS MATERIALIZED ($sigmaUnion),
         dep AS (
-          SELECT t.v AS node, sum(CAST(t.cnt AS DOUBLE) / sg.s) AS d
-          FROM through t JOIN sigma sg ON sg.start = t.start AND sg.node = t.tgt
-          GROUP BY t.v
+          SELECT sv.node AS node, sum(sv.sig * vt.sig / st.sig) AS d
+          FROM sigma st
+          JOIN sigma sv ON sv.start = st.start AND sv.node <> st.node
+          JOIN sigma vt ON vt.start = sv.node AND vt.node = st.node
+          WHERE sv.d + vt.d = st.d
+          GROUP BY sv.node
         ),
         nn AS (SELECT count(*) AS n FROM allnodes)
         SELECT a.node,
@@ -316,7 +338,8 @@ object Graph {
                      CASE WHEN nn.n > 2 THEN 1.0/((nn.n-1.0)*(nn.n-2.0)) ELSE 0.0 END, 6) AS betweenness
         FROM allnodes a LEFT JOIN dep ON dep.node = a.node, nn
         ORDER BY a.node
-      """),
+      """
+      },
     ),
 
     // ---- subgraph extraction around seeds (graph_traversal.py:464-502):
