@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch dev probe for round-6 optimization (not part of the driver
+  * contract): per-phase timing of individual operators.
+  */
+object DevProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[T](tag: String)(b: => T): T = {
+      val t0 = System.nanoTime(); val r = b
+      println(f"[probe] $tag%-30s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    // warm JIT on tiny SF
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    args.headOption.getOrElse("cc") match {
+      case "cc" =>
+        val e = graft.queries.Graph.edges(spark, sfDir)
+        t("edges count")(e.count())
+        val (df, it) = t("cc total")(graft.graph.GraphOps.connectedComponentsIter(e))
+        t("cc result count")(df.count())
+        println(s"[probe] cc supersteps: $it")
+        val (df2, it2) = t("cc total rep2")(graft.graph.GraphOps.connectedComponentsIter(e))
+        t("cc result count2")(df2.count())
+        println(s"[probe] cc supersteps: $it2")
+      case "ccsteps" =>
+        // instrumented copy of connectedComponentsIter's loop
+        import org.apache.spark.storage.StorageLevel
+        val edges = graft.queries.Graph.edges(spark, sfDir)
+        val e = graft.graph.GraphOps.undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        var labels = t("init labels")(
+          graft.graph.GraphOps.nodes(e).withColumn("label", col("node")).localCheckpoint(),
+        )
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 50) {
+          iter += 1
+          val own = labels.select(col("node"), col("label"), lit(true).as("own"))
+          val propagated = e
+            .join(labels, e("src") === labels("node"))
+            .select(col("dst").as("node"), col("label"), lit(false).as("own"))
+          val l1 = own
+            .unionByName(propagated)
+            .groupBy(col("node"))
+            .agg(min(col("label")).as("label"), max(when(col("own"), col("label"))).as("old"))
+          val parents = l1.toDF("pn", "pl", "pold").select(col("pn"), col("pl"))
+          val next = l1
+            .join(parents, l1("label") === parents("pn"), "left")
+            .select(col("node"), coalesce(col("pl"), col("label")).as("label"), col("old"))
+            .localCheckpoint(eager = false)
+          converged = t(s"superstep $iter")(next.filter(col("label") =!= col("old")).count() == 0L)
+          labels = next.drop("old")
+        }
+        println(s"[probe] iters: $iter")
+      case "idx" =>
+        // mirrors Bench's kg_index_build phase: bulk pipeline without
+        // indexes, then the concurrent bootstrap + search-index build
+        Bench.cleanBenchTmp()
+        val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+        val (pipeSec, _, _, store) = Bench.runPipelineStore(spark, sfDir, scale, buildIndexes = false)
+        println(f"[probe] pipeline: $pipeSec%.2fs")
+        val tIdx = System.nanoTime()
+        graft.io.Concurrent.runAll(Seq(
+          () => graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark),
+          () => graft.search.SearchIndexes.build(store),
+        ))
+        println(f"[probe] index build: ${(System.nanoTime() - tIdx) / 1e9}%.2fs")
+        store.deleteRoot()
+      case "ngram" =>
+        val docs = T.load(spark, sfDir, "documents").filter(col("doc_id") < 600)
+        val r = t("ngram rep1")(
+          graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3).orderBy(col("i"), col("j")).count(),
+        )
+        println(s"[probe] rows: $r")
+        t("ngram rep2")(
+          graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3).orderBy(col("i"), col("j")).count(),
+        )
+      case "ngram2" =>
+        import graft.dedup.{Dedup => D}
+        val docs = T.load(spark, sfDir, "documents").filter(col("doc_id") < 600)
+        val sh = docs.select(col("doc_id").as("id"), D.shingles3(col("text")).as("sh"))
+        t("shingles count")(sh.count())
+        val tot = t("total shingle rows")(sh.select(explode(col("sh"))).count())
+        println(s"[probe] exploded rows: $tot")
+        val ex = sh.select(col("id"), explode(col("sh")).as("s")).select(col("id"), xxhash64(col("s")).as("s"))
+        val joined = ex.select(col("id").as("i"), col("s"))
+          .join(ex.select(col("id").as("j"), col("s")), Seq("s"))
+          .filter(col("i") < col("j"))
+        val jn = t("join output rows")(joined.count())
+        println(s"[probe] join rows: $jn")
+        val agg = joined.groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+        t("agg rows")(println(s"[probe] agg rows: ${agg.count()}"))
+      case "ngram3" =>
+        import graft.dedup.{Dedup => D}
+        val docs = T.load(spark, sfDir, "documents").filter(col("doc_id") < 600).localCheckpoint()
+        t("materialize docs")(docs.count())
+        val sh = docs.select(col("doc_id").as("id"), D.shingles3(col("text")).as("sh"))
+        t("explode rep1")(sh.select(explode(col("sh"))).count())
+        t("explode rep2")(sh.select(explode(col("sh"))).count())
+        t("explode rep3")(sh.select(explode(col("sh"))).count())
+        val toks = docs.select(split(lower(col("text")), " ").as("tt"))
+        t("split only")(toks.select(explode(col("tt"))).count())
+        val noDistinct = docs.select(
+          explode(
+            transform(
+              sequence(lit(1), greatest(size(split(lower(col("text")), " ")) - lit(2), lit(0))),
+              i => concat_ws(" ", element_at(split(lower(col("text")), " "), i)),
+            ),
+          ),
+        )
+        t("transform no distinct")(noDistinct.count())
+      case "qtry" =>
+        // run registered queries EXACTLY as Bench.timeQuery does, but
+        // print the exception a failure would silently swallow
+        val names = args.drop(1).headOption.getOrElse("q_dedup_ngram_jaccard").split(",").toSeq
+        try graft.queries.Kg.warm(spark, sfDir)
+        catch { case _: Throwable => () }
+        for (n <- names; fn <- SparkEntry.queries.get(n)) {
+          val t0 = System.nanoTime()
+          try {
+            val c = fn(spark, sfDir).count()
+            println(f"[probe] $n ok rows=$c ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          } catch {
+            case e: Throwable =>
+              println(f"[probe] $n THREW after ${(System.nanoTime() - t0) / 1e9}%.2fs: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(400)}")
+          }
+        }
+      case other => println(s"unknown probe $other")
+    }
+    spark.stop()
+  }
+}

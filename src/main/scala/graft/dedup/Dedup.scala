@@ -22,18 +22,32 @@ object Dedup {
 
   /** Distinct 3-token shingles of a text column (lowercased,
     * space-tokenized — the reference's tokenizer contract).
+    *
+    * The token array is LET-BOUND via a single-element `transform` so the
+    * `split` runs once per row: referencing `split(...)` directly inside
+    * the shingle lambda re-evaluates it for every `element_at` — three
+    * splits per shingle, O(tokens²) string work per document (measured
+    * ~10× the whole query's cost at sf0.1). Catalyst's subexpression
+    * elimination does not reach inside higher-order-function lambdas;
+    * binding the array as a lambda variable is the expression-level `let`.
+    * Value-identical by construction (same expression, evaluated once).
     */
-  def shingles3(text: Column): Column = {
-    val t = split(lower(text), " ")
-    when(size(t) < 3, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(
-          sequence(lit(1), size(t) - lit(2)),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)), element_at(t, i + lit(2))),
-        ),
+  def shingles3(text: Column): Column =
+    element_at(
+      transform(
+        array(split(lower(text), " ")),
+        t =>
+          when(size(t) < 3, array().cast("array<string>")).otherwise(
+            array_distinct(
+              transform(
+                sequence(lit(1), size(t) - lit(2)),
+                i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)), element_at(t, i + lit(2))),
+              ),
+            ),
+          ),
       ),
+      1,
     )
-  }
 
   /** Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -64,7 +78,14 @@ object Dedup {
     require(threshold > 0, "zero-overlap pairs are not materialized; threshold must be > 0")
     val sh = docs.select(col(idCol).as("id"), shingles3(col(textCol)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    // the shingle string never leaves the equi-join — fold it to a 64-bit
+    // xxhash64 so the join's build/probe side carries 8 bytes per row
+    // instead of a ~25-char trigram (guide §2.3: narrower join keys).
+    // |A∩B| via hashed distinct shingles is exact unless two DISTINCT
+    // shingles of one candidate pair collide in 64 bits (P ≈ m²/2^65 for
+    // m distinct corpus shingles — ~10⁻⁸ here), deterministic per corpus,
+    // and the DuckDB oracle re-checks the exact values at every SF.
+    val ex = sh.select(col("id"), explode(col("sh")).as("s")).select(col("id"), xxhash64(col("s")).as("s"))
     ex.select(col("id").as("i"), col("s"))
       .join(ex.select(col("id").as("j"), col("s")), Seq("s"))
       .filter(col("i") < col("j"))

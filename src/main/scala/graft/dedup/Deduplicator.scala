@@ -244,7 +244,13 @@ object Deduplicator {
     )
     val toks = nodes.select(col("uuid"), tokens(col("name")).as("toks"))
     val sizes = toks.select(col("uuid"), size(col("toks")).as("n"))
+    // the token string never leaves the overlap equi-join below — fold it
+    // to a 64-bit xxhash64 (guide §2.3: narrower join keys; same
+    // determinism/collision argument as Dedup.ngramJaccardPairs — a
+    // collision needs two DISTINCT tokens of one candidate pair sharing a
+    // 64-bit hash, P ≈ m²/2^65, and the oracle re-checks exact values)
     val ex = toks.select(col("uuid"), explode(col("toks")).as("tok"))
+      .select(col("uuid"), xxhash64(col("tok")).as("tok"))
     val cand = pairsFromKeys(dropHotKeys(entityBlockKeys(nodes, cfg), cfg.effectiveHotBlockCap))
       .localCheckpoint()
     val overlap = cand

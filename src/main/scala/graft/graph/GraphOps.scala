@@ -46,16 +46,23 @@ object GraphOps {
     var done = false
     while (depth < maxDepth && !done) {
       depth += 1
+      // LAZY local checkpoint + count: ONE job materializes the superstep
+      // AND answers the emptiness check (the eager checkpoint + isEmpty
+      // pair was two scheduler round-trips per superstep). `visited` stays
+      // a lazy union of already-checkpointed legs — re-checkpointing the
+      // union each superstep was a third full job that only re-flattened
+      // checkpointed data (the loop runs ≤ maxDepth ≤ O(diameter) times,
+      // so the union plan stays shallow).
       val next = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"))
         .distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        visited = visited.unionByName(next)
         frontier = next
       }
     }
@@ -81,16 +88,18 @@ object GraphOps {
     var done = false
     while (depth < maxDepth && !done) {
       depth += 1
+      // same lazy-checkpoint + count fusion as [[bfs]] — one job per
+      // superstep instead of three
       val next = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("origin"), col("dst").as("node"))
         .distinct()
         .join(visited, Seq("origin", "node"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        visited = visited.unionByName(next)
         frontier = next
       }
     }
@@ -116,16 +125,17 @@ object GraphOps {
     while (depth < maxDepth && !done) {
       depth += 1
       val nbrs = probe(frontier.select(col("node").as("src")))
+      // same lazy-checkpoint + count fusion as [[bfs]]
       val next = frontier
         .join(nbrs, frontier("node") === nbrs("src"))
         .select(col("dst").as("node"))
         .distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        visited = visited.unionByName(next)
         frontier = next
       }
     }
@@ -221,7 +231,11 @@ object GraphOps {
     */
   def connectedComponentsIter(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val e = undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes(e).withColumn("label", col("node")).localCheckpoint()
+    // e is undirected (every edge present in both directions), so its src
+    // column alone already covers every node — the generic nodes(e) union
+    // of src ∪ dst would distinct twice the rows for the same set
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -240,13 +254,17 @@ object GraphOps {
       // of same-component members, and label(x) ≤ x, so this is safe and
       // monotone
       val parents = l1.toDF("pn", "pl", "pold").select(col("pn"), col("pl"))
+      // lazy checkpoint + count: the convergence filter's count is the
+      // FIRST action on `next`, so one job materializes the superstep and
+      // decides the fixpoint (the eager checkpoint + isEmpty pair was two
+      // scheduler round-trips per superstep)
       val next = l1
         .join(parents, l1("label") === parents("pn"), "left")
         .select(col("node"), coalesce(col("pl"), col("label")).as("label"), col("old"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // converged iff no label moved (true fixpoint: at neighbor-min
       // stability every label already points at its component min)
-      converged = next.filter(col("label") =!= col("old")).isEmpty
+      converged = next.filter(col("label") =!= col("old")).count() == 0L
       labels = next.drop("old")
     }
     e.unpersist()
@@ -318,14 +336,21 @@ object GraphOps {
     var frontier = sources.toDF("head").withColumn("path", array(col("head")))
     var results = frontier.filter(col("head").isin(targets.toSeq: _*))
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    var done = false
+    while (depth < maxDepth && !done) {
       depth += 1
-      frontier = frontier
+      // lazy checkpoint + count fusion (see [[bfs]]): one job per
+      // superstep; an empty expansion terminates without contributing
+      val next = frontier
         .join(e, frontier("head") === e("src"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("head"), concat(col("path"), array(col("dst"))).as("path"))
-        .localCheckpoint()
-      results = results.unionByName(frontier.filter(col("head").isin(targets.toSeq: _*)))
+        .localCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
+      else {
+        frontier = next
+        results = results.unionByName(next.filter(col("head").isin(targets.toSeq: _*)))
+      }
     }
     e.unpersist()
     results.select(col("path"))
@@ -376,16 +401,17 @@ object GraphOps {
     var done = false
     while (depth < maxDepth && !done) {
       depth += 1
+      // same lazy-checkpoint + count fusion as [[bfs]]
       val next = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("start"), col("dst").as("node"))
         .distinct()
         .join(visited, Seq("start", "node"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        visited = visited.unionByName(next)
         frontier = next
       }
     }
@@ -404,10 +430,96 @@ object GraphOps {
     * [[allPairsDistances]]; the per-start aggregation is one groupBy.
     */
   def closenessCentrality(edges: DataFrame, maxDepth: Int = 100): DataFrame = {
-    val d = allPairsDistances(edges, maxDepth)
-    val n = d.select(col("start")).distinct().count()
-    d.groupBy(col("start").as("node"))
-      .agg(count(lit(1)).as("r"), sum(col("dist")).as("sumd"))
+    // Small-graph fast path — the same ≤1000-node centrality gate the
+    // reference computes networkx centralities under
+    // (performance_optimizer.py:384-389) and that [[betweennessCentrality]]
+    // and [[dfs]] already use: broadcast the adjacency once and run every
+    // source's bounded BFS as an executor-parallel task. Replaces
+    // O(diameter) superstep jobs (each a join+distinct+anti-join shuffle
+    // round) with ONE bounded collect + ONE map job. The per-source
+    // (r, Σd) facts are exact integers on both paths and the closeness
+    // arithmetic below is the SAME Column expression, so results are
+    // bit-identical (CentralitySpec + CommunityDifferentialSpec cover
+    // long- and string-node graphs against networkx). Graphs above the
+    // gate take the distributed all-pairs superstep path unchanged.
+    val spark = edges.sparkSession
+    val u = undirect(edges)
+    val maxPairs = 1_000_000 // ≥ any ≤1000-node undirected pair set
+    val head = u.limit(maxPairs + 1).collect()
+    val idxOf = new java.util.LinkedHashMap[Any, Integer]()
+    head.foreach { r =>
+      var i = 0
+      while (i < 2) {
+        val v = r.get(i)
+        if (v != null && !idxOf.containsKey(v)) idxOf.put(v, idxOf.size())
+        i += 1
+      }
+    }
+    val nNodes = idxOf.size()
+    val (rsums, n): (DataFrame, Long) =
+      if (head.length > maxPairs || nNodes > 1000) {
+        // distributed fallback (unchanged algebra)
+        val d = allPairsDistances(edges, maxDepth)
+        val nn = d.select(col("start")).distinct().count()
+        (d.groupBy(col("start").as("node")).agg(count(lit(1)).as("r"), sum(col("dist")).as("sumd")), nn)
+      } else {
+        import spark.implicits._
+        val adjB = Array.fill(nNodes)(new scala.collection.mutable.ArrayBuffer[Int]())
+        head.foreach { r =>
+          val a = idxOf.get(r.get(0)); val b = idxOf.get(r.get(1))
+          if (a != null && b != null) adjB(a) += b.intValue()
+        }
+        val adj: Array[Array[Int]] = adjB.map(_.toArray)
+        val bc = spark.sparkContext.broadcast(adj)
+        val md = maxDepth
+        val perSource = spark
+          .range(nNodes.toLong)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .as[Long]
+          .map { si =>
+            val a = bc.value
+            val s = si.toInt
+            val dist = new Array[Int](a.length)
+            java.util.Arrays.fill(dist, -1)
+            dist(s) = 0
+            val q = new Array[Int](a.length)
+            var qh = 0
+            var qt = 0
+            q(qt) = s; qt += 1
+            var r = 1L
+            var sumd = 0L
+            while (qh < qt) {
+              val v = q(qh); qh += 1
+              val dv = dist(v)
+              if (dv < md) {
+                val nb = a(v)
+                var j = 0
+                while (j < nb.length) {
+                  val w = nb(j)
+                  if (dist(w) < 0) { dist(w) = dv + 1; r += 1; sumd += dv + 1; q(qt) = w; qt += 1 }
+                  j += 1
+                }
+              }
+            }
+            (si, r, sumd)
+          }
+          .toDF("idx", "r", "sumd")
+        // map indices back to node values at their ORIGINAL column type
+        val nodeType = u.schema("src").dataType
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nNodes)
+        val it = idxOf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          rows.add(org.apache.spark.sql.Row(e.getKey, e.getValue.longValue()))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodeType),
+          org.apache.spark.sql.types.StructField("idx", org.apache.spark.sql.types.LongType),
+        ))
+        val nodeIdx = spark.createDataFrame(rows, schema)
+        (perSource.join(broadcast(nodeIdx), Seq("idx")).select(col("node"), col("r"), col("sumd")), nNodes.toLong)
+      }
+    rsums
       .withColumn(
         "closeness",
         when(col("r") > 1 && lit(n) > 1,
@@ -517,7 +629,9 @@ object GraphOps {
     var converged = false
     while (!converged && iter < maxIter) {
       iter += 1
-      val next = labelPropagationStep(e, labels).localCheckpoint()
+      // lazy checkpoint: the convergence count is the first action on
+      // `next`, so it materializes the superstep in the same job
+      val next = labelPropagationStep(e, labels).localCheckpoint(eager = false)
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old"))

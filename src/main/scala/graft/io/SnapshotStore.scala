@@ -411,6 +411,40 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   private def bucketExpr(key: Seq[String], numBuckets: Int) =
     pmod(xxhash64(key.map(col): _*), lit(numBuckets)).cast("int")
 
+  /** Partitioning proxy that places EXACTLY one `__bucket` value per
+    * shuffle partition. `repartition(n, col("__bucket"))` murmur3-hashes
+    * the bucket id into n partitions — balls-in-bins over n distinct
+    * values, so some write tasks own 2-3 buckets while ~1/e of them sit
+    * empty (the guide's "synthetic partitioning keys with too few
+    * distinct values" trap, §2.5): the write stage's tail is the
+    * multi-bucket task. This maps bucket b to a precomputed integer x_b
+    * with pmod(murmur3(x_b), n) == b — evaluated with the SAME
+    * Catalyst expressions HashPartitioning uses, so partition i holds
+    * exactly bucket i. Memoized per bucket count (driver-side search is
+    * ~n·ln n hash evaluations, microseconds at any realistic n).
+    */
+  private def spreadExpr(numBuckets: Int): org.apache.spark.sql.Column = {
+    val preimages = SnapshotStore.spreadCache.computeIfAbsent(
+      numBuckets,
+      n => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+        def pidOf(x: Int): Int =
+          Pmod(new Murmur3Hash(Seq(Literal(x))), Literal(n)).eval(null).asInstanceOf[Int]
+        val arr = new Array[Int](n)
+        val found = new Array[Boolean](n)
+        var remaining = n
+        var x = 0
+        while (remaining > 0) {
+          val b = pidOf(x)
+          if (!found(b)) { found(b) = true; arr(b) = x; remaining -= 1 }
+          x += 1
+        }
+        arr
+      },
+    )
+    element_at(typedLit(preimages.toSeq), col("__bucket") + lit(1))
+  }
+
   /** Bucketed key-based upsert — the merge-on-read analog of an Iceberg
     * `bucket(key)` partition layout. The table's rows live in `numBuckets`
     * hash buckets of `key`; a merge rewrites ONLY the buckets containing
@@ -546,9 +580,12 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val dir = tableDir(table).resolve(s"v=$next")
     // one task (→ one file) per bucket: without this, every task writes
     // every bucket dir (tasks × buckets files) and the driver's footer
-    // metadata pass dominates the merge
+    // metadata pass dominates the merge. Partitioned via [[spreadExpr]] so
+    // each task owns exactly ONE bucket — plain repartition on __bucket
+    // hash-collides bucket ids and the multi-bucket task becomes the
+    // write-stage straggler (guide §2.5).
     merged
-      .repartition(numBuckets, col("__bucket"))
+      .repartition(numBuckets, spreadExpr(numBuckets))
       .write
       .mode("overwrite")
       .partitionBy("__bucket")
@@ -729,6 +766,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
 }
 
 object SnapshotStore {
+
+  /** [[SnapshotStore#spreadExpr]] preimage tables, per bucket count. */
+  private[io] val spreadCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
 
   /** What a [[SnapshotStore.probeFootprint]] probe reads vs the table
     * total — parquet data files of the probed hash buckets plus the live

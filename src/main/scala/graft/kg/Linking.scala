@@ -102,7 +102,15 @@ object Linking {
         explode(array((0 until 8).map(k => concat(lit(s"$k:"), element_at(col("mh"), k + 1))): _*)).as("band"),
       )
       .select(concat(col("g"), lit("|b|"), col("band")).as("key"), col("uuid"), col("name"), col("g").as("group_id"))
-    exact.unionByName(bands).distinct()
+    // no final distinct: the union is duplicate-free by construction — the
+    // exact key is one namespaced (`|k|`) row per node, and each of the 8
+    // band keys carries its band index prefix (`0:`..`7:`) under the `|b|`
+    // namespace, so no two rows of one node can collide and rows of
+    // different nodes differ in uuid. The old `.distinct()` was a full
+    // extra shuffle of ~9 rows/node (the dominant exchange of the
+    // node_blocks build) that removed nothing (guide §2.4: remove shuffles
+    // outright — a distinct on data that is already unique).
+    exact.unionByName(bands)
   }
 
   def duplicatePairs(nodes: DataFrame): DataFrame = {
@@ -122,8 +130,17 @@ object Linking {
     // (g, kind, key, uuid) rows instead of carrying token arrays on both
     // sides. Band candidates are verified afterwards by joining the token
     // sets back in (candidates are few; the corpus-sized frames stay slim).
+    // the key string never leaves the join, so it is folded to ONE 64-bit
+    // xxhash64 (guide §2.3: narrower join keys — the checkpoint and the
+    // self-join's exchange/hashmap carry 8 bytes instead of a normalized
+    // name / band string). Deterministic, so candidates are stable; a
+    // cross-key collision would need two distinct normalized names among
+    // the corpus' ~10^6 keys to share a 64-bit hash (P ≈ m²/2^65 ≈ 10⁻⁷,
+    // and the kind column still separates the k/b namespaces) — the same
+    // determinism class as the MinHash band keys themselves, and the
+    // full oracle gate re-verifies the end-to-end values at every SF.
     val kk = base
-      .select(col("g"), col("uuid"), lit("k").as("kind"), normName(col("name")).as("key"))
+      .select(col("g"), col("uuid"), lit("k").as("kind"), xxhash64(normName(col("name"))).as("key"))
       .unionByName(
         base
           .withColumn("sh", nameTokens(col("name")))
@@ -133,7 +150,7 @@ object Linking {
             col("g"),
             col("uuid"),
             lit("b").as("kind"),
-            explode(array((0 until 8).map(k => concat(lit(s"$k:"), element_at(col("mh"), k + 1))): _*)).as("key"),
+            explode(array((0 until 8).map(k => xxhash64(lit(k), element_at(col("mh"), k + 1))): _*)).as("key"),
           ),
       )
       .localCheckpoint()

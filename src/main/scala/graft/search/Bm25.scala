@@ -23,6 +23,17 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** Token count of a text under the tokenizer contract, WITHOUT
+    * materializing the token array: `split(lower(x), " ")` (limit −1 keeps
+    * trailing empty strings) always yields exactly (number of single-space
+    * occurrences + 1) elements, and lowercasing never changes a space —
+    * so `regexp_count(x, " ") + 1` is value-identical to
+    * `size(split(lower(x), " "))` while skipping both the lowercase copy
+    * and the array allocation (guide §1.2 per-task work; this runs over
+    * every document on every stats scan).
+    */
+  def dlCol(text: Column): Column = regexp_count(text, lit(" ")) + lit(1)
+
   /** Score `docs` (idCol, textCol) against `queryTerms`; returns
     * (id, score) for docs with score > 0.
     */
@@ -35,11 +46,11 @@ object Bm25 {
     // and (id, term) is unique here by construction.
     val qt = array(queryTerms.map(lit): _*)
     val base = docs.select(col(idCol).as("id"), graft.functions.Functions.tokenCounts(col(textCol)).as("tc"))
-    // stats scan reads only token COUNTS — size(split) is cheaper than
-    // materializing the per-doc term map (identical dl by contract)
+    // stats scan reads only token COUNTS — dlCol counts separators without
+    // materializing the per-doc term map or token array (identical dl)
     val corpus = docs.agg(
       count(lit(1)).as("n_docs"),
-      avg(size(split(lower(col(textCol)), " "))).as("avgdl"),
+      avg(dlCol(col(textCol))).as("avgdl"),
     )
     val tf = base
       .select(
@@ -103,7 +114,7 @@ object Bm25 {
   def corpusStats(docs: DataFrame): DataFrame =
     docs.agg(
       count(lit(1)).as("n_docs"),
-      coalesce(sum(size(split(lower(col("text")), " "))), lit(0L)).as("total_dl"),
+      coalesce(sum(dlCol(col("text"))), lit(0L)).as("total_dl"),
     )
 
   /** Batch form of [[score]]: every query scored in ONE corpus pass — the
@@ -122,7 +133,7 @@ object Bm25 {
     val base = docs.select(col(idCol).as("id"), graft.functions.Functions.tokenCounts(col(textCol)).as("tc"))
     val corpus = docs.agg(
       count(lit(1)).as("n_docs"),
-      avg(size(split(lower(col(textCol)), " "))).as("avgdl"),
+      avg(dlCol(col(textCol))).as("avgdl"),
     )
     // one row per (doc, distinct term); the broadcast term join prunes
     // non-query tokens map-side before anything shuffles

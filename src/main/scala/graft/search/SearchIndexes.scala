@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object SearchIndexes {
 
+  private val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
+  private def timed[T](stage: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    if (verbose) println(f"[idx] $stage%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   /** (table, idCol, textCol) surfaces with a BM25 lane in KgSearch. */
   val TextSurfaces: Seq[(String, String, String)] = Seq(
     ("edges", "uuid", "fact"),
@@ -39,11 +47,15 @@ object SearchIndexes {
     */
   def build(store: SnapshotStore): Unit = {
     val text: Seq[() => Unit] = TextSurfaces.collect {
-      case (t, id, textCol) if store.exists(t) => () => buildText(store, t, id, textCol)
+      case (t, id, textCol) if store.exists(t) => () => timed(s"text:$t")(buildText(store, t, id, textCol))
     }
     val rest: Seq[() => Unit] =
       if (store.exists("edges"))
-        Seq(() => buildAnn(store), () => buildGraph(store), () => buildTemporal(store))
+        Seq(
+          () => timed("ann")(buildAnn(store)),
+          () => timed("graph")(buildGraph(store)),
+          () => timed("temporal")(buildTemporal(store)),
+        )
       else Nil
     graft.io.Concurrent.runAll(text ++ rest)
   }
@@ -212,7 +224,7 @@ object SearchIndexes {
     val stats = store.load(s"${table}_bm25stats").collect()(0)
     def signed(docs: DataFrame, sign: Long) = docs.select(
       lit(sign).as("sign"),
-      (lit(sign) * size(split(lower(col("text")), " ")).cast("long")).as("sdl"),
+      (lit(sign) * Bm25.dlCol(col("text")).cast("long")).as("sdl"),
     )
     val d = signed(newDocs, 1L)
       .unionByName(signed(oldDocs, -1L))

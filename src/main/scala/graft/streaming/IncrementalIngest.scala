@@ -143,13 +143,13 @@ object IncrementalIngest {
     val tasks = Seq.newBuilder[() => Unit]
     if (store.exists("nodes_raw") && !store.exists("node_blocks"))
       tasks += (() =>
-        store.mergeBucketed(
+        timed("boot node_blocks")(store.mergeBucketed(
           "node_blocks",
           Linking.blockingKeys(store.load("nodes_raw")),
           Seq("key", "uuid"),
           "bootstrap node_blocks",
           bucketBy = Seq("key"),
-        ))
+        )))
     else if (
       store.exists("nodes_raw") && store.exists("node_blocks") &&
       // manifest-only schema check (a load() here paid a footer-inference
@@ -172,7 +172,9 @@ object IncrementalIngest {
         ))
     if (store.exists("uuid_map") && !store.exists("uuid_map_by_uuid"))
       tasks += (() =>
-        store.mergeBucketed("uuid_map_by_uuid", store.load("uuid_map"), Seq("uuid"), "bootstrap uuid_map_by_uuid"))
+        timed("boot uuid_map_by_uuid")(
+          store.mergeBucketed("uuid_map_by_uuid", store.load("uuid_map"), Seq("uuid"), "bootstrap uuid_map_by_uuid"),
+        ))
     if (store.exists("raw_triples") && !store.exists("node_stats"))
       tasks += { () =>
         val m =
@@ -193,7 +195,7 @@ object IncrementalIngest {
             min(col("warc_ts")).as("created_at"),
             count(lit(1)).as("mention_count"),
           )
-        store.mergeBucketed("node_stats", stats, Seq("cuuid"), "bootstrap node_stats")
+        timed("boot node_stats")(store.mergeBucketed("node_stats", stats, Seq("cuuid"), "bootstrap node_stats"))
       }
     if (store.exists("edges") && !store.exists("edge_endpoints"))
       tasks += { () =>
@@ -201,13 +203,13 @@ object IncrementalIngest {
           .load("edges")
           .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
           .distinct()
-        store.mergeBucketed(
+        timed("boot edge_endpoints")(store.mergeBucketed(
           "edge_endpoints",
           idx,
           Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
           "bootstrap edge_endpoints",
           bucketBy = Seq("endpoint_uuid"),
-        )
+        ))
       }
     // by-uuid locate index: uuid → contention group, so point mutations
     // (invalidateEdges / setValidityPeriod / getValidAt / the
@@ -216,12 +218,12 @@ object IncrementalIngest {
     // side was already keyed; this keys the read side too)
     if (store.exists("edges") && !store.exists("edge_uuids"))
       tasks += { () =>
-        store.mergeBucketed(
+        timed("boot edge_uuids")(store.mergeBucketed(
           "edge_uuids",
           store.load("edges").select(col("uuid"), col("group_id"), col("source_uuid"), col("name")),
           Seq("uuid"),
           "bootstrap edge_uuids",
-        )
+        ))
       }
     graft.io.Concurrent.runAll(tasks.result())
   }

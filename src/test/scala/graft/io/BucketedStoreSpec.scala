@@ -214,4 +214,42 @@ class BucketedStoreSpec extends AnyFunSuite {
     val got = bs.load("t").collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
     assert(got == Set((1L, "g1-rebuilt"), (2L, "g2-a")))
   }
+
+  test("write spread: one bucket per write task (no bucket-id hash collisions in files)") {
+    // round-6 optimization: mergeBucketed's write repartition places
+    // exactly one __bucket value per task (SnapshotStore.spreadExpr) —
+    // without it, murmur3(bucket id) collides and a straggler task owns
+    // 2-3 buckets. Observable contract: every bucket dir holds exactly
+    // one part file on a first build (one owning task each).
+    val (bs, root) = freshStore()
+    val n = 64
+    val df = (0L until 5000L).map(i => (i, s"v$i")).toDF("k", "v")
+    bs.mergeBucketed("t", df, Seq("k"), "base", numBuckets = n)
+    val vdir = root.resolve("t").resolve("v=0")
+    val bucketDirs = Files.list(vdir).iterator()
+    var checked = 0
+    bucketDirs.forEachRemaining { d =>
+      if (d.getFileName.toString.startsWith("__bucket=")) {
+        val b = d.getFileName.toString.stripPrefix("__bucket=").toInt
+        val parts = Files.list(d).iterator()
+        var files = 0
+        parts.forEachRemaining { f =>
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            files += 1
+            // task index == bucket id (part-%05d-…): the spread mapping
+            // puts bucket b in shuffle partition b exactly
+            assert(
+              f.getFileName.toString.startsWith(f"part-$b%05d-"),
+              s"bucket $b written by a different task: ${f.getFileName}",
+            )
+          }
+        }
+        assert(files == 1, s"bucket dir $d has $files part files (expected exactly 1)")
+        checked += 1
+      }
+    }
+    assert(checked > 50, s"expected ~64 bucket dirs, saw $checked")
+    // content unaffected: all rows present
+    assert(bs.load("t").count() == 5000L)
+  }
 }
