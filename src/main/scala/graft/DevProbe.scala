@@ -120,6 +120,32 @@ object DevProbe {
           ),
         )
         t("transform no distinct")(noDistinct.count())
+      case "weighted" =>
+        val docs = T.load(spark, sfDir, "documents").filter(col("doc_id") < 300)
+        val emb = T.load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+        val nodes = docs
+          .join(emb, docs("doc_id") === emb("vec_id"), "left")
+          .select(
+            lpad(col("doc_id").cast("string"), 6, "0").as("uuid"),
+            col("text").as("name"),
+            lit("default").as("group_id"),
+            array(lit("Entity")).as("labels"),
+            lit(null).cast("timestamp").as("created_at"),
+            col("embedding").as("name_embedding"),
+            lit("").as("summary"),
+            map(lit("lang"), col("lang"), lit("source"), col("source")).as("attributes"),
+          )
+          .localCheckpoint()
+        t("nodes materialize")(nodes.count())
+        for (rep <- 1 to 2) {
+          val r = t(s"duplicateEntityPairs rep$rep")(
+            graft.dedup.Deduplicator
+              .duplicateEntityPairs(nodes, graft.dedup.DeduplicationConfig(similarityThreshold = 0.8))
+              .orderBy(col("u1"), col("u2"))
+              .count(),
+          )
+          println(s"[probe] pairs: $r")
+        }
       case "qtry" =>
         // run registered queries EXACTLY as Bench.timeQuery does, but
         // print the exception a failure would silently swallow

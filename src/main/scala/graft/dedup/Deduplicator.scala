@@ -198,12 +198,14 @@ object Deduplicator {
     * raise `maxPairsPerBlock`/`hotBlockCap` deliberately.
     */
   private def dropHotKeys(keyed: DataFrame, cap: Int): DataFrame = {
+    // lazy checkpoint: the stats collect below is the first action, so one
+    // job materializes the hot set AND reports it (was two jobs)
     val hot = keyed
       .groupBy(col("key"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > cap && !col("key").startsWith("nm:") && !col("key").startsWith("st:"))
       .select(col("key"), col("__df"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val s = hot.agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L))).collect()(0)
     if (s.getLong(0) > 0)
       System.err.println(
@@ -251,8 +253,11 @@ object Deduplicator {
     // 64-bit hash, P ≈ m²/2^65, and the oracle re-checks exact values)
     val ex = toks.select(col("uuid"), explode(col("toks")).as("tok"))
       .select(col("uuid"), xxhash64(col("tok")).as("tok"))
+    // lazy: the caller's single action computes the candidate set once
+    // (checkpointed on first materialization) and every downstream join
+    // reads the stored partitions — no separate up-front job
     val cand = pairsFromKeys(dropHotKeys(entityBlockKeys(nodes, cfg), cfg.effectiveHotBlockCap))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val overlap = cand
       .join(ex.select(col("uuid").as("u1"), col("tok")), Seq("u1"))
       .join(ex.select(col("uuid").as("u2"), col("tok")), Seq("u2", "tok"))

@@ -545,11 +545,22 @@ object GraphOps {
   def betweennessCentrality(edges: DataFrame, maxNodes: Int = 1000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    requireSmallGraph(edges, maxNodes, "GraphOps.betweennessCentrality")
+    // gate enforced from ONE bounded collect (≤ maxNodes·(maxNodes−1)+1
+    // undirected pairs) — the separate distinct-node count job the gate
+    // used to run first re-derived the same information
+    val maxPairs = maxNodes.toLong * (maxNodes - 1) + 1
     val pairs = undirect(edges)
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]
+      .limit((maxPairs min Int.MaxValue.toLong).toInt)
       .collect()
+    val nDistinct = (pairs.iterator.map(_._1) ++ pairs.iterator.map(_._2)).toSet.size
+    require(
+      pairs.length < maxPairs && nDistinct <= maxNodes,
+      s"GraphOps.betweennessCentrality is gated to graphs with <= $maxNodes nodes (got " +
+        s"${if (pairs.length >= maxPairs) s">$maxNodes" else nDistinct.toString}) — extract a subgraph first " +
+        "or raise maxNodes explicitly (reference gate: performance_optimizer.py:384-389)",
+    )
     val adj: Map[Long, Array[Long]] =
       pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct.sorted }
     val allNodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted

@@ -482,17 +482,44 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       // miss the old rows' buckets and leave stale same-key rows behind)
       .filter(m => m.numBuckets == numBuckets && (m.bucketBy.isEmpty || m.bucketBy == bCols))
 
-    val withB = updates.withColumn("__bucket", bucketExpr(bCols, numBuckets))
-    val delB = deleteKeys.map(_.withColumn("__bucket", bucketExpr(bCols, numBuckets)))
-    // The delta-vs-rewrite decision needs only TOTAL row counts (cheap
-    // map-side count); the per-bucket affected set is needed only on the
-    // (rare, compaction-sized) rewrite path and is computed there. On a
-    // FIRST build neither is needed (no prior buckets to carry, delta
-    // path requires a manifest) — skip so `updates` is traversed exactly
-    // once (callers then don't have to checkpoint a build-sized
-    // intermediate).
-    val updRows = if (prev.isEmpty) 0L else updates.count()
-    val delRows = if (prev.isEmpty) 0L else delB.map(_.count()).getOrElse(0L)
+    // ---- WRITE-FIRST staging (guide §1.2: don't traverse `updates`
+    // repeatedly). With a prior version, the old flow ran an
+    // `updates.count()` (+ a deletes count) to pick delta-vs-rewrite,
+    // then traversed the updates plan AGAIN for the write — and the
+    // rewrite path two more times (affected-bucket set, replace-key
+    // anti-join). Now the batch is materialized ONCE into a staging dir,
+    // row counts come from the parquet FOOTERS (driver-side metadata, no
+    // Spark job), and every later consumer reads the staged copy. First
+    // builds (no prior version: nothing to decide, nothing carried) stay
+    // single-traversal with no staging.
+    var updatesSrc = updates
+    var deleteSrc: Option[DataFrame] = deleteKeys.map(_.select(key.map(col): _*).distinct())
+    var updRows = 0L
+    var delRows = 0L
+    val staging: Option[Path] =
+      if (prev.isEmpty) None
+      else {
+        val st = tableDir(table).resolve(s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+        val updDir = st.resolve("updates")
+        updates.write.mode("overwrite").parquet(updDir.toString)
+        updRows = footerCounts(listDir(updDir)).map(_._2).sum
+        updatesSrc = spark.read.parquet(updDir.toString)
+        deleteSrc = deleteSrc.map { dk =>
+          val delDir = st.resolve("deletes")
+          dk.write.mode("overwrite").parquet(delDir.toString)
+          delRows = footerCounts(listDir(delDir)).map(_._2).sum
+          spark.read.parquet(delDir.toString)
+        }
+        Some(st)
+      }
+    def dropStaging(): Unit = staging.foreach { st =>
+      if (Files.isDirectory(st)) {
+        val s = Files.walk(st)
+        try s.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+      }
+    }
+    try {
 
     // ---- NO-OP short-circuit: an empty merge (0 updates, 0 deletes)
     // changes nothing — without this, recurring empty merges (e.g. a
@@ -520,11 +547,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       val next = versions(table).lastOption.getOrElse(-1) + 1
       val dir = tableDir(table).resolve(s"v=$next")
       Files.createDirectories(dir)
-      updates.coalesce(1).write.mode("overwrite").parquet(deltaUpdatesDir(table, next).toString)
-      deleteKeys.foreach { dk =>
-        dk.select(key.map(col): _*).distinct().coalesce(1)
-          .write.mode("overwrite").parquet(deltaDeletesDir(table, next).toString)
-      }
+      // batch-sized by the delta condition: fold the staged copy to one
+      // file per dir (a tiny read-back job, not a re-traversal of the
+      // caller's plan)
+      updatesSrc.coalesce(1).write.mode("overwrite").parquet(deltaUpdatesDir(table, next).toString)
+      deleteSrc.foreach(_.coalesce(1).write.mode("overwrite").parquet(deltaDeletesDir(table, next).toString))
       // bucket dirs unchanged by a delta append → schema flags carried
       val manifest = Manifest(numBuckets, m.buckets, m.deltas :+ (next -> updRows), key, bCols, m.cols, m.mixed)
       Files.write(dir.resolve("_manifest.json"), manifestJson(manifest).getBytes(StandardCharsets.UTF_8))
@@ -538,13 +565,16 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       return next
     }
 
-    // rewrite path: NOW compute the affected-bucket set (one small
-    // shuffle over the batch — only paid on compaction-sized merges)
+    // rewrite path: the affected-bucket set comes from ONE scan of the
+    // (staged) batch — only paid on compaction-sized merges
     val affected: Set[Int] =
       if (prev.isEmpty) Set.empty
-      else
-        (withB.select(col("__bucket")).distinct().collect().map(_.getInt(0)) ++
-          delB.toSeq.flatMap(_.select(col("__bucket")).distinct().collect().map(_.getInt(0)))).toSet
+      else {
+        def bucketsOf(df: DataFrame): Seq[Int] = df
+          .select(bucketExpr(bCols, numBuckets).as("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        (bucketsOf(updatesSrc) ++ deleteSrc.toSeq.flatMap(bucketsOf)).toSet
+      }
 
     // legacy plain table (no manifest / re-bucketed) or a pending delta
     // chain: fold ALL existing rows (chain applied by loadVersion) into
@@ -565,15 +595,15 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         }
 
     val keptOld = oldAffected.map { old =>
-      val afterDel = deleteKeys match {
-        case Some(dk) => old.join(dk.select(key.map(col): _*).distinct(), key, "left_anti")
+      val afterDel = deleteSrc match {
+        case Some(dk) => old.join(dk, key, "left_anti")
         case None => old
       }
-      afterDel.join(updates.select(key.map(col): _*).distinct(), key, "left_anti")
+      afterDel.join(updatesSrc.select(key.map(col): _*).distinct(), key, "left_anti")
     }
     val merged = keptOld
-      .map(_.unionByName(updates, allowMissingColumns = true))
-      .getOrElse(updates)
+      .map(_.unionByName(updatesSrc, allowMissingColumns = true))
+      .getOrElse(updatesSrc)
       .withColumn("__bucket", bucketExpr(bCols, numBuckets))
 
     val next = versions(table).lastOption.getOrElse(-1) + 1
@@ -641,6 +671,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     Files.write(dir.resolve("_commit.json"), commitJson.getBytes(StandardCharsets.UTF_8))
     publish(table, next)
     next
+    } finally dropStaging()
   }
 
   /** A delta chain longer than this folds on the next merge (bounds the

@@ -375,10 +375,13 @@ final class KgPipeline(
       val deadStats =
         if (!store.exists("node_stats")) None
         else Some(store.load("node_stats").select(col("cuuid")).join(nodeFacts, Seq("cuuid"), "left_anti"))
-      store.mergeBucketed(
-        "node_stats", nodeFacts, Seq("cuuid"), "node mention stats index",
-        deleteKeys = deadStats,
-      )
+      def statsMerge(): Unit = {
+        store.mergeBucketed(
+          "node_stats", nodeFacts, Seq("cuuid"), "node mention stats index",
+          deleteKeys = deadStats,
+        )
+        ()
+      }
       def finalCols(src: DataFrame): DataFrame = src.select(
         col("uuid"),
         col("name"),
@@ -409,7 +412,13 @@ final class KgPipeline(
                 .filter(col("uuid") === col("canonical"))
           finalCols(canonBase.join(nodeFacts, col("uuid") === col("cuuid"), "left"))
         }
-      commitPrimary(canon, "nodes", Seq("uuid"), Seq("uuid"), "canonical entity nodes", nodesFp)
+      // node_stats and nodes are DISJOINT tables fed by the same cached/
+      // checkpointed frames — the stats merge rides beside the (larger)
+      // canonical commit instead of serializing ahead of it
+      graft.io.Concurrent.runAll(Seq(
+        () => statsMerge(),
+        () => commitPrimary(canon, "nodes", Seq("uuid"), Seq("uuid"), "canonical entity nodes", nodesFp),
+      ))
     } }
 
     // ---- stage 9: episodes.entity_edges — the reference keeps the edge
@@ -425,12 +434,17 @@ final class KgPipeline(
       // from the in-memory final frame when stage 6 just built it (runs
       // concurrently with the edges commit — disjoint tables); falls back
       // to the committed snapshot on resume
-      val byEpisode = edgesInMem
+      // checkpoint only when a prior table exists: the rebuild path reads
+      // byEpisode twice (stale-key anti-join + merge), but a FIRST build
+      // traverses it exactly once inside mergeBucketed — the eager
+      // checkpoint there was a full extra materialization job
+      val byEpisode0 = edgesInMem
         .getOrElse(store.load("edges"))
         .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
         .groupBy(col("uuid"))
         .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
-        .localCheckpoint()
+      val byEpisode =
+        if (store.exists("episode_entity_edges")) byEpisode0.localCheckpoint() else byEpisode0
       // stale keys from a REPLACED corpus leave (absence == empty list —
       // the read-time join coalesces — so dead-episode rows are invisible
       // garbage that would otherwise accumulate one corpus per bulk)

@@ -181,7 +181,10 @@ object TextAnalysis {
           .agg(count(lit(1)).as("tf"))
         val byTerm = tf
           .groupBy(col("term"))
-          .agg(countDistinct(col("doc_id")).as("df"), sum(col("tf")).as("total_tf"))
+          // (doc_id, term) is unique after the tf aggregate, so the
+          // distinct count is a plain count — countDistinct planned an
+          // Expand + extra aggregate pass for rows already unique
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
         val nDocs = d.agg(count(lit(1)).as("n"))
         byTerm
           .filter(col("df") >= 20)

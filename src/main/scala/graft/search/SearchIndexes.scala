@@ -308,15 +308,26 @@ object SearchIndexes {
     val gonePairs =
       if (!store.exists("graph_adj")) None
       else Some(store.load("graph_adj").select(col("src"), col("dst")).join(pairs, Seq("src", "dst"), "left_anti"))
-    store.mergeBucketed(
-      "graph_adj", pairs, Seq("src", "dst"), "adjacency index",
-      deleteKeys = gonePairs, bucketBy = Seq("src"),
-    )
     val deg = pairs.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
     val goneNodes =
       if (!store.exists("graph_degrees")) None
       else Some(store.load("graph_degrees").select(col("node")).join(deg, Seq("node"), "left_anti"))
-    store.mergeBucketed("graph_degrees", deg, Seq("node"), "distinct-neighbor degrees", deleteKeys = goneNodes)
+    // the two merges write DISJOINT tables from the same checkpointed
+    // pairs — concurrent jobs, not a serial chain (this builder was the
+    // last finisher of the index-build group)
+    graft.io.Concurrent.runAll(Seq(
+      () => {
+        store.mergeBucketed(
+          "graph_adj", pairs, Seq("src", "dst"), "adjacency index",
+          deleteKeys = gonePairs, bucketBy = Seq("src"),
+        )
+        ()
+      },
+      () => {
+        store.mergeBucketed("graph_degrees", deg, Seq("node"), "distinct-neighbor degrees", deleteKeys = goneNodes)
+        ()
+      },
+    ))
     // a (re)build folds everything — any pending delta log is stale
     graft.io.DeltaLog.clear(store, "graph_adj")
   }
