@@ -77,6 +77,48 @@ object DevProbe {
         ))
         println(f"[probe] index build: ${(System.nanoTime() - tIdx) / 1e9}%.2fs")
         store.deleteRoot()
+      case "idx2" =>
+        // serial per-builder timing of the index-build phase (true work per
+        // builder, no cross-chain CPU contention in the numbers)
+        Bench.cleanBenchTmp()
+        val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+        val (pipeSec, _, _, store) = Bench.runPipelineStore(spark, sfDir, scale, buildIndexes = false)
+        println(f"[probe] pipeline: $pipeSec%.2fs")
+        t("boot(all)")(graft.streaming.IncrementalIngest.bootstrapIndexes(store, spark))
+        for ((tb, id, tx) <- graft.search.SearchIndexes.TextSurfaces if store.exists(tb))
+          t(s"text:$tb")(graft.search.SearchIndexes.buildText(store, tb, id, tx))
+        t("ann")(graft.search.SearchIndexes.buildAnn(store))
+        t("graph")(graft.search.SearchIndexes.buildGraph(store))
+        t("temporal")(graft.search.SearchIndexes.buildTemporal(store))
+        store.deleteRoot()
+      case "idxparts" =>
+        // component timing inside the expensive index builders
+        Bench.cleanBenchTmp()
+        val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+        val (pipeSec, _, _, store) = Bench.runPipelineStore(spark, sfDir, scale, buildIndexes = false)
+        println(f"[probe] pipeline: $pipeSec%.2fs")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val edges = store.load("edges")
+        t("edges scan fact")(noop(edges.select(col("uuid"), col("fact"))))
+        t("termFreqs edges")(noop(graft.search.Bm25.termFreqs(
+          edges.select(col("uuid").as("id"), col("fact").as("text")))))
+        t("buildText edges")(graft.search.SearchIndexes.buildText(store, "edges", "uuid", "fact"))
+        t("ann project")(noop(edges.select(
+          graft.sim.Ann.signatureCol(col("fact_embedding"), graft.search.SearchIndexes.annPlanes).as("sig"),
+          col("uuid"), col("fact_embedding").as("v"))))
+        t("buildAnn")(graft.search.SearchIndexes.buildAnn(store))
+        t("pairCounts agg")(noop({
+          val e = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
+          e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+            .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        }))
+        t("buildGraph")(graft.search.SearchIndexes.buildGraph(store))
+        t("buildTemporal")(graft.search.SearchIndexes.buildTemporal(store))
+        t("boot edge_endpoints distinct")(noop(
+          edges.select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"),
+            col("group_id"), col("source_uuid"), col("name")).distinct()))
+        store.deleteRoot()
       case "ngram" =>
         val docs = T.load(spark, sfDir, "documents").filter(col("doc_id") < 600)
         val r = t("ngram rep1")(

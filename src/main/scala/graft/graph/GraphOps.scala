@@ -161,32 +161,90 @@ object GraphOps {
     * partitioning (min is commutative and associative).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
-    connectedComponentsIter(edges, maxIter)._1
+    connectedComponentsAuto(edges, maxIter)
 
-  /** [[connectedComponents]] with a bounded DRIVER fast path for small
-    * edge lists over STRING node ids. Duplicate-pair graphs are ∝
-    * near-duplicate surfaces, not corpus — a steady micro-batch or a
-    * lightly-duplicated bulk corpus yields a few thousand pairs, and the
-    * superstep loop then spends ~6-10 job-latency quanta labeling a set
-    * that fits in one driver array. Up to `-Dgraft.graph.localccmax`
-    * edges (default 100,000 — ~10 MB of uuid strings, the same bounded-
-    * collect class as the ivfTopK centroid table) are fetched with ONE
-    * bounded job (`limit(max+1)` — never a full count of a big set) and
-    * union-found locally with min-id roots + path compression; anything
-    * larger takes the distributed pointer-doubling path unchanged.
-    * Value-identical to [[connectedComponents]] for string ids: min is
-    * lexicographic on both paths (GraphOpsSpec parity), so callers keep
-    * the exact `compress_uuid_map` canonical-min contract.
+  /** [[connectedComponentsIter]] with a bounded DRIVER fast path for small
+    * edge lists. Duplicate-pair graphs are ∝ near-duplicate surfaces, not
+    * corpus — a steady micro-batch or a lightly-duplicated bulk corpus
+    * yields a few thousand pairs, and the superstep loop then spends
+    * ~6-10 job-latency quanta labeling a set that fits in one driver
+    * array. Up to `-Dgraft.graph.localccmax` edges (default 100,000 —
+    * ~10 MB of uuid strings, the same bounded-collect class as the ivfTopK
+    * centroid table) are fetched with ONE bounded job (`limit(max+1)` —
+    * never a full count of a big set) and union-found locally with min-id
+    * roots + path compression; anything larger takes the distributed
+    * pointer-doubling path unchanged. Value-identical to
+    * [[connectedComponentsIter]] (GraphOpsSpec parity over both paths):
+    * min is lexicographic for string ids and numeric for integral ids —
+    * the exact `compress_uuid_map` canonical-min contract — and integral
+    * node columns keep their input type (outputs are cast back), so the
+    * fast path is schema-invisible to callers.
     */
-  def connectedComponentsAuto(edges: DataFrame): DataFrame = {
+  def connectedComponentsAuto(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val localMax = Integer.getInteger("graft.graph.localccmax", 100000).intValue()
     val spark = edges.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types._
     val cols = edges.columns
-    val slim = edges.select(col(cols(0)).cast("string").as("src"), col(cols(1)).cast("string").as("dst"))
+    val dts = Seq(edges.schema(cols(0)).dataType, edges.schema(cols(1)).dataType)
+    val integral = dts.forall {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // fast path only for integral and string ids (the two shapes the engine
+    // produces); anything exotic keeps the type-preserving superstep path
+    if (!integral && !dts.forall(_ == StringType))
+      return connectedComponentsIter(edges, maxIter)._1
+    // widest integral type of the two sides (what undirect's union would
+    // coerce to) — the fast path's outputs are cast back to it
+    val outType: DataType =
+      if (integral) dts.maxBy {
+        case LongType => 4; case IntegerType => 3; case ShortType => 2; case _ => 1
+      }
+      else StringType
+    val slim =
+      if (integral) edges.select(col(cols(0)).cast("long").as("src"), col(cols(1)).cast("long").as("dst"))
+      else edges.select(col(cols(0)).cast("string").as("src"), col(cols(1)).cast("string").as("dst"))
     val head = slim.limit(localMax + 1).collect()
-    if (head.length > localMax) connectedComponents(edges)
-    else {
+    if (head.length > localMax) connectedComponentsIter(edges, maxIter)._1
+    else if (integral) {
+      // union by MIN root over primitive longs (no boxing in find/union's
+      // hot loop beyond the HashMap boxing — bounded by localMax)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = p
+          p = gp
+        }
+        x
+      }
+      def union(a: Long, b: Long): Unit = {
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      head.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) union(r.getLong(0), r.getLong(1))
+      }
+      val seen = new java.util.HashSet[Long]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      head.foreach { r =>
+        var i = 0
+        while (i < 2) {
+          if (!r.isNullAt(i)) {
+            val n = r.getLong(i)
+            if (seen.add(n)) out += ((n, find(n)))
+          }
+          i += 1
+        }
+      }
+      out.toSeq.toDF("node", "component")
+        .select(col("node").cast(outType).as("node"), col("component").cast(outType).as("component"))
+    } else {
       // union by MIN root: the smaller id always stays the root, so after
       // all unions find(x) IS the component's min member — the same
       // canonical the distributed hash-min converges to

@@ -408,42 +408,21 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     */
   def DefaultBuckets: Int = Integer.getInteger("graft.buckets", 64)
 
-  private def bucketExpr(key: Seq[String], numBuckets: Int) =
-    pmod(xxhash64(key.map(col): _*), lit(numBuckets)).cast("int")
-
-  /** Partitioning proxy that places EXACTLY one `__bucket` value per
-    * shuffle partition. `repartition(n, col("__bucket"))` murmur3-hashes
-    * the bucket id into n partitions — balls-in-bins over n distinct
-    * values, so some write tasks own 2-3 buckets while ~1/e of them sit
-    * empty (the guide's "synthetic partitioning keys with too few
-    * distinct values" trap, §2.5): the write stage's tail is the
-    * multi-bucket task. This maps bucket b to a precomputed integer x_b
-    * with pmod(murmur3(x_b), n) == b — evaluated with the SAME
-    * Catalyst expressions HashPartitioning uses, so partition i holds
-    * exactly bucket i. Memoized per bucket count (driver-side search is
-    * ~n·ln n hash evaluations, microseconds at any realistic n).
+  /** Bucket id of a key — pmod(murmur3(key), n), EXACTLY the expression
+    * Spark's `HashPartitioning` evaluates for `repartition(n, key)`. The
+    * equality is load-bearing twice over (guide §2.4: operations keyed the
+    * same way share one exchange): (1) the bucketed write repartitions by
+    * the RAW key columns and partition i holds exactly bucket i — one
+    * bucket per write task by construction, no bucket-id re-hash collisions
+    * (the previous xxhash64 bucket expr needed a preimage table to spread
+    * bucket ids over tasks); (2) a builder that pre-partitions its input by
+    * the bucket columns (`repartition(numBuckets, bCols)`) satisfies the
+    * clustering requirement of any aggregate/distinct keyed on a SUPERSET
+    * of those columns, so the aggregate and the bucketed write ride the
+    * same single exchange (`prePartitioned` below).
     */
-  private def spreadExpr(numBuckets: Int): org.apache.spark.sql.Column = {
-    val preimages = SnapshotStore.spreadCache.computeIfAbsent(
-      numBuckets,
-      n => {
-        import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
-        def pidOf(x: Int): Int =
-          Pmod(new Murmur3Hash(Seq(Literal(x))), Literal(n)).eval(null).asInstanceOf[Int]
-        val arr = new Array[Int](n)
-        val found = new Array[Boolean](n)
-        var remaining = n
-        var x = 0
-        while (remaining > 0) {
-          val b = pidOf(x)
-          if (!found(b)) { found(b) = true; arr(b) = x; remaining -= 1 }
-          x += 1
-        }
-        arr
-      },
-    )
-    element_at(typedLit(preimages.toSeq), col("__bucket") + lit(1))
-  }
+  private def bucketExpr(key: Seq[String], numBuckets: Int) =
+    pmod(hash(key.map(col): _*), lit(numBuckets)).cast("int")
 
   /** Bucketed key-based upsert — the merge-on-read analog of an Iceberg
     * `bucket(key)` partition layout. The table's rows live in `numBuckets`
@@ -469,6 +448,16 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       deleteKeys: Option[DataFrame] = None,
       bucketBy: Seq[String] = Nil,
       fingerprint: String = "",
+      // caller asserts `updates` is ALREADY partitioned as
+      // HashPartitioning(bucket cols, numBuckets) — e.g. it ran
+      // `repartition(numBuckets, bCols)` so an upstream aggregate could
+      // share the exchange — and a FIRST build then writes without its own
+      // repartition (partition i already holds exactly bucket i). Safe by
+      // construction even if the assertion is wrong: bucket dirs come from
+      // the __bucket COLUMN, so a mispartitioned input only writes more
+      // files per bucket, never wrong data. Ignored when a prior version
+      // exists (those paths stage/fold and repartition anyway).
+      prePartitioned: Boolean = false,
   ): Int = {
     // bucketBy (default = key) may be a SUBSET of the match key: rows with
     // equal match keys then still colocate, and the table is additionally
@@ -610,12 +599,16 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val dir = tableDir(table).resolve(s"v=$next")
     // one task (→ one file) per bucket: without this, every task writes
     // every bucket dir (tasks × buckets files) and the driver's footer
-    // metadata pass dominates the merge. Partitioned via [[spreadExpr]] so
-    // each task owns exactly ONE bucket — plain repartition on __bucket
-    // hash-collides bucket ids and the multi-bucket task becomes the
-    // write-stage straggler (guide §2.5).
-    merged
-      .repartition(numBuckets, spreadExpr(numBuckets))
+    // metadata pass dominates the merge. Repartitioning by the RAW bucket
+    // columns gives partition i == bucket i exactly (bucketExpr IS
+    // HashPartitioning's partition-id expression — see its doc), so each
+    // task owns exactly ONE bucket with no bucket-id re-hash collisions.
+    // A prePartitioned first build skips the exchange outright: the
+    // caller's plan already established this partitioning (guide §2.4).
+    val toWrite =
+      if (prePartitioned && prev.isEmpty) merged
+      else merged.repartition(numBuckets, bCols.map(col): _*)
+    toWrite
       .write
       .mode("overwrite")
       .partitionBy("__bucket")
@@ -797,9 +790,6 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
 }
 
 object SnapshotStore {
-
-  /** [[SnapshotStore#spreadExpr]] preimage tables, per bucket count. */
-  private[io] val spreadCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
 
   /** What a [[SnapshotStore.probeFootprint]] probe reads vs the table
     * total — parquet data files of the probed hash buckets plus the live

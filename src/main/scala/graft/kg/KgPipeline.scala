@@ -438,9 +438,13 @@ final class KgPipeline(
       // byEpisode twice (stale-key anti-join + merge), but a FIRST build
       // traverses it exactly once inside mergeBucketed — the eager
       // checkpoint there was a full extra materialization job
+      // pre-partitioned by episode uuid at the bucket count: the
+      // collect_set aggregate and the bucketed first-build write share ONE
+      // exchange (guide §2.4; SnapshotStore bucketExpr doc)
       val byEpisode0 = edgesInMem
         .getOrElse(store.load("edges"))
         .select(col("uuid").as("edge_uuid"), explode(col("episodes")).as("uuid"))
+        .repartition(store.DefaultBuckets, col("uuid"))
         .groupBy(col("uuid"))
         .agg(array_sort(collect_set(col("edge_uuid"))).as("entity_edges"))
       val byEpisode =
@@ -458,6 +462,7 @@ final class KgPipeline(
         "episode → created-edge uuids (normalized entity_edges)",
         deleteKeys = deadEps,
         fingerprint = episodesEeFp,
+        prePartitioned = true,
       )
     } }
 

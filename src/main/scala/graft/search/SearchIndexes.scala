@@ -294,16 +294,30 @@ object SearchIndexes {
     * maintainable: removing one of two parallel edges decrements instead
     * of deleting the pair another edge still needs.
     */
-  private def pairCounts(edges: DataFrame): DataFrame = {
+  private def pairCounts(edges: DataFrame): DataFrame = pairCounts(edges, 0)
+
+  /** [[pairCounts]] pre-partitioned by `src` into `nParts` partitions
+    * (0 = session default): HashPartitioning([src], n) satisfies the
+    * (src, dst) aggregate's clustering AND, when n == the table's bucket
+    * count, IS the graph_adj bucket layout — the aggregate and the
+    * bucketed write share one exchange (guide §2.4; SnapshotStore
+    * bucketExpr doc).
+    */
+  private def pairCounts(edges: DataFrame, nParts: Int): DataFrame = {
     val e = edges.select(col("source_uuid").as("src"), col("target_uuid").as("dst"))
-    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val u = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val part = if (nParts > 0) u.repartition(nParts, col("src")) else u
+    part
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("cnt"))
   }
 
   def buildGraph(store: SnapshotStore): Unit = {
-    // pairs IS reused below (degrees) — checkpoint unconditionally
-    val pairs = pairCounts(store.load("edges")).localCheckpoint()
+    // pairs IS reused below (degrees) — checkpoint unconditionally.
+    // Pre-partitioned by src at the bucket count: ONE exchange feeds the
+    // (src, dst) aggregate, the src-keyed degree aggregate below (the
+    // checkpoint preserves partitioning) and the bucketed graph_adj write.
+    val pairs = pairCounts(store.load("edges"), store.DefaultBuckets).localCheckpoint()
     // full (re)build: pairs/nodes no longer present leave the index
     val gonePairs =
       if (!store.exists("graph_adj")) None
@@ -319,12 +333,17 @@ object SearchIndexes {
       () => {
         store.mergeBucketed(
           "graph_adj", pairs, Seq("src", "dst"), "adjacency index",
-          deleteKeys = gonePairs, bucketBy = Seq("src"),
+          deleteKeys = gonePairs, bucketBy = Seq("src"), prePartitioned = true,
         )
         ()
       },
       () => {
-        store.mergeBucketed("graph_degrees", deg, Seq("node"), "distinct-neighbor degrees", deleteKeys = goneNodes)
+        // deg inherits pairs' [src]-hash partitioning (node == src), so a
+        // first build writes without re-shuffling its (small) output
+        store.mergeBucketed(
+          "graph_degrees", deg, Seq("node"), "distinct-neighbor degrees",
+          deleteKeys = goneNodes, prePartitioned = true,
+        )
         ()
       },
     ))

@@ -199,9 +199,15 @@ object IncrementalIngest {
       }
     if (store.exists("edges") && !store.exists("edge_endpoints"))
       tasks += { () =>
+        // pre-partition by the bucket column so the 4-column distinct and
+        // the bucketed write share ONE exchange (HashPartitioning on a
+        // subset of the distinct keys satisfies its clustering, and at the
+        // bucket count it IS the table layout — guide §2.4, SnapshotStore
+        // bucketExpr doc)
         val idx = store
           .load("edges")
           .select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"), col("group_id"), col("source_uuid"), col("name"))
+          .repartition(store.DefaultBuckets, col("endpoint_uuid"))
           .distinct()
         timed("boot edge_endpoints")(store.mergeBucketed(
           "edge_endpoints",
@@ -209,6 +215,7 @@ object IncrementalIngest {
           Seq("endpoint_uuid", "group_id", "source_uuid", "name"),
           "bootstrap edge_endpoints",
           bucketBy = Seq("endpoint_uuid"),
+          prePartitioned = true,
         ))
       }
     // by-uuid locate index: uuid → contention group, so point mutations

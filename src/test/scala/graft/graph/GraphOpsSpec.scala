@@ -60,6 +60,23 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsAuto ≡ superstep path on random LONG-id graphs (type-preserving)") {
+    val rnd = new scala.util.Random(11)
+    val es = (1 to 80).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = es.toDF("src", "dst")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auto = GraphOps.connectedComponentsAuto(df)
+    assert(
+      auto.schema.fields.map(_.dataType).toSeq ==
+        Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType),
+      "fast path must preserve the integral node type",
+    )
+    val fast = canon(auto.collect())
+    val dist = canon(GraphOps.connectedComponentsIter(df)._1.collect())
+    assert(fast == dist, "long-id driver union-find must equal the superstep path")
+  }
+
   test("connectedComponents: 1000-node path (worst-case diameter) converges in O(log n) supersteps") {
     val path = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
     val (labels, iters) = GraphOps.connectedComponentsIter(path, maxIter = 50)
