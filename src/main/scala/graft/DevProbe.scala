@@ -119,6 +119,54 @@ object DevProbe {
           edges.select(explode(array(col("source_uuid"), col("target_uuid"))).as("endpoint_uuid"),
             col("group_id"), col("source_uuid"), col("name")).distinct()))
         store.deleteRoot()
+      case "edgespre" =>
+        // micro-profile of the pipeline's edges_pre / uuid_map legs
+        Bench.cleanBenchTmp()
+        val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+        val pages = Bench.replicate(graft.kg.Pages.corpus(spark, sfDir), scale)
+          .repartition(spark.sparkContext.defaultParallelism, col("url"))
+          .localCheckpoint()
+        t("pages")(pages.count())
+        val withText = pages.select(col("url"), col("warc_ts"),
+          coalesce(col("text"), graft.kg.HtmlText.textOf(col("html"))).as("text"))
+        val triples = graft.kg.Extract.triplesTs(spark, withText.select(col("url"), col("text"), col("warc_ts")))
+          .withColumn("group_id", lit("default"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t("extract+cache")(triples.count())
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val gid = "default"
+        val raw = triples.select(
+          md5(concat(lit(s"en|$gid|"), col("subj"))).as("source_uuid"),
+          col("pred").as("name"),
+          md5(concat(lit(s"en|$gid|"), col("obj"))).as("target_uuid"),
+          col("fact"),
+          lit(gid).as("group_id"),
+          col("warc_ts").as("valid_at"),
+          col("warc_ts").as("created_at"),
+          array(md5(concat(lit(s"ep|$gid|"), col("url")))).as("episodes"),
+        )
+        t("raw project (noop)")(noop(raw))
+        t("repartition (noop)")(noop(raw.repartition(col("group_id"), col("source_uuid"), col("name"))))
+        t("dedupeFacts (noop)")(noop(graft.kg.Invalidation.dedupeFacts(
+          raw.repartition(col("group_id"), col("source_uuid"), col("name")))))
+        spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        t("dedupeFacts hi-threshold")(noop(graft.kg.Invalidation.dedupeFacts(
+          raw.repartition(col("group_id"), col("source_uuid"), col("name")))))
+        spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+        t("dedupe+invalidate (noop)")(noop(graft.kg.Invalidation.dedupeAndInvalidate(raw)))
+        // uuid_map leg: surfaces from one agg, then linking
+        val nodesFull = graft.kg.Extract.entityNodes(
+          triples.select(explode(array(col("subj"), col("obj"))).as("name"), col("fact"), col("warc_ts"))
+            .groupBy(col("name"))
+            .agg(min(col("fact")).as("summary"), min(col("warc_ts")).as("created_at"), count(lit(1)).as("mention_count")),
+          gid, keep = Seq("summary", "created_at", "mention_count"),
+        ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t("surface_agg+cache")(nodesFull.count())
+        val linkInput = nodesFull.select(col("uuid"), col("name"), col("group_id"))
+        val pairs = t("duplicatePairs")(graft.kg.Linking.duplicatePairs(linkInput)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        t("pairs isEmpty")(println(s"[probe] pairs empty: ${pairs.isEmpty}"))
       case "ngram" =>
         val docs = T.load(spark, sfDir, "documents").filter(col("doc_id") < 600)
         val r = t("ngram rep1")(
