@@ -167,6 +167,14 @@ object DevProbe {
         val pairs = t("duplicatePairs")(graft.kg.Linking.duplicatePairs(linkInput)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         t("pairs isEmpty")(println(s"[probe] pairs empty: ${pairs.isEmpty}"))
+      case "inc" =>
+        // steady-batch stage profile: 1x pipeline store + indexes, then
+        // three 100-page batches (first untimed) with [inc] stage timers
+        Bench.cleanBenchTmp()
+        val (_, _, _, store) = Bench.runPipelineStore(spark, sfDir, 1)
+        val sec = t("steady batch (best of 2)")(Bench.steadyBatchSec(spark, sfDir, store, "probe"))
+        println(f"[probe] steady batch: $sec%.2fs")
+        store.deleteRoot()
       case "ngram" =>
         val docs = T.load(spark, sfDir, "documents").filter(col("doc_id") < 600)
         val r = t("ngram rep1")(

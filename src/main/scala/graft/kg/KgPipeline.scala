@@ -201,12 +201,25 @@ final class KgPipeline(
     // the old mapPartitions node build + the parquet re-decode of
     // nodes_raw that stages 4/5 used to pay.
     var nodesFull: DataFrame = null
-    graft.io.Concurrent.runAll(Seq(
-      // raw_triples commit: pure write of the cached extraction (fresh
-      // builds only) — rides alongside linking instead of blocking it
-      () => if (triplesMem != null)
-        timed("raw_triples_commit")(store.commit(triplesMem, "raw_triples", "extract triples", triplesFp)),
-      () => {
+    // ---- dependency-driven stage scheduling (guide §2.6: overlap
+    // independent jobs): stages 5 (nodes), 7 (episodic_edges) and
+    // 8 (duplicate_of) depend only on the LINKING leg (uuid_map +
+    // surface stats), not on the edge pre-build — they start the moment
+    // uuid_map commits and back-fill cores while edges_pre's tail still
+    // runs. Stage 6 (edges) needs BOTH legs: it launches from the
+    // edges_pre thread as soon as uuid_map has committed (latch), instead
+    // of a global barrier holding every stage to max(legA, legB). The
+    // ok-flag guards the failure path: a failed uuid_map stage must fail
+    // stage 6 too, never let it commit (and fingerprint-stamp) edges
+    // built against a missing map.
+    val uuidMapReady = new java.util.concurrent.CountDownLatch(1)
+    @volatile var uuidMapOk = false
+    // legB: surface aggregation → (nodes_raw ∥ uuid_map) → stages 5/7/8.
+    // Invoked from the scheduling block at the end of run() (local stage
+    // defs below can't be forward-referenced, so the leg takes the three
+    // follow-on stages as arguments).
+    def legLinking(followOn: Seq[() => Unit]): Unit = {
+      {
         val needNodesRaw = !store.hasFingerprint("nodes_raw", nodesRawFp)
         if (needNodesRaw || !store.hasFingerprint("nodes", nodesFp)) {
           timed("surface_agg") {
@@ -261,7 +274,7 @@ final class KgPipeline(
               )
             }
           },
-          () => timed("uuid_map") {
+          () => timed("uuid_map") { try {
             if (!store.hasFingerprint("uuid_map", mapFp)) {
               // linking needs only (uuid, name, group_id) — from the cache
               // when this run built it, else a pruned scan of nodes_raw
@@ -290,11 +303,23 @@ final class KgPipeline(
                 deleteKeys = Some(stale), fingerprint = mapFp,
               )
             }
-          },
+            // signal the edge leg: uuid_map is committed and usable. The
+            // ok-flag stays false on failure (latch still released in the
+            // finally) so stage 6 fails instead of building against a
+            // missing/stale map.
+            uuidMapOk = true
+          } finally uuidMapReady.countDown() },
         ))
-      },
-      () =>
-        timed("edges_pre") { if (!store.hasFingerprint("edges", edgesFp)) {
+      }
+      // stages 5/7/8 (linking-leg dependents) start here — while the
+      // edges_pre leg may still be running on its own thread
+      graft.io.Concurrent.runAll(followOn)
+    }
+
+    // legA: edge pre-build in linking's shadow, then stage 6 as soon as
+    // uuid_map is committed (latch) — no global barrier.
+    def legEdges(followOn: () => Unit): Unit = {
+      timed("edges_pre") { if (!store.hasFingerprint("edges", edgesFp)) {
           val raw = rawTriples.select(
             md5(concat(lit(s"en|$groupId|"), col("subj"))).as("source_uuid"),
             col("pred").as("name"),
@@ -314,15 +339,19 @@ final class KgPipeline(
           edgesPre = edgeUuid(Invalidation.dedupeAndInvalidate(raw))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           edgesPre.count() // materialize inside linking's shadow
-        } },
-    ))
+        } }
+      uuidMapReady.await()
+      require(uuidMapOk, "uuid_map stage failed — not building edges against a missing canonical map")
+      followOn()
+    }
 
     // ---- stages 5-9 all depend only on raw_triples + uuid_map (stage 9
     // additionally on stage 6's edges) and write DISJOINT tables, so they
-    // run as concurrent Spark jobs (graft.io.Concurrent): nodes ∥
-    // (edges → episodes_ee) ∥ episodic_edges ∥ duplicate_of. Resume
-    // semantics unchanged — each stage still checks/commits its own
-    // fingerprint. ----
+    // run as concurrent Spark jobs (graft.io.Concurrent), scheduled
+    // dependency-driven: nodes/episodic_edges/duplicate_of launch off the
+    // linking leg, (edges → episodes_ee) off the edges leg once uuid_map
+    // has committed. Resume semantics unchanged — each stage still
+    // checks/commits its own fingerprint. ----
 
     // ---- stage 5: canonical nodes, full reference schema
     // (huggingface_driver.py:248-261): uuid, name, group_id, labels,
@@ -633,10 +662,12 @@ final class KgPipeline(
     } }
 
     graft.io.Concurrent.runAll(Seq(
-      () => stageNodes(),
-      () => stageEdgesAndEe(),
-      () => stageEpisodicEdges(),
-      () => stageDuplicateOf(),
+      // raw_triples commit: pure write of the cached extraction (fresh
+      // builds only) — rides alongside linking instead of blocking it
+      () => if (triplesMem != null)
+        timed("raw_triples_commit")(store.commit(triplesMem, "raw_triples", "extract triples", triplesFp)),
+      () => legLinking(Seq(() => stageNodes(), () => stageEpisodicEdges(), () => stageDuplicateOf())),
+      () => legEdges(() => stageEdgesAndEe()),
     ))
     rawTriples.unpersist(blocking = false)
     if (edgesPre != null) edgesPre.unpersist(blocking = false)
