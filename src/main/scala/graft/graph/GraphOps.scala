@@ -38,6 +38,81 @@ object GraphOps {
     * (`graph_traversal.py:250-257`).
     */
   def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    // bounded DRIVER fast path (same gate/fallback shape as
+    // [[connectedComponentsAuto]], and the same in-memory traversal the
+    // reference runs — graph_traversal.py holds the whole edge frame):
+    // up to -Dgraft.graph.localccmax edges are fetched with ONE bounded
+    // job and level-BFS'd locally — a ≤O(log·diameter)-superstep loop of
+    // join jobs collapses into one job + one local pass. Larger graphs
+    // (or exotic id types) take the distributed superstep path unchanged.
+    bfsLocal(edges, sources, maxDepth).getOrElse(bfsDistributed(edges, sources, maxDepth))
+  }
+
+  /** Driver BFS when the edge list fits the bounded fetch; None → caller
+    * must run the distributed loop. Value-identical: min distance ≤
+    * maxDepth from the source set, sources at dist 0 (isolated sources
+    * included), null endpoints never traversed (a join on null matches
+    * nothing), output node typed as the SOURCES' node column.
+    */
+  private def bfsLocal(edges: DataFrame, sources: DataFrame, maxDepth: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val localMax = Integer.getInteger("graft.graph.localccmax", 100000).intValue()
+    val srcType = sources.schema("node").dataType
+    val integral = Seq(srcType, edges.schema("src").dataType, edges.schema("dst").dataType).forall {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val stringy = Seq(srcType, edges.schema("src").dataType, edges.schema("dst").dataType).forall(_ == StringType)
+    if (!integral && !stringy) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val slim =
+      if (integral) edges.select(col("src").cast("long"), col("dst").cast("long"))
+      else edges.select(col("src").cast("string"), col("dst").cast("string"))
+    val head = slim.limit(localMax + 1).collect()
+    if (head.length > localMax) return None
+    val srcRows = sources
+      .select(if (integral) col("node").cast("long") else col("node").cast("string"))
+      .limit(localMax + 1).collect()
+    if (srcRows.length > localMax) return None
+    // generic local BFS over boxed keys (null-safe: null sources stay at
+    // dist 0 like the distributed path's distinct; null edges don't link)
+    val adj = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]()
+    head.foreach { r =>
+      val a = r.get(0)
+      val b = r.get(1)
+      if (a != null && b != null)
+        adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty[Any]) += b
+    }
+    val dist = new java.util.LinkedHashMap[Any, Int]()
+    var frontier = scala.collection.mutable.ArrayBuffer.empty[Any]
+    srcRows.foreach { r =>
+      val n = r.get(0)
+      if (!dist.containsKey(n)) { dist.put(n, 0); frontier += n }
+    }
+    var depth = 0
+    while (depth < maxDepth && frontier.nonEmpty) {
+      depth += 1
+      val next = scala.collection.mutable.ArrayBuffer.empty[Any]
+      frontier.foreach { n =>
+        val nbrs = adj.get(n)
+        if (nbrs != null) nbrs.foreach { m =>
+          if (!dist.containsKey(m)) { dist.put(m, depth); next += m }
+        }
+      }
+      frontier = next
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Int)]
+    dist.forEach((n, d) => out += ((n, d)))
+    // boxed via Option: a null source row must stay null (a bare
+    // asInstanceOf[Long] would silently coerce null to 0)
+    val df =
+      if (integral) out.toSeq.map { case (n, d) => (Option(n).map(_.asInstanceOf[Long]), d) }.toDF("node", "dist")
+      else out.toSeq.map { case (n, d) => (Option(n).map(_.asInstanceOf[String]), d) }.toDF("node", "dist")
+    Some(df.select(col("node").cast(srcType).as("node"), col("dist")))
+  }
+
+  private def bfsDistributed(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var visited = sources.select(col("node")).distinct().withColumn("dist", lit(0))
@@ -390,6 +465,45 @@ object GraphOps {
   def findPaths(edges: DataFrame, sources: Seq[Long], targets: Set[Long], maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // bounded DRIVER fast path (same gate/fallback shape as [[bfs]] /
+    // [[connectedComponentsAuto]]; the reference's find_paths is an
+    // in-memory stack loop over the whole edge frame,
+    // graph_traversal.py:396-429): one bounded fetch + a local simple-path
+    // enumeration replaces maxDepth superstep join jobs. Larger graphs
+    // take the distributed loop below unchanged.
+    val localMax = Integer.getInteger("graft.graph.localccmax", 100000).intValue()
+    val headRows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(localMax + 1).collect()
+    if (headRows.length <= localMax) {
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      headRows.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1))
+          adj.computeIfAbsent(r.getLong(0), _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      // level-synchronous expansion, exactly the superstep semantics:
+      // every simple path from a source, collected whenever its head is a
+      // target (the trivial [source] path included)
+      var frontier = sources.map(s => Vector(s))
+      frontier.foreach(p => if (targets(p.last)) out += p)
+      var depth = 0
+      while (depth < maxDepth && frontier.nonEmpty) {
+        depth += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[Vector[Long]]
+        frontier.foreach { p =>
+          val nbrs = adj.get(p.last)
+          if (nbrs != null) nbrs.foreach { m =>
+            if (!p.contains(m)) {
+              val q = p :+ m
+              next += q
+              if (targets(m)) out += q
+            }
+          }
+        }
+        frontier = next.toSeq
+      }
+      return out.toSeq.toDF("path")
+    }
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = sources.toDF("head").withColumn("path", array(col("head")))
     var results = frontier.filter(col("head").isin(targets.toSeq: _*))

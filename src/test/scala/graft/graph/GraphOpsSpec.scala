@@ -77,6 +77,53 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(fast == dist, "long-id driver union-find must equal the superstep path")
   }
 
+  test("bfs driver fast path ≡ distributed superstep path (long and string ids, fallback)") {
+    val rnd = new scala.util.Random(23)
+    val es = (1 to 120).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val df = es.toDF("src", "dst")
+    val srcs = Seq(0L, 7L, 999L).toDF("node") // 999 isolated: stays at dist 0
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fast = canon(GraphOps.bfs(df, srcs, 3).collect())
+    // force the distributed path through the same entry point
+    val prev = System.getProperty("graft.graph.localccmax")
+    System.setProperty("graft.graph.localccmax", "3")
+    val dist =
+      try canon(GraphOps.bfs(df, srcs, 3).collect())
+      finally {
+        if (prev == null) System.clearProperty("graft.graph.localccmax")
+        else System.setProperty("graft.graph.localccmax", prev)
+      }
+    assert(fast == dist, "driver BFS must equal the superstep path")
+    assert(fast(999L) == 0, "isolated source stays at dist 0")
+    // string ids too
+    val sdf = es.map { case (a, b) => (s"n$a", s"n$b") }.toDF("src", "dst")
+    val sfast = GraphOps.bfs(sdf, Seq("n0").toDF("node"), 2).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // compare against the long-id result for the same seed/depth
+    val lfast = GraphOps.bfs(df, Seq(0L).toDF("node"), 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sfast == lfast.map { case (n, d) => s"n$n" -> d })
+  }
+
+  test("findPaths driver fast path ≡ distributed superstep path") {
+    val rnd = new scala.util.Random(31)
+    val es = (1 to 60).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val df = es.toDF("src", "dst")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getSeq[Long](0).mkString("->")).sorted.toSeq
+    val fast = canon(GraphOps.findPaths(df, Seq(0L, 1L), Set(2L, 3L), 3).collect())
+    val prev = System.getProperty("graft.graph.localccmax")
+    System.setProperty("graft.graph.localccmax", "3")
+    val dist =
+      try canon(GraphOps.findPaths(df, Seq(0L, 1L), Set(2L, 3L), 3).collect())
+      finally {
+        if (prev == null) System.clearProperty("graft.graph.localccmax")
+        else System.setProperty("graft.graph.localccmax", prev)
+      }
+    assert(fast == dist, "driver path enumeration must equal the superstep path")
+  }
+
   test("connectedComponents: 1000-node path (worst-case diameter) converges in O(log n) supersteps") {
     val path = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
     val (labels, iters) = GraphOps.connectedComponentsIter(path, maxIter = 50)
